@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver testdata tables (TESTDATA.md): one parquet file
+  * per table under the given scale-factor directory. Parquet carries the
+  * schema — no inference. At cluster scale these would be partitioned
+  * directories; the read path is identical.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf
+    // spark.sql.legacy.parquet.nanosAsLong) and truncate ns→µs with
+    // integer division — identical to DuckDB's ns→µs coercion. A double
+    // division would lose precision (2024 epoch-ns ≈ 1.7e18 > 2^53).
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
+}
+
+/** Column helpers shared by the query surface.
+  *
+  * All money/measure doubles are routed through [[DecimalType]] before
+  * aggregation so sums are exact and order-independent: a 32-way shuffled
+  * Spark aggregation must produce bit-identical values to the
+  * single-threaded DuckDB oracle (SURVEY.md §2.8 gotcha 12, generalized to
+  * the double-typed testdata). Final outputs are cast back to double so
+  * result schemas align across engines.
+  */
+object Cols {
+  /** Exact decimal view of a 2-dp money/measure double. */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  def dbl(c: Column): Column = c.cast(DoubleType)
+  def i32(c: Column): Column = c.cast(IntegerType)
+  def i64(c: Column): Column = c.cast(LongType)
+}
