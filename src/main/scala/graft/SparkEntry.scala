@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All query registries, in SURVEY.md §2 inventory order. */
   def registry: Seq[Q] =
-    operators.CoreQueries.all
+    operators.CoreQueries.all ++
+      operators.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

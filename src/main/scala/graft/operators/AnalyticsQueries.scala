@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Cols, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's analytics layer (SURVEY.md §1.4 analytics tables,
+  * `analytics_dag.py`) re-expressed over the testdata star schema:
+  * customer metrics with churn scoring, daily/monthly sales, acquisition
+  * buckets, product metrics. Semantics preserved per SURVEY.md §2.8:
+  * COUNT(col) null-skipping (g6), churn ELSE branch on never-ordered
+  * customers (g7), truncating integer division (g3), deterministic
+  * `asOf` instead of CURRENT_DATE (g11).
+  */
+object AnalyticsQueries {
+  import Cols._
+
+  /** Deterministic stand-in for CURRENT_DATE (data ends 2001-08-01). */
+  val AsOf = "2001-09-01"
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q23: daily_sales (analytics_dag.py:144-167 shape): per-day orders,
+    // unique customers, revenue, AOV. One shuffle on the date key.
+    Q("q23_daily_sales",
+      (s, dir) => {
+        val od = col("o_orderdate").cast("date")
+        t(s, dir, "orders")
+          .groupBy(date_format(od, "yyyy-MM-dd").as("sales_date"))
+          .agg(
+            countDistinct(col("o_orderkey")).as("total_orders"),
+            countDistinct(col("o_custkey")).as("unique_customers"),
+            dbl(sum(dec(col("o_totalprice")))).as("total_revenue"))
+          .withColumn("avg_order_value",
+            col("total_revenue") / col("total_orders"))
+          .orderBy(col("sales_date"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m-%d') AS sales_date,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS total_orders,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS unique_customers,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+          / count(DISTINCT o_orderkey) AS avg_order_value
+        FROM orders GROUP BY sales_date ORDER BY sales_date""")),
+
+    // ------------------------------------------------------------------
+    // q24: monthly_trends (analytics_dag.py:185-213 shape): fact⋈fact
+    // join (orders⋈lineitem, shuffle on orderkey) rolled up monthly.
+    Q("q24_monthly_trends",
+      (s, dir) => {
+        val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+        t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyyMM").cast("int").as("month_key"))
+          .agg(
+            countDistinct(col("o_orderkey")).as("orders"),
+            countDistinct(col("o_custkey")).as("customers"),
+            dbl(sum(rev)).as("revenue"),
+            dbl(sum(dec(col("l_quantity")))).as("items_sold"))
+          .withColumn("avg_order_value", col("revenue") / col("orders"))
+          .orderBy(col("month_key"))
+      },
+      Some("""SELECT CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS month_key,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS orders,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS customers,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS items_sold,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+          / count(DISTINCT o_orderkey) AS avg_order_value
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY month_key ORDER BY month_key""")),
+
+    // ------------------------------------------------------------------
+    // q25: customer_metrics (analytics_dag.py:39-73 shape) incl. §2.8
+    // gotchas 6+7+11: COUNT(o_orderkey) gives 0 for no-order customers;
+    // churn CASE lands in ELSE 0.1 when days_since is NULL; CURRENT_DATE
+    // replaced by the deterministic AsOf.
+    Q("q25_customer_metrics",
+      (s, dir) => {
+        val od = col("o_orderdate").cast("date")
+        val asOf = lit(AsOf).cast("date")
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(
+            count(col("o_orderkey")).as("total_orders"),
+            dbl(coalesce(sum(dec(col("o_totalprice"))), lit(0))).as("total_spent"),
+            date_format(min(od), "yyyy-MM-dd").as("first_order_date"),
+            date_format(max(od), "yyyy-MM-dd").as("last_order_date"),
+            datediff(asOf, max(od)).as("days_since_last_order"))
+          .withColumn("avg_order_value",
+            when(col("total_orders") > 0, col("total_spent") / col("total_orders"))
+              .otherwise(lit(0.0)))
+          .withColumn("churn_risk_score",
+            when(col("days_since_last_order") > 180, 0.9)
+              .when(col("days_since_last_order") > 90, 0.7)
+              .when(col("days_since_last_order") > 60, 0.5)
+              .when(col("days_since_last_order") > 30, 0.3)
+              .otherwise(0.1))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""SELECT c_custkey, c_mktsegment,
+        CAST(count(o_orderkey) AS BIGINT) AS total_orders,
+        CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+        CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') AS INTEGER) AS days_since_last_order,
+        CASE WHEN count(o_orderkey) > 0
+             THEN CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) / count(o_orderkey)
+             ELSE 0.0 END AS avg_order_value,
+        CASE WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 180 THEN 0.9
+             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 90 THEN 0.7
+             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 60 THEN 0.5
+             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 30 THEN 0.3
+             ELSE 0.1 END AS churn_risk_score
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q26: customer_acquisition buckets (analytics_dag.py:229-273 +
+    // 402-420 shape): days-to-first-purchase bucketed + percent share
+    // (W2 window), 'Never' bucket from the left-join NULL branch.
+    Q("q26_acquisition_buckets",
+      (s, dir) => {
+        val firstOrder = t(s, dir, "orders")
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(min(col("o_orderdate").cast("date")).as("first_od"))
+        val days = datediff(col("first_od"), lit("1995-01-01").cast("date"))
+        val bucket = when(col("first_od").isNull, "Never")
+          .when(days <= 7, "Within Week")
+          .when(days <= 30, "Within Month")
+          .otherwise("After Month")
+        t(s, dir, "customer")
+          .join(firstOrder, Seq("c_custkey"), "left")
+          .select(bucket.as("bucket"), days.as("days_to_first"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_customers"),
+            (dbl(sum(col("days_to_first"))) / count(col("days_to_first")))
+              .as("avg_days"))
+          .withColumn("pct",
+            dbl(col("n_customers")) * 100.0 /
+              dbl(sum(col("n_customers")).over(Window.partitionBy())))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH first_order AS (
+          SELECT o_custkey AS c_custkey, CAST(min(o_orderdate) AS DATE) AS first_od
+          FROM orders GROUP BY o_custkey),
+        labeled AS (
+          SELECT CASE WHEN first_od IS NULL THEN 'Never'
+                      WHEN date_diff('day', DATE '1995-01-01', first_od) <= 7 THEN 'Within Week'
+                      WHEN date_diff('day', DATE '1995-01-01', first_od) <= 30 THEN 'Within Month'
+                      ELSE 'After Month' END AS bucket,
+                 date_diff('day', DATE '1995-01-01', first_od) AS days_to_first
+          FROM customer LEFT JOIN first_order USING (c_custkey))
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(days_to_first AS BIGINT)) AS DOUBLE) / count(days_to_first) AS avg_days,
+               CAST(count(*) AS DOUBLE) * 100.0
+                 / CAST(sum(count(*)) OVER () AS DOUBLE) AS pct
+        FROM labeled GROUP BY bucket ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
+    // q27: product_metrics / inventory-turnover shape with §2.8 gotcha 3:
+    // Postgres bigint/bigint division truncates — replicated via
+    // floor(double-div) (positive operands), not Spark's fractional `/`.
+    Q("q27_product_metrics",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            countDistinct(col("p_partkey")).as("n_parts"),
+            sum(col("l_quantity").cast("long")).as("units_sold"),
+            dbl(sum(dec(col("l_extendedprice")))).as("gross_revenue"))
+          .withColumn("units_per_part",
+            floor(dbl(col("units_sold")) / col("n_parts")).cast("long"))
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand,
+        CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units_sold,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross_revenue,
+        CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / count(DISTINCT p_partkey)) AS BIGINT) AS units_per_part
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""))
+  )
+}
