@@ -12,7 +12,10 @@ object SparkEntry {
   /** All query registries, in SURVEY.md §2 inventory order. */
   def registry: Seq[Q] =
     operators.CoreQueries.all ++
-      operators.AnalyticsQueries.all
+      operators.AnalyticsQueries.all ++
+      operators.TextQueries.all ++
+      operators.DedupQueries.all ++
+      operators.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the three standard
+  * scalable families:
+  *
+  *   - exact n-gram Jaccard (ground truth; O(n²) pairs — used here at
+  *     corpus scale where it is oracle-checkable, and as the verification
+  *     stage after LSH candidate generation at 100 TB),
+  *   - MinHash + banded LSH (the scale path: candidate pairs come from a
+  *     shuffle on (band, bucket) keys, never a cross join),
+  *   - SimHash (64-bit bit-majority signature; near-dups = small Hamming
+  *     distance).
+  *
+  * MinHash/SimHash build on xxhash64 (codegen'd, no UDF) and are not
+  * DuckDB-expressible → exact-expectation ScalaTest coverage instead of
+  * SQL oracles.
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Number of MinHash permutations and LSH banding shape: 64 hashes as
+    * 16 bands × 4 rows — candidate probability 1-(1-s⁴)¹⁶ (≈0.99 at
+    * Jaccard 0.7).
+    */
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** MinHash signature: per seed, the minimum xxhash64 over the shingle
+    * set. Entirely higher-order functions → stays in codegen.
+    */
+  private def minhashSignature(sh: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q34: MinHash signatures + band keys per document (the LSH
+    // pre-shuffle state). Rows-only driver check; exact values pinned in
+    // DedupSpec.
+    Q("q34_minhash_signatures",
+      (s, dir) => {
+        val sh = shingleSet(col("text"), 3)
+        t(s, dir, "documents")
+          .select(col("doc_id"), minhashSignature(sh).as("sig"))
+          .select(
+            col("doc_id"),
+            element_at(col("sig"), 1).as("h0"),
+            element_at(col("sig"), 2).as("h1"),
+            xxhash64(slice(col("sig"), 1, RowsPerBand)).as("band0_key"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q35: exact 3-shingle Jaccard, top-20 most similar pairs. The
+    // all-pairs form is the verification oracle; at 100 TB the same
+    // jaccard expression runs only on LSH candidates (q36).
+    Q("q35_jaccard_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+        val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+        val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (inter.cast("double") / uni).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 1, 1)),
+                   i -> array_to_string(list_slice(
+                          string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')))
+                   AS s
+          FROM documents)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q36: MinHash-LSH candidate pairs → exact-Jaccard verified. The
+    // scale path: explode 16 band keys per doc, shuffle on (band,
+    // bucket), join within buckets — never an O(n²) cross join. Top-20
+    // by verified jaccard for a deterministic, non-empty result.
+    Q("q36_minhash_lsh_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+          .withColumn("sig", minhashSignature(col("sh")))
+        val banded = docs.select(
+          col("doc_id"), col("sh"),
+          explode(transform(sequence(lit(0), lit(NumBands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+                .as("bucket")))).as("bb"))
+          .select(col("doc_id"), col("sh"),
+            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+        val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+        val pairs = l.join(r, Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+        val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+        pairs
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // q37: SimHash 64-bit signatures: per bit, majority vote of the
+    // token-hash bits (weight +1/-1), packed to a long. Near-dups have
+    // small Hamming distance (bit_count(a XOR b)).
+    Q("q37_simhash",
+      (s, dir) => {
+        // Bit masks are Scala-side literals (shiftleft takes only Int
+        // offsets); the token-hash array is materialized once per row.
+        val hashes = transform(array_distinct(tokens(col("text"))),
+          tk => xxhash64(tk))
+        val simhash = (0 until 64).map { b =>
+          val mask = lit(1L << b)
+          val ones = size(filter(col("hs"), h => h.bitwiseAND(mask) =!= 0))
+          when(ones * 2 >= size(col("hs")), mask).otherwise(lit(0L))
+        }.reduce(_ + _)
+        t(s, dir, "documents")
+          .select(col("doc_id"), hashes.as("hs"))
+          .select(col("doc_id"), simhash.as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      None)
+  )
+}

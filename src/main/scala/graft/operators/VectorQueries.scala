@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim). Brute-force cosine top-k is the exact baseline (and the
+  * within-bucket kernel at scale); hyperplane-LSH bucketing is the
+  * approximate scale path that replaces the O(n·q) cross join with a
+  * bucket-key shuffle. All vector math is higher-order functions with a
+  * sequential left fold — deterministic and identical to the
+  * single-threaded oracle.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** DuckDB expression for the same left-fold dot product. */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q38: per-vector L2 norm + dimension (row-level, exact).
+    Q("q38_vector_norms",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            normL2(col("embedding")).as("l2_norm"))
+          .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id, label,
+        CAST(len(embedding) AS INTEGER) AS dim,
+        ${duckNorm("embedding")} AS l2_norm
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // q39: brute-force cosine top-k (k=5) for 10 query vectors: the
+    // exact ANN baseline. Broadcast the tiny query side; rank per query
+    // with a keyed window (partitionBy query — no global sort).
+    Q("q39_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val cos = cosine(col("q_vec"), col("embedding"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), cos.as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                 FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.q_id, e.vec_id,
+                 ${duckDot("q.q_vec", "e.embedding")}
+                   / (${duckNorm("q.q_vec")} * ${duckNorm("e.embedding")}) AS cos_sim
+          FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q40: embedding-cosine near-dup pairs above a threshold (the
+    // embedding variant of dedup; exact all-pairs here = the oracle for
+    // the LSH-bucketed variant).
+    Q("q40_cosine_neardup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosine(col("a_vec"), col("b_vec")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.5)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${duckDot("a.embedding", "b.embedding")}
+          / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${duckDot("a.embedding", "b.embedding")}
+          / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.5
+        ORDER BY a_id, b_id""")),
+
+    // ------------------------------------------------------------------
+    // q41: hyperplane-LSH bucketed ANN — the scale path. Bucket id from
+    // 8 deterministic pseudo-random hyperplanes; candidates share a
+    // bucket with a query (shuffle on bucket key, no cross join), then
+    // exact cosine re-rank within bucket. Approximate by design →
+    // rows-only driver check + recall assertion in VectorSpec.
+    Q("q41_lsh_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("bucket", hyperplaneBucket(col("embedding"), 8, seed = 42))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        emb.join(broadcast(queries), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None)
+  )
+}
