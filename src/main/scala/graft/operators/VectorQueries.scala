@@ -83,7 +83,7 @@ object VectorQueries {
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
             cosine(col("a_vec"), col("b_vec")).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.5)
+          .filter(col("cos_sim") >= 0.4)
           .orderBy(col("a_id"), col("b_id"))
       },
       Some(s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -91,7 +91,7 @@ object VectorQueries {
           / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE ${duckDot("a.embedding", "b.embedding")}
-          / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.5
+          / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.4
         ORDER BY a_id, b_id""")),
 
     // ------------------------------------------------------------------

@@ -1,0 +1,86 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.functions.PolyHash.polyHash
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("polyHash matches the reference recurrence (golden value)") {
+    // h("abc") = (('a'*B)+'b')*B+'c' with B=1000003, over UTF-8 bytes
+    val expected = (('a'.toLong * 1000003L + 'b') * 1000003L) + 'c'
+    val got = Seq("abc").toDF("t").select(polyHash($"t")).as[Long].head()
+    assert(got == expected)
+    // rolling property: h(s ++ t) = h(s)*B^|t| + h(t)
+    val hs = Seq("ab").toDF("t").select(polyHash($"t")).as[Long].head()
+    val ht = Seq("cd").toDF("t").select(polyHash($"t")).as[Long].head()
+    val hst = Seq("abcd").toDF("t").select(polyHash($"t")).as[Long].head()
+    assert(hst == hs * 1000003L * 1000003L + ht)
+  }
+
+  test("polyHash: interpreted eval equals codegen result") {
+    val df = Seq("hello world", "", "ünïcødé").toDF("t")
+    val viaExpr = df.select(polyHash($"t")).as[Long].collect().toSeq
+    // force interpreted path through the same expression
+    val interp = df.collect().map { r =>
+      val bytes = r.getString(0).getBytes("UTF-8")
+      bytes.foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    }.toSeq
+    assert(viaExpr == interp)
+  }
+
+  test("tokens / shingles") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(shingleSet($"t", 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(shingleSet($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      "the cat sat on the mat and it is warm",
+      "le chat est dans la maison et il est pour",
+      "el gato es de la casa y es para todos",
+      "zzz qqq xxx").toDF("t")
+    val got = df.select(langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "es", "und"))
+  }
+
+  test("quality score is bounded and ordered sensibly") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and this is a fine sentence with many of the usual words in it",
+      "!!! ### $$$ %%% ^^^").toDF("t")
+    val q = df.select(qualityScore($"t")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("cosine: identity, orthogonality, symmetry") {
+    val df = Seq(
+      (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 2f, 3f), Seq(3f, 2f, 1f))).toDF("a", "b")
+    val got = df.select(cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    val rev = df.select(cosine($"b", $"a")).as[Double].collect()
+    assert(got.zip(rev).forall { case (x, y) => math.abs(x - y) < 1e-12 })
+  }
+
+  test("hyperplane buckets: identical vectors share a bucket, range bounded") {
+    val df = Seq(Seq(1f, 2f, 3f, 4f), Seq(1f, 2f, 3f, 4f),
+      Seq(-1f, -2f, -3f, -4f)).toDF("v")
+    val b = df.select(hyperplaneBucket($"v", 8, 42)).as[Long].collect()
+    assert(b(0) == b(1))
+    assert(b.forall(x => x >= 0 && x < 256))
+    // antipodal vector flips every plane sign → complementary bucket
+    assert(b(2) == 255 - b(0))
+  }
+}

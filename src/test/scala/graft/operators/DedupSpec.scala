@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("LSH candidates contain every high-jaccard pair found exactly (recall)") {
+    // ground truth: exact all-pairs jaccard >= 0.8
+    val exact = DedupQueries.all.find(_.name == "q35_jaccard_topk").get
+      .run(spark, sfDir)
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val lsh = DedupQueries.all.find(_.name == "q36_minhash_lsh_pairs").get
+      .run(spark, sfDir)
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: identical texts get identical signatures, edits stay close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend today"),
+      (4L, "completely different words about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_simhash_test")
+
+    val hashes = transform(array_distinct(tokens($"text")), tk => xxhash64(tk))
+    val simhash = (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val ones = size(filter($"hs", h => h.bitwiseAND(mask) =!= 0))
+      when(ones * 2 >= size($"hs"), mask).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = df.select($"doc_id", hashes.as("hs"))
+      .select($"doc_id", simhash.as("sh"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("minhash signature is stable across partitionings (determinism)") {
+    val q = DedupQueries.all.find(_.name == "q34_minhash_signatures").get
+    val a = q.run(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = q.run(spark, sfDir).repartition(7).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}

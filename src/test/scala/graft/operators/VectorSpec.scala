@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("LSH ANN results are a subset of correct cosine scores (precision)") {
+    // every (q_id, vec_id, cos_sim) reported by the bucketed ANN must
+    // agree with the exact cosine computed by the brute-force query
+    val exact = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val ann = VectorQueries.all.find(_.name == "q41_lsh_ann").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // where ANN found a true top-5 neighbor, the score must match exactly
+    ann.foreach { case (q, v, c) =>
+      exact.get((q, v)).foreach(e => assert(math.abs(e - c) < 1e-12))
+    }
+  }
+
+  test("brute-force top-k is exact: k results per query, descending") {
+    val got = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+      .run(spark, sfDir)
+      .select($"q_id", $"rnk", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    got.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sims = rows.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: generated CSV fixtures → staging → warehouse → analytics,
+  * asserting the reference semantics (SURVEY.md §2.8) hold through the
+  * whole pipeline.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val result: PipelineResult = {
+    val dir = Files.createTempDirectory("graft_e2e").toString
+    DataGen.writeAll(spark, s"$dir/csv")
+    Pipeline.run(spark, s"$dir/csv", s"$dir/out", LocalDate.of(2025, 7, 15))
+  }
+
+  test("staging cleaning: emails normalized, segments defaulted") {
+    val c = result.staging("customers")
+    assert(c.filter($"customer_segment".isNull).count() == 0)
+    assert(c.filter($"customer_segment" === "Unknown").count() > 0)
+    assert(c.filter($"email" =!= lower(trim($"email"))).count() == 0)
+  }
+
+  test("SCD2 initial load: one current row per business key, keyed densely") {
+    val d = result.dimCustomers
+    assert(d.filter(!$"is_current").count() == 0)
+    val n = d.count()
+    val keys = d.select($"customer_key").distinct().count()
+    assert(keys == n)
+    assert(d.agg(max($"customer_key")).as[Long].head() == n)
+  }
+
+  test("dim_time: valid calendar attributes (gotchas 1-2)") {
+    val t = result.dimTime
+    assert(t.filter($"day_of_week" < 0 || $"day_of_week" > 6).count() == 0)
+    assert(t.filter($"is_weekend" =!= $"day_of_week".isin(0, 6)).count() == 0)
+    assert(t.filter($"day_name".isin("Saturday", "Sunday") =!= $"is_weekend")
+      .count() == 0)
+    assert(t.select($"time_key").distinct().count() == t.count())
+  }
+
+  test("fact_orders: complete join, hardcoded total_items (gotcha 9)") {
+    val f = result.factOrders
+    assert(f.count() == result.staging("orders").count())
+    assert(f.filter($"total_items" =!= 1).count() == 0)
+    assert(f.filter($"customer_key".isNull).count() == 0)
+  }
+
+  test("fact_clickstream keeps anonymous events with NULL keys (J6)") {
+    val f = result.factClickstream
+    assert(f.count() == result.staging("clickstream").count())
+    assert(f.filter($"customer_key".isNull).count() > 0)
+  }
+
+  test("customer_metrics: zero-order customers exist with 0 orders and ELSE churn (gotchas 6-7)") {
+    val cm = result.customerMetrics
+    assert(cm.count() == result.dimCustomers.filter($"is_current").count())
+    val zero = cm.filter($"total_orders" === 0)
+    assert(zero.count() > 0)
+    assert(zero.filter($"churn_risk_score" =!= 0.1).count() == 0)
+    assert(zero.filter($"total_spent" =!= 0).count() == 0)
+    assert(cm.filter($"churn_risk_score".isNull).count() == 0)
+  }
+
+  test("daily_sales totals reconcile with fact_orders") {
+    val total = result.factOrders.agg(sum($"total_amount")).as[java.math.BigDecimal]
+      .head()
+    val daily = result.dailySales.agg(sum($"total_revenue")).as[java.math.BigDecimal]
+      .head()
+    assert(total.compareTo(daily) == 0)
+  }
+
+  test("acquisition buckets partition all current customers") {
+    val a = result.customerAcquisition
+    assert(a.count() == result.dimCustomers.filter($"is_current").count())
+    assert(a.filter($"acquisition_speed".isNull).count() == 0)
+  }
+
+  test("campaign attribution: one row per campaign, ROI guarded") {
+    val att = result.campaignAttribution
+    assert(att.count() == result.dimCampaigns.count())
+    assert(att.filter($"campaign_roi".isNull).count() == 0)
+  }
+
+  test("executive summary replicates the cross-join semantics (gotcha 10)") {
+    val es = result.executiveSummary.collect().head
+    assert(es.getAs[Long]("total_customers") == result.customerMetrics.count())
+    assert(es.getAs[Long]("total_products") == result.productMetrics.count())
+  }
+
+  test("views: top_products ranked and limited; acquisition shares sum to 100") {
+    val tp = result.topProducts.collect()
+    assert(tp.length <= 20)
+    assert(tp.map(_.getAs[Int]("revenue_rank")).toSeq.sorted
+      == tp.map(_.getAs[Int]("revenue_rank")).toSeq)
+    val shares = result.acquisitionSummary
+      .agg(sum($"pct_of_customers")).as[Double].head()
+    assert(math.abs(shares - 100.0) < 0.1)
+  }
+
+  test("data-quality checks all pass") {
+    assert(result.checks.nonEmpty)
+    val failed = result.checks.filterNot(_.passed)
+    assert(failed.isEmpty, s"failed checks: ${failed.mkString("; ")}")
+  }
+
+  test("SCD2 second run with a changed batch grows history") {
+    val dir = Files.createTempDirectory("graft_scd2").toString
+    DataGen.writeAll(spark, s"$dir/csv", nCustomers = 20, nProducts = 10,
+      nOrders = 50)
+    val r1 = Pipeline.run(spark, s"$dir/csv", s"$dir/out",
+      LocalDate.of(2025, 7, 15))
+    // mutate one customer's city and re-merge
+    val staged = r1.staging("customers")
+      .withColumn("city", when($"customer_id" === "CUST_000001", lit("Moved"))
+        .otherwise($"city"))
+      .withColumn("full_name", concat($"first_name", lit(" "), $"last_name"))
+    val next = Scd2.merge(r1.dimCustomers.drop("customer_key"), staged,
+      "customer_id", Seq("email", "city", "customer_segment"),
+      lit(java.sql.Date.valueOf("2025-08-01")))
+    assert(next.count() == r1.dimCustomers.count() + 1)
+    val moved = next.filter($"customer_id" === "CUST_000001")
+      .orderBy($"effective_date").collect()
+    assert(moved.length == 2)
+    assert(!moved(0).getAs[Boolean]("is_current"))
+    assert(moved(1).getAs[String]("city") == "Moved")
+  }
+}
