@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream (SURVEY.md §2.9: the
+  * reference has no streaming — this is the extension surface, built the
+  * only idiomatic way: `readStream` → watermarked event-time transforms →
+  * sink; no legacy DStreams).
+  *
+  * The same transform functions run identically on batch DataFrames —
+  * tested by feeding the batch events table through both paths and
+  * comparing (the streaming-batch unification Spark gives for free when
+  * logic is declarative).
+  */
+object EventStream {
+
+  /** events schema as the stream source sees it (ts already µs; the
+    * nanos→µs conversion happens in Tables.load for the batch path, and
+    * upstream producers would emit µs).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet drops. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window per-type rollup with late-data watermark: the
+    * streaming analogue of the reference's clickstream daily rollups.
+    * Decimal-routed sum keeps the aggregate exact under any trigger
+    * schedule.
+    */
+  def windowedCounts(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // exact distinct is unsupported on streams; HLL sketches merge
+        // associatively so stream and batch agree bit-for-bit
+        approx_count_distinct(col("user_id")).as("unique_users"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("unique_users"),
+        col("total_value"))
+
+  /** Session windows per user (gap-based): Spark's native
+    * session_window keyed state — the declarative form of
+    * mapGroupsWithState sessionization.
+    */
+  def sessionize(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Run a streaming query over `srcDir` into an in-memory table and
+    * block until the source is drained (the local test/verify harness;
+    * a production run would use a parquet/Delta sink + checkpoint).
+    */
+  def runToMemory(spark: SparkSession, srcDir: String, name: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(read(spark, srcDir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

