@@ -33,12 +33,23 @@ object DedupQueries {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature: per seed, the minimum xxhash64 over the shingle
-    * set. Entirely higher-order functions → stays in codegen.
+  /** Per-shingle base hash: ONE string-hash pass per document. */
+  private def baseHashes(sh: org.apache.spark.sql.Column) =
+    transform(sh, s => xxhash64(s))
+
+  /** MinHash signature from base hashes: one string-hash pass, then the
+    * k "permutations" are xxhash64 over (base hash, seed) — long-input
+    * hashing, so no UTF-8 re-traversal per seed (64× cheaper than
+    * hashing the shingle text per seed) and no ANSI long-overflow (which
+    * rules out the a·h+b linear scheme under Spark 4 defaults). `base`
+    * must be a materialized attribute (own projection), not an inline
+    * expression: CollapseProject keeps non-cheap producers separate, so
+    * the shingle pass runs once per row.
     */
-  private def minhashSignature(sh: org.apache.spark.sql.Column) =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      seed => array_min(transform(sh, s => xxhash64(seed, s))))
+  private def minhashSignature(base: org.apache.spark.sql.Column) =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(base, h => xxhash64(h, lit(i))))
+    }: _*)
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -47,9 +58,10 @@ object DedupQueries {
     // DedupSpec.
     Q("q34_minhash_signatures",
       (s, dir) => {
-        val sh = shingleSet(col("text"), 3)
         t(s, dir, "documents")
-          .select(col("doc_id"), minhashSignature(sh).as("sig"))
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+          .select(col("doc_id"), baseHashes(col("sh")).as("bh"))
+          .select(col("doc_id"), minhashSignature(col("bh")).as("sig"))
           .select(
             col("doc_id"),
             element_at(col("sig"), 1).as("h0"),
@@ -100,8 +112,10 @@ object DedupQueries {
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-          .withColumn("sig", minhashSignature(col("sh")))
-        val banded = docs.select(
+        val sigs = docs
+          .select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("bh"))
+          .select(col("doc_id"), col("sh"), minhashSignature(col("bh")).as("sig"))
+        val banded = sigs.select(
           col("doc_id"), col("sh"),
           explode(transform(sequence(lit(0), lit(NumBands - 1)),
             b => struct(b.as("band"),
