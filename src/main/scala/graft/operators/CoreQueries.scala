@@ -520,6 +520,33 @@ object CoreQueries {
         SELECT k, CASE WHEN dk IS NULL THEN 'new' ELSE 'changed' END AS change_type
         FROM staged LEFT JOIN dim ON k = dk
         WHERE dk IS NULL OR seg <> dseg
-        ORDER BY k"""))
+        ORDER BY k""")),
+
+    // ------------------------------------------------------------------
+    // q42: event-time tumbling-window rollup — the batch twin of the
+    // Structured Streaming EventStream.windowedCounts (stream==batch
+    // equivalence is asserted in EventStreamSpec; this gives the window
+    // semantics a DuckDB oracle). Exact distinct here (batch); the
+    // streaming variant uses the HLL sketch.
+    Q("q42_events_hourly",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("unique_users"),
+            dbl(sum(dec(col("value")))).as("total_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("hour_start"),
+            col("event_type"), col("n_events"), col("unique_users"),
+            col("total_value"))
+          .orderBy(col("hour_start"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY hour_start, event_type
+        ORDER BY hour_start, event_type"""))
   )
 }
