@@ -90,7 +90,11 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct shingles — the set form used by Jaccard. */
+  /** Distinct shingles — the set form used by Jaccard/MinHash. Backed by
+    * the fused [[Shingles]] expression (HOFs are interpreted, never
+    * codegen'd; the fused pass is ~10× faster — see its scaladoc).
+    * `shingles` above remains the declarative reference implementation.
+    */
   def shingleSet(text: Column, k: Int): Column =
-    array_distinct(shingles(text, k))
+    Shingles.shingles(text, k)
 }

@@ -214,7 +214,11 @@ object CoreQueries {
     // §2.8 gotcha 10: SUM inflates, COUNT DISTINCT does not).
     Q("q09_cross_join_summary",
       (s, dir) => {
+        // every-10th customer keeps the deliberate cartesian small
+        // enough to stay honest at bench scale while still exercising
+        // aggregate-over-cross-product inflation
         val cm = t(s, dir, "customer").select(col("c_custkey"))
+          .filter(col("c_custkey") % 10 === 0)
         val dm = t(s, dir, "orders")
           .groupBy(col("o_orderdate").cast("date").as("d"))
           .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
@@ -224,7 +228,7 @@ object CoreQueries {
             countDistinct(col("d")).as("total_days"),
             dbl(sum(col("rev"))).as("inflated_revenue"))
       },
-      Some("""WITH cm AS (SELECT c_custkey FROM customer),
+      Some("""WITH cm AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
         dm AS (SELECT CAST(o_orderdate AS DATE) AS d,
                       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
                FROM orders GROUP BY 1)

@@ -33,23 +33,14 @@ object DedupQueries {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** Per-shingle base hash: ONE string-hash pass per document. */
-  private def baseHashes(sh: org.apache.spark.sql.Column) =
-    transform(sh, s => xxhash64(s))
-
-  /** MinHash signature from base hashes: one string-hash pass, then the
-    * k "permutations" are xxhash64 over (base hash, seed) — long-input
-    * hashing, so no UTF-8 re-traversal per seed (64× cheaper than
-    * hashing the shingle text per seed) and no ANSI long-overflow (which
-    * rules out the a·h+b linear scheme under Spark 4 defaults). `base`
-    * must be a materialized attribute (own projection), not an inline
-    * expression: CollapseProject keeps non-cheap producers separate, so
-    * the shingle pass runs once per row.
+  /** MinHash signature: the single-pass custom Expression
+    * ([[graft.functions.MinHashSig]]) — one string hash + k long
+    * re-hashes per shingle in a tight JVM loop, no per-element lambda
+    * overhead. See MinHashSig's scaladoc for why the HOF composition
+    * wasn't enough.
     */
-  private def minhashSignature(base: org.apache.spark.sql.Column) =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(base, h => xxhash64(h, lit(i))))
-    }: _*)
+  private def minhashSignature(sh: org.apache.spark.sql.Column) =
+    graft.functions.MinHashSig.minhashSig(sh, NumHashes)
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -60,8 +51,7 @@ object DedupQueries {
       (s, dir) => {
         t(s, dir, "documents")
           .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-          .select(col("doc_id"), baseHashes(col("sh")).as("bh"))
-          .select(col("doc_id"), minhashSignature(col("bh")).as("sig"))
+          .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
           .select(
             col("doc_id"),
             element_at(col("sig"), 1).as("h0"),
@@ -113,8 +103,7 @@ object DedupQueries {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
         val sigs = docs
-          .select(col("doc_id"), col("sh"), baseHashes(col("sh")).as("bh"))
-          .select(col("doc_id"), col("sh"), minhashSignature(col("bh")).as("sig"))
+          .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
         val banded = sigs.select(
           col("doc_id"), col("sh"),
           explode(transform(sequence(lit(0), lit(NumBands - 1)),

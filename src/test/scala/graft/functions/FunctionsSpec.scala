@@ -43,6 +43,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("fused Shingles expression equals the declarative HOF form") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(100)
+    val declarative = docs.select($"doc_id",
+      array_distinct(shingles($"text", 3)).as("s"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    val fused = docs.select($"doc_id", shingleSet($"text", 3).as("s"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(fused == declarative)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       "the cat sat on the mat and it is warm",
