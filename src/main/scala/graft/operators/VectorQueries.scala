@@ -100,6 +100,53 @@ object VectorQueries {
     // bucket with a query (shuffle on bucket key, no cross join), then
     // exact cosine re-rank within bucket. Approximate by design →
     // rows-only driver check + recall assertion in VectorSpec.
+    Q("q43_ivf_ann",
+      (s, dir) => {
+        // IVF (inverted-file) ANN: a coarse quantizer assigns every
+        // vector to its nearest of ~√n centroid cells (one broadcast
+        // join); a query probes its nprobe nearest cells and re-ranks
+        // exactly within them. Centroids here are a deterministic
+        // sample (vec_id stride) standing in for k-means — the
+        // partition/probe/re-rank dataflow is the scale path either
+        // way: candidate generation is a cell-key equi-join, never a
+        // full cross join.
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 45 === 0)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_vec"))
+        // assignment: argmax cosine over cells via max(struct(...))
+        val assigned = emb
+          .crossJoin(broadcast(centroids))
+          .select(col("vec_id"), col("embedding"),
+            cosine(col("embedding"), col("c_vec")).as("c_cos"), col("cell"))
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("c_cos"), col("cell"))).as("best"))
+          .select(col("vec_id"), col("best.cell").as("cell"))
+          .join(emb, Seq("vec_id"))
+        // query side: nprobe=3 nearest cells per query vector
+        val qwin = Window.partitionBy(col("q_id"))
+          .orderBy(col("qc_cos").desc, col("cell"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .crossJoin(broadcast(centroids))
+          .select(col("q_id"), col("q_vec"),
+            cosine(col("q_vec"), col("c_vec")).as("qc_cos"), col("cell"))
+          .withColumn("cell_rank", row_number().over(qwin))
+          .filter(col("cell_rank") <= 3)
+          .select(col("q_id"), col("q_vec"), col("cell"))
+        // candidates share a probed cell; exact re-rank within them
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     Q("q41_lsh_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events stream (SURVEY.md §2.9: the
@@ -76,6 +77,67 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Timestamps kept as-is (not epoch millis): `getTime` would truncate
+    * the µs component and desync emitted sessions from the event-time
+    * values the windowed operators see.
+    */
+  final case class SessionState(start: java.sql.Timestamp,
+      last: java.sql.Timestamp, n: Long, sum: Double)
+
+  final case class UserSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * escape hatch when session semantics exceed `session_window` (e.g.
+    * value caps, per-user config). State per user is one open session;
+    * events extend it while within `gapMs`, otherwise the closed
+    * session is emitted and a new one opens. The final open session
+    * closes on event-time timeout past the watermark.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) =
+            UserSession(user, s.start, s.last, s.n, s.sum)
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  open = Some(s.copy(last = e.ts, n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += toSession(s)
+                  open = Some(SessionState(e.ts, e.ts, 1, e.value))
+                case None =>
+                  open = Some(SessionState(e.ts, e.ts, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming query over `srcDir` into an in-memory table and
     * block until the source is drained (the local test/verify harness;

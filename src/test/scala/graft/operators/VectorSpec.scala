@@ -27,6 +27,29 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: scores agree with exact cosine; shape bounded") {
+    val exact = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val ivf = VectorQueries.all.find(_.name == "q43_ivf_ann").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"cos_sim", $"rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ivf.nonEmpty)
+    val perQuery = ivf.groupBy(_._1)
+    perQuery.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // any candidate also in the exact top-5 must carry the exact score
+    ivf.foreach { case (q, v, c, _) =>
+      exact.get((q, v)).foreach(e => assert(math.abs(e - c) < 1e-12))
+    }
+  }
+
   test("brute-force top-k is exact: k results per query, descending") {
     val got = VectorQueries.all.find(_.name == "q39_cosine_topk").get
       .run(spark, sfDir)

@@ -41,6 +41,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(s.toSeq == b.toSeq)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches session_window on closed sessions") {
+    import org.apache.spark.sql.Dataset
+    val src = spark.readStream.schema(EventStream.schema).parquet(srcDir)
+    val typed: Dataset[EventStream.Event] = src
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionizeStateful(typed)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stateful_sessions").start()
+    q.processAllAvailable(); q.stop()
+    val stateful = spark.table("stateful_sessions")
+
+    // batch oracle: session_window over the same rows
+    val batch = EventStream.sessionize(
+      spark.read.schema(EventStream.schema).parquet(srcDir))
+    // compare the sessions the stateful variant closed (open sessions
+    // stay in state; session_window end = last+gap, stateful end = last)
+    val sRows = stateful
+      .select($"user_id", $"session_start", $"n_events")
+      .collect().map(_.toSeq).toSet
+    val bRows = batch
+      .select($"user_id", $"session_start", $"n_events")
+      .collect().map(_.toSeq).toSet
+    assert(sRows.nonEmpty)
+    assert(sRows.subsetOf(bRows),
+      s"stateful emitted sessions not in batch oracle: ${(sRows -- bRows).take(3)}")
+  }
+
   test("sessionization: gap-based session windows per user") {
     val sessions = EventStream.runToMemory(spark, srcDir, "sessions",
       df => EventStream.sessionize(df, gap = "30 minutes"))
