@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.graftinterop.ColumnInterop
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused 64-bit SimHash: lowercase → trim → whitespace-tokenize →
+  * distinct → per-token xxhash64 → per-bit majority vote (+1 for a set
+  * bit, −1 otherwise; ties round up) → packed long. One JVM pass per
+  * row — the higher-order-function formulation needs 64 interpreted
+  * `filter` traversals of the token array per row (HOFs are never
+  * codegen'd), which measured ~2.2s at sf0.1 vs ~0.2s fused.
+  *
+  * Near-duplicates have small Hamming distance:
+  * `bit_count(simhash(a) ^ simhash(b))`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  def compute(input: UTF8String): Long = {
+    val toks = input.toString.toLowerCase.trim.split("\\s+").distinct
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      val h = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) >= 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhash", this,
+        classOf[SimHash64].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash(c: Column): Column =
+    ColumnInterop.column(SimHash64(ColumnInterop.expression(c)))
+}

@@ -133,21 +133,11 @@ object DedupQueries {
     // token-hash bits (weight +1/-1), packed to a long. Near-dups have
     // small Hamming distance (bit_count(a XOR b)).
     Q("q37_simhash",
-      (s, dir) => {
-        // Bit masks are Scala-side literals (shiftleft takes only Int
-        // offsets); the token-hash array is materialized once per row.
-        val hashes = transform(array_distinct(tokens(col("text"))),
-          tk => xxhash64(tk))
-        val simhash = (0 until 64).map { b =>
-          val mask = lit(1L << b)
-          val ones = size(filter(col("hs"), h => h.bitwiseAND(mask) =!= 0))
-          when(ones * 2 >= size(col("hs")), mask).otherwise(lit(0L))
-        }.reduce(_ + _)
+      (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"), hashes.as("hs"))
-          .select(col("doc_id"), simhash.as("simhash"))
-          .orderBy(col("doc_id"))
-      },
+          .select(col("doc_id"),
+            graft.functions.SimHash64.simhash(col("text")).as("simhash"))
+          .orderBy(col("doc_id")),
       None)
   )
 }

@@ -33,6 +33,30 @@ final case class PipelineResult(
     campaignAttribution: DataFrame,
     checks: Seq[DataQuality.CheckResult]) {
 
+  /** Serving layer: register every analytics table and view as temp
+    * views with the reference's `public.*` mirror names
+    * (analytics_dag.py:423-440) — the engine's equivalent of the
+    * Postgres passthrough views Looker reads (a long-lived session or
+    * Spark Thrift Server would expose these over JDBC).
+    */
+  def registerViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tables = Map(
+      "customer_metrics" -> customerMetrics,
+      "product_metrics" -> productMetrics,
+      "daily_sales" -> dailySales,
+      "monthly_trends" -> monthlyTrends,
+      "customer_acquisition" -> customerAcquisition,
+      "campaign_attribution" -> campaignAttribution,
+      "executive_summary" -> executiveSummary,
+      "top_products" -> topProducts,
+      "customer_segmentation" -> customerSegmentation,
+      "seasonal_performance" -> seasonalPerformance,
+      "acquisition_summary" -> acquisitionSummary)
+    tables.foreach { case (name, df) =>
+      df.createOrReplaceTempView(s"public_$name")
+    }
+  }
+
   def executiveSummary: DataFrame =
     AnalyticsJob.executiveSummary(customerMetrics, productMetrics, dailySales)
   def topProducts: DataFrame = AnalyticsJob.topProducts(productMetrics)

@@ -32,16 +32,8 @@ class DedupSpec extends AnyFunSuite {
       (3L, "the quick brown fox jumps over the lazy dog near the river bend today"),
       (4L, "completely different words about spark catalyst optimizer internals")
     ).toDF("doc_id", "text")
-    df.createOrReplaceTempView("documents_simhash_test")
-
-    val hashes = transform(array_distinct(tokens($"text")), tk => xxhash64(tk))
-    val simhash = (0 until 64).map { b =>
-      val mask = lit(1L << b)
-      val ones = size(filter($"hs", h => h.bitwiseAND(mask) =!= 0))
-      when(ones * 2 >= size($"hs"), mask).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = df.select($"doc_id", hashes.as("hs"))
-      .select($"doc_id", simhash.as("sh"))
+    val sigs = df
+      .select($"doc_id", graft.functions.SimHash64.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
 
     assert(sigs(1L) == sigs(2L))
