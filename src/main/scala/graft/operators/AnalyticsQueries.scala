@@ -185,6 +185,32 @@ object AnalyticsQueries {
         CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                    / count(DISTINCT p_partkey)) AS BIGINT) AS units_per_part
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ------------------------------------------------------------------
+    // q44: ROLLUP hierarchy totals (SURVEY §2.4 notes the reference has
+    // no grouping sets — Spark gives them for free; exposed so a
+    // reference user gains subtotal queries without extra code). NULL
+    // subtotal markers coalesced to sentinels on both engines.
+    Q("q44_rollup",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("y"),
+            col("o_orderpriority").as("prio"),
+            dec(col("o_totalprice")).as("price"))
+          .rollup(col("y"), col("prio"))
+          .agg(count(lit(1)).as("n"), dbl(sum(col("price"))).as("revenue"))
+          .select(coalesce(col("y"), lit(-1)).as("y"),
+            coalesce(col("prio"), lit("ALL")).as("prio"),
+            col("n"), col("revenue"))
+          .orderBy(col("y"), col("prio")),
+      Some("""SELECT coalesce(y, -1) AS y, coalesce(prio, 'ALL') AS prio,
+               CAST(n AS BIGINT) AS n, revenue
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+                 o_orderpriority AS prio, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY ROLLUP (y, prio))
+        ORDER BY y, prio"""))
   )
 }
