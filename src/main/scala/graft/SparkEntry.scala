@@ -15,7 +15,8 @@ object SparkEntry {
       operators.AnalyticsQueries.all ++
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
-      operators.VectorQueries.all
+      operators.VectorQueries.all ++
+      operators.DataSplit.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
