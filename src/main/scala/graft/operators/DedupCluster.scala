@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from LSH/Jaccard) →
+  * connected components → one canonical keeper per component (min id).
+  *
+  * Label propagation over DataFrames: every node repeatedly adopts the
+  * minimum label among itself and its neighbors; converges in
+  * O(component diameter) iterations — dup clusters are shallow (stars /
+  * short chains), so the loop is short in practice and `maxIter` bounds
+  * pathological chains. Each iteration is one join + one aggregation
+  * (all shuffle-partitioned by node id); nothing is collected to the
+  * driver.
+  */
+object DedupCluster {
+
+  /** @param pairs columns (a_id, b_id) — undirected near-dup edges
+    * @return (id, canonical_id) for every node that appears in a pair
+    */
+  def resolve(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels ∪ own label → min per node
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+        Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
+  /** Keep-one-per-cluster view: every doc with its keeper; docs in no
+    * pair keep themselves.
+    */
+  def keepers(allIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val resolved = resolve(pairs)
+    allIds.join(resolved, allIds(allIds.columns.head) === resolved("id"),
+      "left")
+      .select(allIds(allIds.columns.head).as("id"),
+        coalesce(col("canonical_id"), allIds(allIds.columns.head))
+          .as("canonical_id"))
+  }
+}

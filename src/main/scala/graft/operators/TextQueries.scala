@@ -157,6 +157,27 @@ object TextQueries {
       Some("""SELECT md5(text) AS content_hash,
         CAST(min(doc_id) AS BIGINT) AS keep_id,
         CAST(count(*) AS BIGINT) AS n_copies
-        FROM documents GROUP BY md5(text) ORDER BY content_hash"""))
+        FROM documents GROUP BY md5(text) ORDER BY content_hash""")),
+
+    // ------------------------------------------------------------------
+    // q47: token counting two ways — whitespace and a BPE-ish regex
+    // (word / number / punctuation runs with optional leading space,
+    // the GPT-2 pre-tokenizer shape, ASCII-simplified so Java regex and
+    // RE2 agree). Cost estimation for training pipelines.
+    Q("q47_token_regex",
+      (s, dir) => {
+        val bpe = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            tokenCount(col("text")).as("n_ws_tokens"),
+            regexp_count(col("text"), lit(bpe)).cast("int")
+              .as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id"""))
   )
 }

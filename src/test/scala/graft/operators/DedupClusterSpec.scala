@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chains, stars, and singletons resolve to component minima") {
+    // components: {1,2,3,4} chain, {10,11,12} star on 10, {20,21} pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val got = DedupCluster.resolve(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepers: unpaired docs keep themselves") {
+    val all = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val got = DedupCluster.keepers(all, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 99L -> 99L))
+  }
+
+  test("end-to-end: LSH pairs from the corpus cluster cleanly") {
+    val lsh = DedupQueries.all.find(_.name == "q36_minhash_lsh_pairs").get
+      .run(spark, "/root/testdata/sf0.001")
+      .filter($"jaccard" >= 0.8)
+      .select($"a_id", $"b_id")
+    val resolved = DedupCluster.resolve(lsh).as[(Long, Long)].collect()
+    assert(resolved.nonEmpty)
+    // canonical ids are component minima: every canonical is ≤ its member
+    resolved.foreach { case (id, c) => assert(c <= id) }
+    // and canonicals are themselves mapped to themselves
+    val m = resolved.toMap
+    m.values.toSet.foreach((c: Long) => assert(m(c) == c))
+  }
+}
