@@ -139,9 +139,29 @@ object EventStream {
       }
   }
 
+  /** Production-shaped sink: `foreachBatch` appending each micro-batch
+    * to partitioned parquet with a checkpoint — restart-safe (the batch
+    * id dedupes replays) and the natural place for per-batch side
+    * effects (DQ counters, metrics). Blocks until the source drains.
+    */
+  def runToParquet(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val q = transform(read(spark, srcDir))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory table and
     * block until the source is drained (the local test/verify harness;
-    * a production run would use a parquet/Delta sink + checkpoint).
+    * a production run would use runToParquet).
     */
   def runToMemory(spark: SparkSession, srcDir: String, name: String,
       transform: DataFrame => DataFrame): DataFrame = {

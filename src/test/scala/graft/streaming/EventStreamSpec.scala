@@ -69,6 +69,16 @@ class EventStreamSpec extends AnyFunSuite {
       s"stateful emitted sessions not in batch oracle: ${(sRows -- bRows).take(3)}")
   }
 
+  test("foreachBatch parquet sink: checkpointed append lands every closed window") {
+    val out = Files.createTempDirectory("graft_fes").toString
+    EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt",
+      df => EventStream.windowedCounts(df))
+    val landed = spark.read.parquet(s"$out/data")
+    val emitted = EventStream.runToMemory(spark, srcDir, "fes_mem",
+      df => EventStream.windowedCounts(df))
+    assert(landed.count() == emitted.count())
+  }
+
   test("sessionization: gap-based session windows per user") {
     val sessions = EventStream.runToMemory(spark, srcDir, "sessions",
       df => EventStream.sessionize(df, gap = "30 minutes"))
