@@ -132,6 +132,82 @@ object DedupQueries {
     // q37: SimHash 64-bit signatures: per bit, majority vote of the
     // token-hash bits (weight +1/-1), packed to a long. Near-dups have
     // small Hamming distance (bit_count(a XOR b)).
+    Q("q48_minhash_lsh_oracle",
+      (s, dir) => {
+        // The SAME banded-LSH dataflow as q36, but with md5-string
+        // min-hashing (lexicographic min of hex digests is a valid
+        // min-hash) — every step expressible in ANSI-ish SQL, so the
+        // whole candidate-generation pipeline is DuckDB-oracle-checked,
+        // not just its verified output. q36 (xxhash64 + fused
+        // expression) stays the production/bench path.
+        val nh = 32
+        val nb = 8
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+        val sig = transform(sequence(lit(0), lit(nh - 1)),
+          i => array_min(transform(col("sh"),
+            x => md5(concat(i.cast("string"), lit("#"), x).cast("binary")))))
+        val banded = docs
+          .select(col("doc_id"), sig.as("sig"))
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), lit(nb - 1)),
+              b => struct(b.as("band"),
+                md5(concat_ws("", slice(col("sig"), b * (nh / nb) + 1,
+                  lit(nh / nb))).cast("binary")).as("bucket")))).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"),
+            col("bb.bucket").as("bucket"))
+        val cand = banded.select(col("band"), col("bucket"),
+          col("doc_id").as("a_id"))
+          .join(banded.select(col("band"), col("bucket"),
+            col("doc_id").as("b_id")), Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+        val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+        cand
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            Seq("a_id"))
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (inter.cast("double") / uni).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 1, 1)),
+                   i -> array_to_string(list_slice(
+                          string_split_regex(lower(trim(text)), '\s+'), i, i + 2), ' ')))
+                   AS s
+          FROM documents),
+        sig AS (
+          SELECT doc_id, s,
+                 list_transform(range(0, 32),
+                   i -> list_aggregate(list_transform(s,
+                          x -> md5(i::VARCHAR || '#' || x)), 'min')) AS sg
+          FROM sh),
+        banded AS (
+          SELECT doc_id, u.b AS band,
+                 md5(array_to_string(list_slice(sg, u.b*4+1, u.b*4+4), '')) AS bucket
+          FROM sig, (SELECT unnest(range(0, 8)) AS b) u),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = a_id
+        JOIN sh sb ON sb.doc_id = b_id
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+        ORDER BY a_id, b_id""")),
+
+    // ------------------------------------------------------------------
     Q("q37_simhash",
       (s, dir) =>
         t(s, dir, "documents")
