@@ -22,7 +22,11 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign planner warnings (e.g. WindowExec's
+    // single-partition notice on deliberately-global post-aggregation
+    // windows) otherwise flood stderr around the one-line JSON contract
+    // output of Bench/Verify.
+    spark.sparkContext.setLogLevel("ERROR")
     spark
   }
 }

@@ -28,7 +28,10 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "shingles"
 
   def compute(input: UTF8String): ArrayData = {
-    val toks = input.toString.toLowerCase.trim.split("\\s+")
+    // UTF8String.toLowerCase = Spark's own lower(): locale-independent,
+    // unlike String.toLowerCase which follows the JVM default locale
+    // (Turkish-I etc. would desync results from the DuckDB oracle).
+    val toks = input.toLowerCase.toString.trim.split("\\s+")
     if (toks.length < k) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
     var i = 0

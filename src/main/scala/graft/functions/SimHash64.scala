@@ -24,7 +24,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   def compute(input: UTF8String): Long = {
-    val toks = input.toString.toLowerCase.trim.split("\\s+").distinct
+    // UTF8String.toLowerCase = Spark's lower(): locale-independent (the
+    // JVM-default-locale String.toLowerCase would be machine-dependent).
+    val toks = input.toLowerCase.toString.trim.split("\\s+").distinct
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

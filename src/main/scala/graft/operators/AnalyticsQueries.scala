@@ -16,8 +16,13 @@ import org.apache.spark.sql.expressions.Window
 object AnalyticsQueries {
   import Cols._
 
-  /** Deterministic stand-in for CURRENT_DATE (data ends 2001-08-01). */
-  val AsOf = "2001-09-01"
+  /** Deterministic stand-in for CURRENT_DATE (g11). Chosen so the
+    * reference's 365/180/90 churn ladder (analytics_dag.py:59-64) hits
+    * three distinct branches against the orders date range (1992-01 ..
+    * 1998-08-02): >365 → 0.9, 180-365 → 0.7, ≤180 → ELSE 0.1, plus the
+    * never-ordered NULL → ELSE 0.1 path (g7).
+    */
+  val AsOf = "1998-12-31"
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
@@ -91,15 +96,18 @@ object AnalyticsQueries {
             dbl(coalesce(sum(dec(col("o_totalprice"))), lit(0))).as("total_spent"),
             date_format(min(od), "yyyy-MM-dd").as("first_order_date"),
             date_format(max(od), "yyyy-MM-dd").as("last_order_date"),
-            datediff(asOf, max(od)).as("days_since_last_order"))
+            // reference: COALESCE(CURRENT_DATE - MAX(full_date), 0)
+            coalesce(datediff(asOf, max(od)), lit(0)).as("days_since_last_order"))
           .withColumn("avg_order_value",
             when(col("total_orders") > 0, col("total_spent") / col("total_orders"))
               .otherwise(lit(0.0)))
+          // reference ladder (analytics_dag.py:59-64); never-ordered
+          // customers carry days=0 → ELSE 0.1, same landing spot as the
+          // reference's NULL → ELSE (g7)
           .withColumn("churn_risk_score",
-            when(col("days_since_last_order") > 180, 0.9)
-              .when(col("days_since_last_order") > 90, 0.7)
-              .when(col("days_since_last_order") > 60, 0.5)
-              .when(col("days_since_last_order") > 30, 0.3)
+            when(col("days_since_last_order") > 365, 0.9)
+              .when(col("days_since_last_order") > 180, 0.7)
+              .when(col("days_since_last_order") > 90, 0.4)
               .otherwise(0.1))
           .orderBy(col("c_custkey"))
       },
@@ -108,14 +116,13 @@ object AnalyticsQueries {
         CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent,
         strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date,
         strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
-        CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') AS INTEGER) AS days_since_last_order,
+        CAST(coalesce(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf'), 0) AS INTEGER) AS days_since_last_order,
         CASE WHEN count(o_orderkey) > 0
              THEN CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) / count(o_orderkey)
              ELSE 0.0 END AS avg_order_value,
-        CASE WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 180 THEN 0.9
-             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 90 THEN 0.7
-             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 60 THEN 0.5
-             WHEN date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf') > 30 THEN 0.3
+        CASE WHEN coalesce(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf'), 0) > 365 THEN 0.9
+             WHEN coalesce(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf'), 0) > 180 THEN 0.7
+             WHEN coalesce(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '$AsOf'), 0) > 90 THEN 0.4
              ELSE 0.1 END AS churn_risk_score
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""")),
@@ -130,7 +137,10 @@ object AnalyticsQueries {
           .groupBy(col("o_custkey").as("c_custkey"))
           .agg(min(col("o_orderdate").cast("date")).as("first_od"))
         val days = datediff(col("first_od"), lit("1995-01-01").cast("date"))
-        val bucket = when(col("first_od").isNull, "Never")
+        // reference ladder as-written (analytics_dag.py:261-268): NULL →
+        // 'No Purchase' first, then the <=1 'Same Day' rung
+        val bucket = when(col("first_od").isNull, "No Purchase")
+          .when(days <= 1, "Same Day")
           .when(days <= 7, "Within Week")
           .when(days <= 30, "Within Month")
           .otherwise("After Month")
@@ -150,7 +160,8 @@ object AnalyticsQueries {
           SELECT o_custkey AS c_custkey, CAST(min(o_orderdate) AS DATE) AS first_od
           FROM orders GROUP BY o_custkey),
         labeled AS (
-          SELECT CASE WHEN first_od IS NULL THEN 'Never'
+          SELECT CASE WHEN first_od IS NULL THEN 'No Purchase'
+                      WHEN date_diff('day', DATE '1995-01-01', first_od) <= 1 THEN 'Same Day'
                       WHEN date_diff('day', DATE '1995-01-01', first_od) <= 7 THEN 'Within Week'
                       WHEN date_diff('day', DATE '1995-01-01', first_od) <= 30 THEN 'Within Month'
                       ELSE 'After Month' END AS bucket,

@@ -39,13 +39,15 @@ object AnalyticsJob {
         when(col("total_orders") > 0,
           round(col("total_spent") / col("total_orders"), 2))
           .otherwise(lit(0)))
+      // Reference coalesces the published column to 0 but feeds the RAW
+      // (nullable) difference into the churn CASE (analytics_dag.py:57-64);
+      // both routes land never-ordered customers in ELSE 0.1 (g7).
       .withColumn("days_since_last_order",
-        datediff(asOf, col("last_order_date")))
-      .withColumn("churn_risk_score", // g7: NULL days → ELSE 0.1
-        when(col("days_since_last_order") > 180, 0.9)
-          .when(col("days_since_last_order") > 90, 0.7)
-          .when(col("days_since_last_order") > 60, 0.5)
-          .when(col("days_since_last_order") > 30, 0.3)
+        coalesce(datediff(asOf, col("last_order_date")), lit(0)))
+      .withColumn("churn_risk_score", // g7: NULL/0 days → ELSE 0.1
+        when(col("days_since_last_order") > 365, 0.9)
+          .when(col("days_since_last_order") > 180, 0.7)
+          .when(col("days_since_last_order") > 90, 0.4)
           .otherwise(0.1))
   }
 
@@ -82,21 +84,24 @@ object AnalyticsJob {
       .drop("total_stock")
   }
 
-  /** daily_sales (analytics_dag.py:144-167). */
+  /** daily_sales (analytics_dag.py:150-164): the reference's exact
+    * column set — COUNT(order_id) (not DISTINCT; fact_orders is
+    * one-row-per-order so the values agree, the as-written form is
+    * kept), SUM(profit_amount), AVG as-is, and the hardcoded
+    * `0 as new_customers` ("Simplified for now", :161).
+    */
   def dailySales(factOrders: DataFrame, dimTime: DataFrame): DataFrame =
     factOrders
       .join(broadcast(dimTime.select(col("time_key").as("order_date_key"),
         col("full_date"))), Seq("order_date_key"), "inner")
       .groupBy(col("full_date").as("sales_date"))
       .agg(
-        countDistinct(col("order_id")).as("total_orders"),
-        countDistinct(col("customer_key")).as("unique_customers"),
+        count(col("order_id")).as("total_orders"),
         sum(col("total_amount")).as("total_revenue"),
-        sum(col("discount_amount")).as("total_discounts"),
-        sum(col("shipping_cost")).as("total_shipping"),
-        sum(col("tax_amount")).as("total_tax"))
-      .withColumn("avg_order_value",
-        round(col("total_revenue") / col("total_orders"), 2))
+        sum(col("profit_amount")).as("total_profit"),
+        avg(col("total_amount")).as("avg_order_value"),
+        countDistinct(col("customer_key")).as("unique_customers"))
+      .withColumn("new_customers", lit(0L))
 
   /** monthly_trends (analytics_dag.py:185-213). */
   def monthlyTrends(factOrders: DataFrame, dimTime: DataFrame): DataFrame =
@@ -132,11 +137,14 @@ object AnalyticsJob {
       .join(firstOrder, Seq("customer_key"), "left")
       .withColumn("days_to_first_purchase",
         datediff(col("first_order_date"), col("registration_date")))
-      .withColumn("acquisition_speed",
-        when(col("days_to_first_purchase") <= 7, "Within Week")
+      // Reference bucket ladder as-written (analytics_dag.py:261-268):
+      // NULL first, then <=1 'Same Day' before the week/month rungs.
+      .withColumn("acquisition_category",
+        when(col("first_order_date").isNull, "No Purchase")
+          .when(col("days_to_first_purchase") <= 1, "Same Day")
+          .when(col("days_to_first_purchase") <= 7, "Within Week")
           .when(col("days_to_first_purchase") <= 30, "Within Month")
-          .when(col("days_to_first_purchase").isNotNull, "After Month")
-          .otherwise("Never Purchased"))
+          .otherwise("After Month"))
   }
 
   /** campaign_attribution (analytics_dag.py:290-320): the J7 range join
@@ -216,23 +224,24 @@ object AnalyticsJob {
       .orderBy(col("month"))
 
   /** acquisition_summary (:402-420): W2 percent-of-whole + O2 custom
-    * bucket ordering.
+    * bucket ordering (Same Day → … → No Purchase, as-written).
     */
   def acquisitionSummary(customerAcquisition: DataFrame): DataFrame = {
     val counts = customerAcquisition
-      .groupBy(col("acquisition_speed"))
+      .groupBy(col("acquisition_category"))
       .agg(
         count(lit(1)).as("customer_count"),
-        round(avg(col("days_to_first_purchase")), 1).as("avg_days"),
-        round(avg(col("first_order_value")), 2).as("avg_first_order_value"))
+        avg(col("days_to_first_purchase")).as("avg_days_to_purchase"),
+        avg(col("first_order_value")).as("avg_first_order_value"))
     counts
-      .withColumn("pct_of_customers",
+      .withColumn("percentage",
         round(col("customer_count") * lit(100.0) /
           sum(col("customer_count")).over(Window.partitionBy()), 2))
       .orderBy(
-        when(col("acquisition_speed") === "Within Week", 1)
-          .when(col("acquisition_speed") === "Within Month", 2)
-          .when(col("acquisition_speed") === "After Month", 3)
-          .otherwise(4))
+        when(col("acquisition_category") === "Same Day", 1)
+          .when(col("acquisition_category") === "Within Week", 2)
+          .when(col("acquisition_category") === "Within Month", 3)
+          .when(col("acquisition_category") === "After Month", 4)
+          .otherwise(5))
   }
 }

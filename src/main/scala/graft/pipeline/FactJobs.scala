@@ -19,12 +19,15 @@ object FactJobs {
   private def timeKey(d: Column): Column =
     date_format(d, "yyyyMMdd").cast("int")
 
-  /** fact_orders (warehouse_dag.py:202-227). `total_items = 1` is the
-    * reference's hardcoded constant — replicated, not fixed (§2.8 g9).
+  /** fact_orders (warehouse_dag.py:195-227): money columns COALESCEd to
+    * 0 as-written (:218-220), `profit_amount = total - tax - shipping`
+    * (the reference's "simple profit calculation", :223), and the
+    * hardcoded `total_items = 1` — replicated, not fixed (§2.8 g9).
     */
   def factOrders(orders: DataFrame, dimCustomers: DataFrame): DataFrame = {
     val cur = dimCustomers.filter(col("is_current"))
       .select(col("customer_id"), col("customer_key"))
+    val zero = lit(0).cast("decimal(12,2)")
     orders.join(broadcast(cur), Seq("customer_id"), "inner")
       .select(
         col("order_id"),
@@ -33,10 +36,12 @@ object FactJobs {
         col("order_status"),
         col("payment_method"),
         col("subtotal"),
-        col("discount_amount"),
-        col("shipping_cost"),
-        col("tax_amount"),
+        coalesce(col("discount_amount"), zero).as("discount_amount"),
+        coalesce(col("shipping_cost"), zero).as("shipping_cost"),
+        coalesce(col("tax_amount"), zero).as("tax_amount"),
         col("total_amount"),
+        (col("total_amount") - coalesce(col("tax_amount"), zero)
+          - coalesce(col("shipping_cost"), zero)).as("profit_amount"),
         lit(1).as("total_items"),
         col("order_date"))
   }

@@ -26,11 +26,18 @@ object Scd2 {
 
   val MetaCols: Seq[String] = Seq("effective_date", "expiry_date", "is_current")
 
+  /** Open-row expiry sentinel, matching the reference's
+    * `'9999-12-31'::date` (warehouse_dag.py:69) — current rows carry a
+    * far-future date, not NULL, so BETWEEN-style as-of lookups need no
+    * null handling.
+    */
+  val OpenExpiry: Column = lit("9999-12-31").cast("date")
+
   /** First load: everything becomes current as of `asOf`. */
   def initial(staged: DataFrame, asOf: Column): DataFrame =
     staged
       .withColumn("effective_date", asOf.cast("date"))
-      .withColumn("expiry_date", lit(null).cast("date"))
+      .withColumn("expiry_date", OpenExpiry)
       .withColumn("is_current", lit(true))
 
   /** One SCD2 merge step.
@@ -44,6 +51,9 @@ object Scd2 {
     */
   def merge(dim: DataFrame, staged: DataFrame, keyCol: String,
       tracked: Seq[String], asOf: Column): DataFrame = {
+    require(tracked.nonEmpty,
+      "Scd2.merge needs at least one tracked column (an empty list would " +
+        "mean no change can ever open a version)")
     val businessCols = dim.columns.filterNot(MetaCols.contains).toSeq
     val current = dim.filter(col("is_current"))
     val history = dim.filter(!col("is_current"))
@@ -75,7 +85,7 @@ object Scd2 {
     val opened = stagedK
       .join(openKeys, Seq(keyCol), "left_semi")
       .withColumn("effective_date", asOf.cast("date"))
-      .withColumn("expiry_date", lit(null).cast("date"))
+      .withColumn("expiry_date", OpenExpiry)
       .withColumn("is_current", lit(true))
 
     val metaSelect = (businessCols ++ MetaCols).map(col)

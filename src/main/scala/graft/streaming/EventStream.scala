@@ -139,10 +139,17 @@ object EventStream {
       }
   }
 
-  /** Production-shaped sink: `foreachBatch` appending each micro-batch
-    * to partitioned parquet with a checkpoint — restart-safe (the batch
-    * id dedupes replays) and the natural place for per-batch side
-    * effects (DQ counters, metrics). Blocks until the source drains.
+  /** Production-shaped sink: `foreachBatch` writing each micro-batch to
+    * a deterministic `batch_id=<id>` subdirectory with OVERWRITE — the
+    * write is idempotent per batch id, so when Structured Streaming
+    * replays the last uncommitted micro-batch after a crash/restart the
+    * replay lands on the same path instead of appending duplicates
+    * (exactly-once output on top of the checkpoint's at-least-once
+    * redelivery). Also the natural place for per-batch side effects
+    * (DQ counters, metrics). Blocks until the source drains.
+    *
+    * Read the sink back with [[readSink]] (the `batch_id=` layout is a
+    * partition column readers usually don't want).
     */
   def runToParquet(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String,
@@ -152,12 +159,18 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Read a [[runToParquet]] sink directory, dropping the `batch_id`
+    * partition-discovery column.
+    */
+  def readSink(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch_id")
 
   /** Run a streaming query over `srcDir` into an in-memory table and
     * block until the source is drained (the local test/verify harness;

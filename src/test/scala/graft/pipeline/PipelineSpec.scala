@@ -67,6 +67,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(zero.filter($"churn_risk_score" =!= 0.1).count() == 0)
     assert(zero.filter($"total_spent" =!= 0).count() == 0)
     assert(cm.filter($"churn_risk_score".isNull).count() == 0)
+    // reference score set only (365/180/90 ladder, analytics_dag.py:59-64)
+    assert(cm.filter(!$"churn_risk_score".isin(0.9, 0.7, 0.4, 0.1))
+      .count() == 0)
+    assert(cm.filter($"days_since_last_order".isNull).count() == 0)
+  }
+
+  test("daily_sales carries the reference column set (profit, new_customers=0)") {
+    val ds = result.dailySales
+    assert(ds.columns.toSet == Set("sales_date", "total_orders",
+      "total_revenue", "total_profit", "avg_order_value",
+      "unique_customers", "new_customers"))
+    assert(ds.filter($"new_customers" =!= 0).count() == 0)
   }
 
   test("daily_sales totals reconcile with fact_orders") {
@@ -80,7 +92,12 @@ class PipelineSpec extends AnyFunSuite {
   test("acquisition buckets partition all current customers") {
     val a = result.customerAcquisition
     assert(a.count() == result.dimCustomers.filter($"is_current").count())
-    assert(a.filter($"acquisition_speed".isNull).count() == 0)
+    assert(a.filter($"acquisition_category".isNull).count() == 0)
+    // reference ladder labels only (analytics_dag.py:261-268)
+    val labels = a.select($"acquisition_category").distinct()
+      .as[String].collect().toSet
+    assert(labels.subsetOf(Set("No Purchase", "Same Day", "Within Week",
+      "Within Month", "After Month")))
   }
 
   test("campaign attribution: one row per campaign, ROI guarded") {
@@ -101,7 +118,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(tp.map(_.getAs[Int]("revenue_rank")).toSeq.sorted
       == tp.map(_.getAs[Int]("revenue_rank")).toSeq)
     val shares = result.acquisitionSummary
-      .agg(sum($"pct_of_customers")).as[Double].head()
+      .agg(sum($"percentage")).as[Double].head()
     assert(math.abs(shares - 100.0) < 0.1)
   }
 

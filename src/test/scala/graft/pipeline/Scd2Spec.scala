@@ -19,7 +19,16 @@ class Scd2Spec extends AnyFunSuite {
     val r = dim.collect().head
     assert(r.getAs[Boolean]("is_current"))
     assert(r.getAs[java.sql.Date]("effective_date").toString == "2025-01-01")
-    assert(r.getAs[java.sql.Date]("expiry_date") == null)
+    // reference sentinel, warehouse_dag.py:69
+    assert(r.getAs[java.sql.Date]("expiry_date").toString == "9999-12-31")
+  }
+
+  test("merge with an empty tracked list is rejected") {
+    val dim = Scd2.initial(batch(("C1", "Dhaka", "Premium")), asOf1)
+    assertThrows[IllegalArgumentException] {
+      Scd2.merge(dim, batch(("C1", "Dhaka", "Premium")),
+        "customer_id", Seq.empty, asOf2)
+    }
   }
 
   test("changed row closes old version and opens a new one") {

@@ -69,14 +69,29 @@ class EventStreamSpec extends AnyFunSuite {
       s"stateful emitted sessions not in batch oracle: ${(sRows -- bRows).take(3)}")
   }
 
-  test("foreachBatch parquet sink: checkpointed append lands every closed window") {
+  test("foreachBatch parquet sink: checkpointed write lands every closed window") {
     val out = Files.createTempDirectory("graft_fes").toString
     EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt",
       df => EventStream.windowedCounts(df))
-    val landed = spark.read.parquet(s"$out/data")
+    val landed = EventStream.readSink(spark, s"$out/data")
     val emitted = EventStream.runToMemory(spark, srcDir, "fes_mem",
       df => EventStream.windowedCounts(df))
     assert(landed.count() == emitted.count())
+  }
+
+  test("foreachBatch parquet sink is idempotent on batch replay") {
+    val out = Files.createTempDirectory("graft_fes_replay").toString
+    EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt1",
+      df => EventStream.windowedCounts(df))
+    val first = EventStream.readSink(spark, s"$out/data").count()
+    // Fresh checkpoint + same source ⇒ Structured Streaming re-delivers
+    // every micro-batch (the worst-case replay). The batchId-keyed
+    // overwrite must land on the same paths, not append duplicates.
+    EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt2",
+      df => EventStream.windowedCounts(df))
+    val second = EventStream.readSink(spark, s"$out/data").count()
+    assert(first > 0)
+    assert(second == first, s"replay duplicated rows: $first -> $second")
   }
 
   test("sessionization: gap-based session windows per user") {
