@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorFunctions._
+import graft.functions.CosineSim.cosineFused
+import graft.functions.HyperplaneBucket.hyperplaneBucketFused
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -10,9 +12,11 @@ import org.apache.spark.sql.expressions.Window
   * 64-dim). Brute-force cosine top-k is the exact baseline (and the
   * within-bucket kernel at scale); hyperplane-LSH bucketing is the
   * approximate scale path that replaces the O(n·q) cross join with a
-  * bucket-key shuffle. All vector math is higher-order functions with a
-  * sequential left fold — deterministic and identical to the
-  * single-threaded oracle.
+  * bucket-key shuffle. Vector math uses the fused codegen expressions
+  * ([[graft.functions.CosineSim]] / [[graft.functions.HyperplaneBucket]])
+  * — bit-identical to the declarative HOF left-fold forms in
+  * [[graft.functions.VectorFunctions]] (FunctionsSpec asserts it) but
+  * inside whole-stage codegen instead of interpreted lambdas.
   */
 object VectorQueries {
 
@@ -50,7 +54,7 @@ object VectorQueries {
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val cos = cosine(col("q_vec"), col("embedding"))
+        val cos = cosineFused(col("q_vec"), col("embedding"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
         emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -82,7 +86,7 @@ object VectorQueries {
         val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            cosine(col("a_vec"), col("b_vec")).as("cos_sim"))
+            cosineFused(col("a_vec"), col("b_vec")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
           .orderBy(col("a_id"), col("b_id"))
       },
@@ -117,7 +121,7 @@ object VectorQueries {
         val assigned = emb
           .crossJoin(broadcast(centroids))
           .select(col("vec_id"), col("embedding"),
-            cosine(col("embedding"), col("c_vec")).as("c_cos"), col("cell"))
+            cosineFused(col("embedding"), col("c_vec")).as("c_cos"), col("cell"))
           .groupBy(col("vec_id"))
           .agg(max(struct(col("c_cos"), col("cell"))).as("best"))
           .select(col("vec_id"), col("best.cell").as("cell"))
@@ -129,7 +133,7 @@ object VectorQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
           .crossJoin(broadcast(centroids))
           .select(col("q_id"), col("q_vec"),
-            cosine(col("q_vec"), col("c_vec")).as("qc_cos"), col("cell"))
+            cosineFused(col("q_vec"), col("c_vec")).as("qc_cos"), col("cell"))
           .withColumn("cell_rank", row_number().over(qwin))
           .filter(col("cell_rank") <= 3)
           .select(col("q_id"), col("q_vec"), col("cell"))
@@ -139,7 +143,7 @@ object VectorQueries {
         assigned.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .orderBy(col("q_id"), col("rnk"))
@@ -150,7 +154,7 @@ object VectorQueries {
     Q("q41_lsh_ann",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-          .withColumn("bucket", hyperplaneBucket(col("embedding"), 8, seed = 42))
+          .withColumn("bucket", hyperplaneBucketFused(col("embedding"), 8, seed = 42))
         val queries = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("bucket"))
@@ -159,7 +163,7 @@ object VectorQueries {
         emb.join(broadcast(queries), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            cosine(col("q_vec"), col("embedding")).as("cos_sim"))
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .orderBy(col("q_id"), col("rnk"))

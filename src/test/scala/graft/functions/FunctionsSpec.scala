@@ -73,6 +73,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(q(0) > q(1))
   }
 
+  test("fused CosineSim is bit-identical to the declarative HOF cosine") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = emb.select($"vec_id", $"embedding")
+      .crossJoin(emb.filter($"vec_id" < 5)
+        .select($"embedding".as("q_vec")))
+    val both = pairs.select(
+      CosineSim.cosineFused($"q_vec", $"embedding").as("fused"),
+      cosine($"q_vec", $"embedding").as("hof"))
+    // bitwise equality, not epsilon: the oracle hash-compare needs it
+    val diff = both.filter(!($"fused" <=> $"hof")).count()
+    assert(diff == 0)
+  }
+
+  test("fused HyperplaneBucket equals the declarative HOF bucket") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = emb.select(
+      HyperplaneBucket.hyperplaneBucketFused($"embedding", 8, 42).as("fused"),
+      hyperplaneBucket($"embedding", 8, 42).as("hof"))
+    assert(both.filter($"fused" =!= $"hof").count() == 0)
+  }
+
   test("cosine: identity, orthogonality, symmetry") {
     val df = Seq(
       (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
