@@ -16,7 +16,8 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.DedupQueries.all ++
       operators.VectorQueries.all ++
-      operators.DataSplit.all
+      operators.DataSplit.all ++
+      operators.TrainingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,298 @@
+package graft.operators
+
+import graft.{Cols, Q, Tables}
+import graft.functions.Shingles.shingles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline and analytics operators beyond the reference's
+  * own surface (round-2 additions): as-of join, benchmark
+  * decontamination, repetition-quality signals, pivot, exact
+  * percentiles, corpus top-words, and a portable SimHash oracle twin.
+  * Every query here is DuckDB-oracle-checked.
+  */
+object TrainingQueries {
+  import Cols._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Lowercased whitespace tokens — the split convention every text
+    * operator (and its DuckDB oracle `string_split_regex(lower(trim(
+    * text)), '\s+')`) shares.
+    */
+  private def toks(text: org.apache.spark.sql.Column) =
+    split(lower(trim(text)), "\\s+")
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q49: AS-OF JOIN (trades×quotes shape): for each 'purchase' event,
+    // the same user's latest OTHER event at-or-before it. The Spark
+    // plan is the scale-correct single-shuffle form — union both
+    // streams, one window per user ordered by (ts, kind, event_id),
+    // last(ignoreNulls) carries the most recent quote forward — instead
+    // of the O(events²/user) expansion join the SQL oracle uses.
+    // Ties: an event exactly at the purchase timestamp counts (kind
+    // sorts quotes first), and equal-ts quotes resolve to the max
+    // event_id — the oracle's ORDER BY ts DESC, event_id DESC.
+    Q("q49_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("kind"),
+            lit(null).cast("long").as("q_id"),
+            lit(null).cast("string").as("q_type"),
+            lit(null).cast("timestamp").as("q_ts"))
+        val quotes = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("kind"),
+            col("event_id").as("q_id"),
+            col("event_type").as("q_type"),
+            col("ts").as("q_ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(quotes)
+          .withColumn("prev_event_id", last(col("q_id"), ignoreNulls = true).over(w))
+          .withColumn("prev_event_type", last(col("q_type"), ignoreNulls = true).over(w))
+          .withColumn("prev_ts", last(col("q_ts"), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("prev_event_id"), col("prev_event_type"),
+            unix_micros(col("prev_ts")).as("prev_ts_us"),
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        q AS (
+          SELECT event_id, user_id, event_type, ts FROM events
+          WHERE event_type <> 'purchase'),
+        j AS (
+          SELECT p.event_id AS pe, q.event_id AS qe, q.event_type AS qt,
+                 q.ts AS qts,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY q.ts DESC, q.event_id DESC) AS rn
+          FROM p JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts)
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               j.qe AS prev_event_id, j.qt AS prev_event_type,
+               epoch_us(j.qts) AS prev_ts_us,
+               epoch_us(p.ts) - epoch_us(j.qts) AS gap_us
+        FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.pe = p.event_id
+        ORDER BY p.event_id""")),
+
+    // ------------------------------------------------------------------
+    // q50: benchmark DECONTAMINATION — flag "train" documents sharing
+    // any distinct word-5-gram with the "eval" split (doc_id % 20 = 0
+    // stands in for a held-out benchmark). The standard n-gram-overlap
+    // contamination check for LLM corpora: explode shingles on both
+    // sides, equi-join on the shingle key (shuffle on n-gram — no doc×
+    // doc product), count shared shingles + distinct eval docs hit.
+    Q("q50_decontaminate",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        val train = sh.filter(col("doc_id") % 20 =!= 0)
+        val eval_ = sh.filter(col("doc_id") % 20 === 0)
+          .select(col("sh"), col("doc_id").as("eval_id"))
+        train.join(eval_, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS sh
+          FROM tk),
+        tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0)
+        SELECT tr.doc_id,
+               CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shared_shingles,
+               CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+        FROM tr JOIN ev ON tr.sh = ev.sh
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q51: REPETITION-quality signals (Gopher-style): per document, the
+    // duplicate-token fraction and the top-token share. Two-level
+    // aggregation (doc,token → doc), fully map-side-combinable — no
+    // per-doc array materialization at scale.
+    Q("q51_repetition",
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        tc.groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_distinct_tokens"),
+            max(col("n")).as("top_n"))
+          .select(col("doc_id"),
+            col("n_tokens"), col("n_distinct_tokens"),
+            (lit(1.0) - dbl(col("n_distinct_tokens")) / dbl(col("n_tokens")))
+              .as("repetition_ratio"),
+            (dbl(col("top_n")) / dbl(col("n_tokens"))).as("top_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tc AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 AS repetition_ratio,
+               CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 AS top_token_frac
+        FROM tc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q52: PIVOT — yearly revenue spread across order priorities as
+    // columns. Spark's relational pivot with an EXPLICIT value list (an
+    // implicit list needs a values-discovery pass and non-deterministic
+    // schema — never at scale); DuckDB mirrors it as conditional
+    // aggregation, which is also exactly what Spark plans the pivot as.
+    Q("q52_pivot_priority",
+      (s, dir) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("y"),
+            col("o_orderpriority").as("prio"),
+            dec(col("o_totalprice")).as("price"))
+          .groupBy(col("y"))
+          .pivot("prio", prios)
+          .agg(dbl(sum(col("price"))))
+          .select(col("y"),
+            col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+            col("3-MEDIUM").as("medium"),
+            col("4-NOT SPECIFIED").as("not_specified"),
+            col("5-LOW").as("low"))
+          .orderBy(col("y"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent,
+        CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS high,
+        CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS medium,
+        CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS not_specified,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS low
+        FROM orders GROUP BY y ORDER BY y""")),
+
+    // ------------------------------------------------------------------
+    // q53: exact PERCENTILES per group (linear interpolation — the
+    // quantile_cont definition both engines share). Exact percentile
+    // buffers per-group values, so it is the verification form; the
+    // 100 TB path is approx_percentile (t-digest style sketch, fixed
+    // memory, mergeable) — PercentileSpec bounds the sketch's error
+    // against this exact result.
+    Q("q53_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+              .as("ps"))
+          .select(col("l_returnflag"), col("n"),
+            col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+            col("ps")(2).as("p75"), col("ps")(3).as("p95"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        quantile_cont(l_extendedprice, 0.25) AS p25,
+        quantile_cont(l_extendedprice, 0.50) AS p50,
+        quantile_cont(l_extendedprice, 0.75) AS p75,
+        quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // q54: corpus TOP-WORDS with document frequency (the DF half of
+    // TF-IDF): explode → two-level agg → top-k by (count, word) — a
+    // TakeOrderedAndProject, never a global sort of the vocabulary.
+    Q("q54_top_words",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("doc_freq"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(50),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents)
+        SELECT tok, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 50""")),
+
+    // ------------------------------------------------------------------
+    // q55: SimHash ORACLE TWIN (the q48 trick applied to q37): the same
+    // distinct-token → 64-bit-hash → per-bit majority-vote pipeline,
+    // but hashing via md5 hex digits so every step is expressible in
+    // DuckDB. Bits are read straight from hex characters (digit value →
+    // shift/mask) — no platform-specific hex→int casts — and the packed
+    // signature is emitted as two 32-bit halves to stay inside signed
+    // BIGINT on both engines. q37 (fused XXH64 expression) remains the
+    // production/bench path; this twin makes the simhash DATAFLOW
+    // oracle-checked end-to-end, not just property-tested.
+    Q("q55_simhash_oracle",
+      (s, dir) => {
+        val bits = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(toks(col("text")))).as("tok"))
+          .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+          .select(col("doc_id"), col("h"),
+            explode(sequence(lit(0), lit(63))).as("b"))
+          // bit b (0 = LSB) of the first-16-hex-chars value: nibble at
+          // char position 16 - b/4, bit (b % 4) of its digit value
+          .withColumn("v",
+            expr("instr('0123456789abcdef', substring(h, 16 - b div 4, 1)) - 1"))
+          .withColumn("bit", expr("(v div cast(pow(2, b % 4) as int)) % 2"))
+        val votes = bits
+          .groupBy(col("doc_id"), col("b"))
+          .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
+        votes.groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("b") < 32 && col("vote") >= 0,
+              expr("cast(pow(2, b) as long)")).otherwise(0L)).as("sig_lo"),
+            sum(when(col("b") >= 32 && col("vote") >= 0,
+              expr("cast(pow(2, b - 32) as long)")).otherwise(0L)).as("sig_hi"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, u.b,
+                 ((strpos('0123456789abcdef', substr(h, 16 - (u.b // 4), 1)) - 1)
+                   // CAST(power(2, u.b % 4) AS INTEGER)) % 2 AS bit
+          FROM h, (SELECT unnest(range(0, 64)) AS b) u),
+        votes AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS vote
+          FROM bits GROUP BY doc_id, b)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN b < 32 AND vote >= 0
+                             THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_lo,
+               CAST(sum(CASE WHEN b >= 32 AND vote >= 0
+                             THEN CAST(power(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_hi
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-2 training-pipeline operators
+  * (q49-q55) — the DuckDB oracle checks value parity; these check the
+  * operators mean what they claim.
+  */
+class TrainingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("as-of join: every matched prev event is strictly resolvable and at-or-before") {
+    val r = q("q49_asof_join").cache()
+    assert(r.count() > 0)
+    // at-or-before: gap >= 0 whenever matched
+    assert(r.filter($"gap_us" < 0).count() == 0)
+    // the purchase itself is never its own match
+    assert(r.filter($"prev_event_id" === $"event_id").count() == 0)
+    // unmatched rows are all-null on the prev_* side
+    assert(r.filter($"prev_event_id".isNull && $"prev_ts_us".isNotNull)
+      .count() == 0)
+    // optimality: no other non-purchase event of the same user lies
+    // strictly between the chosen prev and the purchase
+    val ev = graft.Tables.load(spark, dir, "events")
+      .filter($"event_type" =!= "purchase")
+      .select($"user_id", unix_micros($"ts").as("e_us"), $"event_id".as("e_id"))
+    val matched = r.filter($"prev_event_id".isNotNull)
+    val better = matched.join(ev, Seq("user_id"))
+      .filter($"e_us" <= $"ts_us" &&
+        ($"e_us" > $"prev_ts_us" ||
+          ($"e_us" === $"prev_ts_us" && $"e_id" > $"prev_event_id")))
+    assert(better.count() == 0)
+    r.unpersist()
+  }
+
+  test("decontamination: flagged docs genuinely share a 5-gram with the eval split") {
+    val r = q("q50_decontaminate")
+    // every flagged doc is a train doc with positive overlap
+    assert(r.filter($"doc_id" % 20 === 0).count() == 0)
+    assert(r.filter($"n_shared_shingles" < 1 || $"n_eval_docs" < 1).count() == 0)
+  }
+
+  test("repetition signals are bounded and consistent") {
+    val r = q("q51_repetition").cache()
+    assert(r.count() > 0)
+    assert(r.filter($"repetition_ratio" < 0 || $"repetition_ratio" >= 1).count() == 0)
+    assert(r.filter($"top_token_frac" <= 0 || $"top_token_frac" > 1).count() == 0)
+    assert(r.filter($"n_distinct_tokens" > $"n_tokens").count() == 0)
+    r.unpersist()
+  }
+
+  test("pivot columns reconcile with the unpivoted total") {
+    val r = q("q52_pivot_priority")
+    val pivotTotal = r.select(
+      (coalesce($"urgent", lit(0.0)) + coalesce($"high", lit(0.0)) +
+        coalesce($"medium", lit(0.0)) + coalesce($"not_specified", lit(0.0)) +
+        coalesce($"low", lit(0.0))).as("t"))
+      .agg(sum($"t")).as[Double].head()
+    val direct = graft.Tables.load(spark, dir, "orders")
+      .agg(sum($"o_totalprice".cast("decimal(12,2)")).cast("double"))
+      .as[Double].head()
+    assert(math.abs(pivotTotal - direct) < 1e-6 * math.abs(direct))
+  }
+
+  test("approx_percentile tracks the exact percentile within sketch accuracy") {
+    val exact = q("q53_percentiles")
+    val approx = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
+        .as("ap"))
+      .select($"l_returnflag", $"ap"(0).as("a25"), $"ap"(1).as("a50"),
+        $"ap"(2).as("a75"), $"ap"(3).as("a95"))
+    val j = exact.join(approx, "l_returnflag").collect()
+    assert(j.nonEmpty)
+    j.foreach { row =>
+      // at accuracy 10000 on sf0.001 group sizes the sketch is near-exact;
+      // allow 2% relative slack
+      Seq(("p25", "a25"), ("p50", "a50"), ("p75", "a75"), ("p95", "a95"))
+        .foreach { case (e, a) =>
+          val ev = row.getAs[Double](e)
+          val av = row.getAs[Double](a)
+          assert(math.abs(ev - av) <= 0.02 * math.abs(ev),
+            s"$e=$ev vs $a=$av for ${row.getAs[String]("l_returnflag")}")
+        }
+    }
+  }
+
+  test("simhash oracle twin packs 32-bit halves and is deterministic") {
+    val r1 = q("q55_simhash_oracle").collect()
+    val r2 = q("q55_simhash_oracle").collect()
+    assert(r1.nonEmpty)
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
+    r1.foreach { row =>
+      val lo = row.getAs[Long]("sig_lo"); val hi = row.getAs[Long]("sig_hi")
+      assert(lo >= 0L && lo <= 0xffffffffL)
+      assert(hi >= 0L && hi <= 0xffffffffL)
+    }
+  }
+}
