@@ -172,6 +172,45 @@ object EventStream {
   def readSink(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch_id")
 
+  /** Exactly-once event dedup on a stream: drop event_id duplicates that
+    * arrive within the watermark window (at-least-once sources — Kafka
+    * redeliveries, retried producers — made idempotent at ingest).
+    * `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    * horizon, so state is bounded at 100 TB/day rates — unlike plain
+    * `dropDuplicates`, whose keyed state grows forever.
+    */
+  def dedupe(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding `lookback` — last-touch attribution
+    * as a streaming query. Both sides are watermarked and the join
+    * condition bounds event-time on both sides, so Spark can expire
+    * state (an unbounded stream-stream join would hold both streams
+    * forever).
+    */
+  def purchaseAttribution(events: DataFrame,
+      watermark: String = "10 minutes",
+      lookback: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("purchase_ts"),
+      "inner")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory table and
     * block until the source is drained (the local test/verify harness;
     * a production run would use runToParquet).

@@ -94,6 +94,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(second == first, s"replay duplicated rows: $first -> $second")
   }
 
+  test("streaming dedup: redelivered events collapse to one row each") {
+    // double-deliver the whole source (worst-case at-least-once replay)
+    val dupDir = Files.createTempDirectory("graft_dup").toString
+    val src = spark.read.schema(EventStream.schema).parquet(srcDir)
+    src.unionAll(src).write.mode("overwrite").parquet(s"$dupDir/drop")
+    val deduped = EventStream.runToMemory(spark, s"$dupDir/drop", "dedup",
+      df => EventStream.dedupe(df))
+    val distinct = src.select($"event_id").distinct().count()
+    assert(deduped.count() == distinct,
+      s"expected $distinct unique events, got ${deduped.count()}")
+  }
+
+  test("stream-stream interval join matches the batch join on emitted rows") {
+    val streamed = EventStream.runToMemory(spark, srcDir, "attrib",
+      df => EventStream.purchaseAttribution(df))
+    val batch = EventStream.purchaseAttribution(
+      spark.read.schema(EventStream.schema).parquet(srcDir))
+    val sRows = streamed.collect().map(_.toSeq).toSet
+    val bRows = batch.collect().map(_.toSeq).toSet
+    assert(sRows.nonEmpty)
+    // append mode may hold back pairs the watermark hasn't sealed yet —
+    // everything emitted must be a true batch pair
+    assert(sRows.subsetOf(bRows),
+      s"streamed pairs missing from batch oracle: ${(sRows -- bRows).take(3)}")
+    // and the join must not be trivially empty relative to batch
+    assert(sRows.size >= bRows.size / 2)
+  }
+
   test("sessionization: gap-based session windows per user") {
     val sessions = EventStream.runToMemory(spark, srcDir, "sessions",
       df => EventStream.sessionize(df, gap = "30 minutes"))
