@@ -97,4 +97,30 @@ object TextFunctions {
     */
   def shingleSet(text: Column, k: Int): Column =
     Shingles.shingles(text, k)
+
+  // ------------------------------------------------------------------
+  // Fused fast paths (one tokenize pass; declarative forms above stay
+  // as the reference semantics — FunctionsSpec asserts equality).
+
+  /** `struct(n_tokens, n_stop)` in one pass — see [[TextStats]]. */
+  def textStats(text: Column): Column =
+    TextStats.textStats(text, EnStopwords)
+
+  /** [[stopwordRatio]] on a precomputed [[textStats]] struct. */
+  def stopwordRatioOf(st: Column): Column =
+    st.getField("n_stop").cast("double") / st.getField("n_tokens")
+
+  /** [[qualityScore]] with the token/stopword counts taken from a
+    * precomputed [[textStats]] struct — same term order, same doubles.
+    */
+  def qualityScoreFused(text: Column, st: Column): Column = {
+    val lenTerm = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopwordRatioOf(st) * 4.0, lit(1.0))
+    val punctTerm = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    lenTerm * 0.4 + stopTerm * 0.4 + punctTerm * 0.2
+  }
+
+  /** Fused [[langId]] — one pass, same argmax/tie semantics. */
+  def langIdFused(text: Column): Column =
+    LangIdExpr.langIdFused(text, LangMarkers)
 }

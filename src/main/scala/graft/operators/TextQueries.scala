@@ -22,19 +22,24 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
-    // q28: token counting + quality metrics, row-level. Whole-stage
-    // codegen'd higher-order functions; no UDFs.
+    // q28: token counting + quality metrics, row-level. Token/stopword
+    // counts come from the fused single-pass TextStats expression (the
+    // declarative HOF forms re-tokenize per column and filter
+    // interpreted); ratio/score arithmetic is identical.
     Q("q28_text_stats",
       (s, dir) =>
         t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            textStats(col("text")).as("st"))
           .select(
             col("doc_id"),
             charCount(col("text")).as("n_chars"),
-            tokenCount(col("text")).as("n_tokens"),
-            avgTokenLen(col("text")).as("avg_token_len"),
+            col("st.n_tokens").as("n_tokens"),
+            (length(regexp_replace(trim(col("text")), "\\s+", ""))
+              .cast("double") / col("st.n_tokens")).as("avg_token_len"),
             punctRatio(col("text")).as("punct_ratio"),
-            stopwordRatio(col("text")).as("stopword_ratio"),
-            qualityScore(col("text")).as("quality"))
+            stopwordRatioOf(col("st")).as("stopword_ratio"),
+            qualityScoreFused(col("text"), col("st")).as("quality"))
           .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
         CAST(length(text) AS INTEGER) AS n_chars,
@@ -82,7 +87,8 @@ object TextQueries {
     Q("q30_quality_gate",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(col("source"), qualityScore(col("text")).as("q"))
+          .select(col("source"),
+            qualityScoreFused(col("text"), textStats(col("text"))).as("q"))
           .groupBy(col("source"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -110,7 +116,8 @@ object TextQueries {
     Q("q31_lang_id",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted"))
+          .select(col("doc_id"), col("lang"),
+            langIdFused(col("text")).as("predicted"))
           .withColumn("hit", (col("predicted") === col("lang")).cast("int"))
           .orderBy(col("doc_id")),
       {

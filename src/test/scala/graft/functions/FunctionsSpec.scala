@@ -94,6 +94,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(both.filter($"fused" =!= $"hof").count() == 0)
   }
 
+  test("fused TextStats/LangId equal the declarative HOF forms") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val st = textStats($"text")
+    val both = docs.select(
+      (st.getField("n_tokens") === tokenCount($"text")).as("tok_eq"),
+      (stopwordRatioOf(st) <=> stopwordRatio($"text")).as("stop_eq"),
+      (qualityScoreFused($"text", st) <=> qualityScore($"text")).as("q_eq"),
+      (langIdFused($"text") === langId($"text")).as("lang_eq"))
+    assert(both
+      .filter(!$"tok_eq" || !$"stop_eq" || !$"q_eq" || !$"lang_eq")
+      .count() == 0)
+  }
+
   test("cosine: identity, orthogonality, symmetry") {
     val df = Seq(
       (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
