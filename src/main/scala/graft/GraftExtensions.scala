@@ -4,16 +4,26 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinHashSig, PolyHash}
+import graft.functions.{CosineSim, HyperplaneBucket, LangIdExpr, MinHashSig, PolyHash, Shingles, SimHash64, TextFunctions, TextStats}
 
 /** SparkSessionExtensions registration: exposes the engine's custom
   * Catalyst expressions to SQL (`SELECT poly_hash(text) ...`,
-  * `SELECT minhash_sig(shingles, 64) ...`) so a SQL-only consumer of the
-  * engine gets the same operators the DataFrame API exposes. Wire with
+  * `SELECT minhash_sig(shingles, 64) ...`, `SELECT cosine_sim(a, b)`,
+  * ...) so a SQL-only consumer of the engine gets the same operators
+  * the DataFrame API exposes. Wire with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (done in
   * [[Sessions.local]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"literal int argument expected, got $other")
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("poly_hash"),
@@ -22,9 +32,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      exprs => {
-        val k = exprs(1).eval(null).asInstanceOf[Int]
-        MinHashSig(exprs.head, k)
-      }))
+      exprs => MinHashSig(exprs.head, intArg(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      exprs => Shingles(exprs.head, intArg(exprs(1)))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      exprs => CosineSim(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      exprs => HyperplaneBucket(exprs.head, intArg(exprs(1)), intArg(exprs(2)))))
+    e.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      exprs => TextStats(exprs.head, TextFunctions.EnStopwords)))
+    e.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      exprs => LangIdExpr(exprs.head, TextFunctions.LangMarkers)))
   }
 }

@@ -1,63 +1,60 @@
 package graft.functions
 
 import graft.TestSpark
-import graft.functions.TextFunctions.shingleSet
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SQL-registered custom expressions (GraftExtensions) behave exactly
-  * like their Column-API forms, and MinHashSig keeps the MinHash
-  * similarity property.
+/** The SQL surface registered by GraftExtensions must agree with the
+  * DataFrame-API column functions — a SQL-only consumer of the library
+  * sees the same operators.
   */
 class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("poly_hash is callable from SQL and equals the Column API") {
-    Seq("alpha", "beta").toDF("t").createOrReplaceTempView("ph_in")
-    val sql = spark.sql("SELECT poly_hash(t) AS h FROM ph_in ORDER BY t")
-      .as[Long].collect().toSeq
-    val api = Seq("alpha", "beta").toDF("t").orderBy($"t")
-      .select(PolyHash.polyHash($"t")).as[Long].collect().toSeq
-    assert(sql == api)
+  private lazy val docs = {
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50).createOrReplaceTempView("ext_docs")
+    spark.table("ext_docs")
   }
 
-  test("minhash_sig from SQL equals the Column API and is 64 wide") {
-    Seq("a b c d e f g h i j").toDF("t").createOrReplaceTempView("mh_in")
-    spark.sql("CREATE OR REPLACE TEMP VIEW mh_sh AS " +
-      "SELECT split(lower(trim(t)), '\\\\s+') AS toks FROM mh_in")
-    val viaSql = spark.sql(
-      "SELECT minhash_sig(toks, 64) AS sig FROM mh_sh")
-      .as[Seq[Long]].head()
-    val viaApi = Seq("a b c d e f g h i j").toDF("t")
-      .select(TextFunctions.tokens($"t").as("toks"))
-      .select(MinHashSig.minhashSig($"toks", 64)).as[Seq[Long]].head()
-    assert(viaSql == viaApi)
-    assert(viaSql.length == 64)
+  private lazy val emb = {
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50).createOrReplaceTempView("ext_emb")
+    spark.table("ext_emb")
   }
 
-  test("minhash signature agreement estimates jaccard") {
-    // two docs sharing ~half their shingles should agree on roughly
-    // half the signature positions; identical docs agree on all
-    val docs = Seq(
-      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
-      (2L, (1 to 40).map(i => s"tok$i").mkString(" ")),
-      (3L, (21 to 60).map(i => s"tok$i").mkString(" "))).toDF("id", "text")
-    val sigs = docs
-      .select($"id", shingleSet($"text", 3).as("sh"))
-      .select($"id", MinHashSig.minhashSig($"sh", 64).as("sig"))
-      .as[(Long, Seq[Long])].collect().toMap
-    assert(sigs(1L) == sigs(2L))
-    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
-    // true shingle jaccard of the two ranges: |1..58 ∩ 21..38 grams|;
-    // loose bounds — just assert it's between 5% and 60%
-    assert(agree > 3 && agree < 40, s"agreement $agree/64")
+  test("text functions are callable from SQL and match the API") {
+    docs // force view registration
+    val viaSql = spark.sql("""
+      SELECT doc_id, poly_hash(text) AS ph, simhash64(text) AS sh,
+             size(shingles(text, 3)) AS nsh,
+             text_stats(text).n_tokens AS nt, lang_id(text) AS lang
+      FROM ext_docs ORDER BY doc_id""").collect()
+    val viaApi = docs.select($"doc_id",
+      PolyHash.polyHash($"text").as("ph"),
+      SimHash64.simhash($"text").as("sh"),
+      org.apache.spark.sql.functions.size(
+        Shingles.shingles($"text", 3)).as("nsh"),
+      TextFunctions.textStats($"text").getField("n_tokens").as("nt"),
+      TextFunctions.langIdFused($"text").as("lang"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
   }
 
-  test("empty shingle set yields MaxValue sentinels") {
-    val sig = Seq("a b").toDF("t")
-      .select(shingleSet($"t", 3).as("sh"))
-      .select(MinHashSig.minhashSig($"sh", 8)).as[Seq[Long]].head()
-    assert(sig.forall(_ == Long.MaxValue))
+  test("vector functions are callable from SQL and match the API") {
+    emb
+    val viaSql = spark.sql("""
+      SELECT vec_id, cosine_sim(embedding, embedding) AS self_cos,
+             hyperplane_bucket(embedding, 8, 42) AS bucket
+      FROM ext_emb ORDER BY vec_id""").collect()
+    val viaApi = emb.select($"vec_id",
+      CosineSim.cosineFused($"embedding", $"embedding").as("self_cos"),
+      HyperplaneBucket.hyperplaneBucketFused($"embedding", 8, 42).as("bucket"))
+      .orderBy($"vec_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+    // self-cosine is 1 up to fp rounding
+    viaApi.foreach { r =>
+      assert(math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-9)
+    }
   }
 }
