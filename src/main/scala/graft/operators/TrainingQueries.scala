@@ -241,6 +241,48 @@ object TrainingQueries {
         FROM toks GROUP BY tok ORDER BY n DESC, tok LIMIT 50""")),
 
     // ------------------------------------------------------------------
+    // q56: WINNOWING fingerprints (the MOSS algorithm): hash every
+    // word-3-gram IN POSITION ORDER, slide a w=4 window over the hash
+    // sequence, keep each window's minimum, emit the distinct minima as
+    // the document's fingerprint set. Guarantees: any shared run of
+    // ≥ w+k-1 tokens between two docs shares ≥1 fingerprint, so the
+    // downstream overlap check is an equi-join on the fingerprint key
+    // (like q50) — never doc×doc. md5 hashing + lexicographic min keep
+    // every step engine-portable (the q48 portability trick); the fused
+    // PolyHash rolling fingerprints (q32) remain the cheap bench path.
+    Q("q56_winnowing",
+      (s, dir) => {
+        val k = 3; val w = 4
+        val tk = toks(col("text"))
+        val sh = when(size(tk) >= k,
+          transform(sequence(lit(0), size(tk) - k),
+            i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))
+        val hs = transform(sh, x => md5(x.cast("binary")))
+        val wins = when(size(hs) >= w,
+          transform(sequence(lit(0), size(hs) - w),
+            i => array_min(slice(hs, i + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(wins).as("fp"))
+          .distinct()
+          .orderBy(col("doc_id"), col("fp"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> md5(array_to_string(list_slice(w, i, i + 2), ' '))) AS hs
+          FROM tk),
+        wins AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(hs) - 2, 1)),
+                   i -> list_aggregate(list_slice(hs, i, i + 3), 'min'))) AS fp
+          FROM sh)
+        SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp""")),
+
+    // ------------------------------------------------------------------
     // q55: SimHash ORACLE TWIN (the q48 trick applied to q37): the same
     // distinct-token → 64-bit-hash → per-bit majority-vote pipeline,
     // but hashing via md5 hex digits so every step is expressible in

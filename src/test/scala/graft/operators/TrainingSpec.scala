@@ -92,6 +92,23 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: every doc (all have ≥6 tokens) fingerprinted, hex-shaped, deterministic") {
+    val r = q("q56_winnowing").cache()
+    val docs = graft.Tables.load(spark, dir, "documents")
+    assert(r.select($"doc_id").distinct().count() == docs.count())
+    assert(r.filter(!$"fp".rlike("^[0-9a-f]{32}$")).count() == 0)
+    // winnowing density: ~2/(w+1) of the k-gram positions are kept;
+    // distinct minima can only be fewer
+    val tooMany = r.groupBy($"doc_id").count()
+      .join(docs.select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", "\\s+")).as("nt")),
+        "doc_id")
+      .filter($"count" > $"nt")
+    assert(tooMany.count() == 0)
+    r.unpersist()
+  }
+
   test("simhash oracle twin packs 32-bit halves and is deterministic") {
     val r1 = q("q55_simhash_oracle").collect()
     val r2 = q("q55_simhash_oracle").collect()
