@@ -233,6 +233,51 @@ object AnalyticsQueries {
                  o_orderpriority AS prio, count(*) AS n,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
           FROM orders GROUP BY ROLLUP (y, prio))
-        ORDER BY y, prio"""))
+        ORDER BY y, prio""")),
+
+    // ------------------------------------------------------------------
+    // q57: ordered-set aggregation (string_agg/collect_list — SURVEY
+    // §2.4 notes the reference has none; exposed as engine capability).
+    // Sorted-distinct before join ⇒ deterministic under any
+    // partitioning; collect_* of unordered rows never is otherwise.
+    Q("q57_string_agg",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_customers"),
+            array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+              .as("statuses"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+          AS statuses
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // q58: lag/lead analytics (month-over-month revenue delta). The
+    // window is global but runs on the ~80-row monthly aggregate — the
+    // post-aggregation shape that stays O(|months|) at any fact size.
+    Q("q58_mom_change",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyyMM").cast("int")
+            .as("month_key"))
+          .agg(dbl(sum(dec(col("o_totalprice")))).as("revenue"))
+        val w = Window.orderBy(col("month_key"))
+        monthly
+          .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+          .withColumn("mom_change", col("revenue") - col("prev_revenue"))
+          .orderBy(col("month_key"))
+      },
+      Some("""WITH m AS (
+          SELECT CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS month_key,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY month_key)
+        SELECT month_key, revenue,
+               lag(revenue, 1) OVER (ORDER BY month_key) AS prev_revenue,
+               revenue - lag(revenue, 1) OVER (ORDER BY month_key) AS mom_change
+        FROM m ORDER BY month_key"""))
   )
 }

@@ -248,26 +248,18 @@ object TrainingQueries {
     // ≥ w+k-1 tokens between two docs shares ≥1 fingerprint, so the
     // downstream overlap check is an equi-join on the fingerprint key
     // (like q50) — never doc×doc. md5 hashing + lexicographic min keep
-    // every step engine-portable (the q48 portability trick); the fused
-    // PolyHash rolling fingerprints (q32) remain the cheap bench path.
+    // every step engine-portable (the q48 portability trick). Uses the
+    // fused WinnowFingerprints expression (the declarative nested-HOF
+    // form measured 245s at sf0.1 — see its scaladoc; FunctionsSpec
+    // asserts the fused pass equals the HOF chain).
     Q("q56_winnowing",
-      (s, dir) => {
-        val k = 3; val w = 4
-        val tk = toks(col("text"))
-        val sh = when(size(tk) >= k,
-          transform(sequence(lit(0), size(tk) - k),
-            i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
-          .otherwise(array().cast("array<string>"))
-        val hs = transform(sh, x => md5(x.cast("binary")))
-        val wins = when(size(hs) >= w,
-          transform(sequence(lit(0), size(hs) - w),
-            i => array_min(slice(hs, i + 1, lit(w)))))
-          .otherwise(array().cast("array<string>"))
+      (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"), explode(wins).as("fp"))
+          .select(col("doc_id"),
+            explode(graft.functions.WinnowFingerprints
+              .winnow(col("text"), 3, 4)).as("fp"))
           .distinct()
-          .orderBy(col("doc_id"), col("fp"))
-      },
+          .orderBy(col("doc_id"), col("fp")),
       Some("""WITH tk AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           FROM documents),

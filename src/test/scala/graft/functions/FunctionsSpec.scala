@@ -107,6 +107,26 @@ class FunctionsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("fused WinnowFingerprints equals the declarative HOF chain") {
+    import org.apache.spark.sql.functions._
+    val k = 3; val w = 4
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tk = split(lower(trim($"text")), "\\s+")
+    val sh = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(sh, x => md5(x.cast("binary")))
+    val wins = when(size(hs) >= w,
+      transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    val both = docs.select(
+      array_sort(array_distinct(wins)).as("hof"),
+      array_sort(WinnowFingerprints.winnow($"text", k, w)).as("fused"))
+    assert(both.filter(!($"hof" <=> $"fused")).count() == 0)
+  }
+
   test("cosine: identity, orthogonality, symmetry") {
     val df = Seq(
       (Seq(1f, 0f, 0f), Seq(1f, 0f, 0f)),
