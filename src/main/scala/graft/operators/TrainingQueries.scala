@@ -275,6 +275,73 @@ object TrainingQueries {
         SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp""")),
 
     // ------------------------------------------------------------------
+    // q59: batch SESSIONIZATION via Spark's native session_window —
+    // gap-based (30 min) per-user sessions with event counts and value
+    // sums. The DuckDB oracle is the classic gaps-and-islands rewrite
+    // (lag → break flag → running sum island id). Boundary semantics
+    // matched exactly: session_window merges an event iff it lands
+    // STRICTLY inside [start, last+gap), so the oracle breaks on
+    // `diff >= gap`. last event time = window.end − gap (constant gap).
+    Q("q59_sessions_batch",
+      (s, dir) => {
+        val gapUs = 30L * 60 * 1000000
+        t(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            dbl(sum(dec(col("value")))).as("total_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            (unix_micros(col("session_window.end")) - gapUs)
+              .as("session_last_us"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sid AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM e)
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_last_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM sid GROUP BY user_id, session_id
+        ORDER BY user_id, session_start_us""")),
+
+    // ------------------------------------------------------------------
+    // q60: CUBE over (year, order status) — completes the grouping-sets
+    // family next to q44's ROLLUP. NULL markers coalesced to sentinels
+    // on both engines (a real NULL group key would be ambiguous).
+    Q("q60_cube",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("y"),
+            col("o_orderstatus").as("status"),
+            dec(col("o_totalprice")).as("price"))
+          .cube(col("y"), col("status"))
+          .agg(count(lit(1)).as("n"), dbl(sum(col("price"))).as("revenue"))
+          .select(coalesce(col("y"), lit(-1)).as("y"),
+            coalesce(col("status"), lit("ALL")).as("status"),
+            col("n"), col("revenue"))
+          .orderBy(col("y"), col("status")),
+      Some("""SELECT coalesce(y, -1) AS y, coalesce(status, 'ALL') AS status,
+               CAST(n AS BIGINT) AS n, revenue
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+                 o_orderstatus AS status, count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY CUBE (y, status))
+        ORDER BY y, status""")),
+
+    // ------------------------------------------------------------------
     // q55: SimHash ORACLE TWIN (the q48 trick applied to q37): the same
     // distinct-token → 64-bit-hash → per-bit majority-vote pipeline,
     // but hashing via md5 hex digits so every step is expressible in
