@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftinterop.ColumnInterop
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused cosine similarity over two float-array embeddings: dot product
   * and both L2 norms in ONE array pass, inside whole-stage codegen.
@@ -25,12 +25,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * both the HOF formulation and DuckDB's `list_sum(list_transform(...))`
   * (verified in FunctionsSpec and by the q39/q40 oracle gate).
   *
-  * Mismatched lengths return NULL (the HOF version's zip_with would pad
-  * with NULL and poison the fold to NULL the same way).
+  * Mismatched lengths and NULL elements return NULL (the HOF version's
+  * zip_with would pad/propagate NULL and poison the fold the same way).
+  * Inputs are strictly `array<float>` (ExpectsInputTypes): a SQL call
+  * with `array<double>` fails analysis instead of silently misreading
+  * 8-byte slots through `getFloat`.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnInterop.AbstractType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -43,6 +48,7 @@ case class CosineSim(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null // HOF fold poisons
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y

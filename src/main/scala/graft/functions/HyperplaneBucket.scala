@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftinterop.ColumnInterop
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Fused signed-hyperplane LSH bucket id: all `nPlanes` projections of a
   * float-array embedding in one codegen'd array pass.
@@ -23,13 +23,21 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * sign bits pack little-endian (`1L << p`).
   */
 case class HyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
 
   def compute(vec: ArrayData): Long = {
     val n = vec.numElements()
+    // HOF parity: a NULL element nulls every plane's projection, and
+    // when(NULL >= 0, ...).otherwise(0) lands every plane on 0 → bucket 0
+    var i0 = 0
+    while (i0 < n) {
+      if (vec.isNullAt(i0)) return 0L
+      i0 += 1
+    }
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {

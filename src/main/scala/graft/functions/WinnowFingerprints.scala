@@ -36,10 +36,19 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  // One digest per thread: expression instances are shared across the
+  // concurrently-running tasks of a partition's codegen stage, and
+  // MessageDigest is stateful.
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def compute(input: UTF8String): ArrayData = {
     val toks = input.toLowerCase.toString.trim.split("\\s+")
-    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // fewer than w windows ⇒ empty fingerprint set — decided from token
+    // count alone, BEFORE paying any hashing
+    if (toks.length < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val md = mdLocal.get()
     val nGrams = toks.length - k + 1
     val hashes = new Array[String](nGrams)
     val sb = new java.lang.StringBuilder(64)
@@ -65,7 +74,6 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       hashes(i) = new String(hex)
       i += 1
     }
-    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
     i = 0
     while (i <= nGrams - w) {

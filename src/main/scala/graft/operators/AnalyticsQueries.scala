@@ -18,9 +18,10 @@ object AnalyticsQueries {
 
   /** Deterministic stand-in for CURRENT_DATE (g11). Chosen so the
     * reference's 365/180/90 churn ladder (analytics_dag.py:59-64) hits
-    * three distinct branches against the orders date range (1992-01 ..
-    * 1998-08-02): >365 → 0.9, 180-365 → 0.7, ≤180 → ELSE 0.1, plus the
-    * never-ordered NULL → ELSE 0.1 path (g7).
+    * multiple branches against the orders date range (1992-01 ..
+    * 1998-08-02): >365 → 0.9, 181-365 → 0.7, 91-180 → 0.4 (minimum
+    * non-null gap is ~151 days), plus the never-ordered → ELSE 0.1
+    * path (g7, via the COALESCE-to-0 column).
     */
   val AsOf = "1998-12-31"
 

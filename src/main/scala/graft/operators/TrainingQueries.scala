@@ -18,12 +18,12 @@ object TrainingQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Lowercased whitespace tokens — the split convention every text
-    * operator (and its DuckDB oracle `string_split_regex(lower(trim(
-    * text)), '\s+')`) shares.
+  /** The shared tokenization convention (= its DuckDB oracle
+    * `string_split_regex(lower(trim(text)), '\s+')`) — one definition
+    * for the whole codebase, so the parity contract can't fork.
     */
   private def toks(text: org.apache.spark.sql.Column) =
-    split(lower(trim(text)), "\\s+")
+    graft.functions.TextFunctions.tokens(text)
 
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
@@ -297,7 +297,7 @@ object TrainingQueries {
           .orderBy(col("user_id"), col("session_start_us"))
       },
       Some("""WITH e AS (
-          SELECT user_id, ts, value,
+          SELECT event_id, user_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL
                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS brk
@@ -305,7 +305,7 @@ object TrainingQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sid AS (
           SELECT user_id, ts, value,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM e)
         SELECT user_id,

@@ -184,12 +184,13 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-stream interval join: each purchase joined to the same
-    * user's clicks in the preceding `lookback` — last-touch attribution
-    * as a streaming query. Both sides are watermarked and the join
-    * condition bounds event-time on both sides, so Spark can expire
-    * state (an unbounded stream-stream join would hold both streams
-    * forever).
+  /** Stream-stream interval join: each purchase joined to ALL of the
+    * same user's clicks in the preceding `lookback` — multi-touch
+    * attribution, one output row per (purchase, click) pair; reduce on
+    * max(click_ts) per purchase downstream for a last-touch view. Both
+    * sides are watermarked and the join condition bounds event-time on
+    * both sides, so Spark can expire state (an unbounded stream-stream
+    * join would hold both streams forever).
     */
   def purchaseAttribution(events: DataFrame,
       watermark: String = "10 minutes",

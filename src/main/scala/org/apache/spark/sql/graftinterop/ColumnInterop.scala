@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` (the `ExpectsInputTypes.inputTypes` element
+    * type) is `private[sql]` in Spark 4 — aliased here so expressions
+    * outside the sql package can declare strict input types.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -11,15 +11,18 @@ class ExtensionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // limit AFTER a unique orderBy: a bare GlobalLimit over a multi-split
+  // scan picks an arbitrary subset, and the SQL and API paths below each
+  // re-execute the plan — unordered limits could hand them different rows
   private lazy val docs = {
     graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
-      .limit(50).createOrReplaceTempView("ext_docs")
+      .orderBy("doc_id").limit(50).createOrReplaceTempView("ext_docs")
     spark.table("ext_docs")
   }
 
   private lazy val emb = {
     graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-      .limit(50).createOrReplaceTempView("ext_emb")
+      .orderBy("vec_id").limit(50).createOrReplaceTempView("ext_emb")
     spark.table("ext_emb")
   }
 
@@ -56,5 +59,16 @@ class ExtensionsSpec extends AnyFunSuite {
     viaApi.foreach { r =>
       assert(math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-9)
     }
+  }
+
+  test("cosine_sim rejects non-float arrays at analysis instead of misreading them") {
+    // array(1.0, 2.0) is array<double>; getFloat over 8-byte slots would
+    // silently return garbage without the ExpectsInputTypes guard
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D))")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 }
