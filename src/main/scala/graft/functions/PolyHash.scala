@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftinterop.ColumnInterop
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling-hash document fingerprint: h = Σ b_i · B^(n-1-i)
@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * of chunked documents composable without re-reading the prefix.
   */
 case class PolyHash(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"

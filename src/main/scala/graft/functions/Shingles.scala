@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinterop.ColumnInterop
@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * 9s q36 at sf0.1). Semantics are identical to the declarative
   * `TextFunctions.shingleSet` (first-occurrence order preserved).
   */
-case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)

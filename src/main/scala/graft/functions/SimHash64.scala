@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.graftinterop.ColumnInterop
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused 64-bit SimHash: lowercase → trim → whitespace-tokenize →
@@ -18,7 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Near-duplicates have small Hamming distance:
   * `bit_count(simhash(a) ^ simhash(b))`.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"

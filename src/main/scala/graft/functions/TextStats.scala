@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftinterop.ColumnInterop
@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * FunctionsSpec against the HOF forms.
   */
 case class TextStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
@@ -71,7 +73,9 @@ object TextStats {
   * asserts equality).
   */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
