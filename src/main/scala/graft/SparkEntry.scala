@@ -17,7 +17,8 @@ object SparkEntry {
       operators.DedupQueries.all ++
       operators.VectorQueries.all ++
       operators.DataSplit.all ++
-      operators.TrainingQueries.all
+      operators.TrainingQueries.all ++
+      operators.RelationalExtras.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

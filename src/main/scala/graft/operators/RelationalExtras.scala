@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.{Cols, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator families the reference never exercises but a
+  * library consumer expects (round-2 breadth): ntile bucketing,
+  * fixed-width histograms, INTERSECT/EXCEPT, null-safe equality joins,
+  * regexp extraction. All DuckDB-oracle-checked.
+  */
+object RelationalExtras {
+  import Cols._
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+    // ------------------------------------------------------------------
+    // q61: NTILE spend deciles per market segment — feature-engineering
+    // bucketing. Keyed window (partition = segment) over the
+    // one-row-per-customer aggregate, tie-broken for determinism; the
+    // 100 TB form of unkeyed deciles would be approx_percentile cuts.
+    Q("q61_ntile_deciles",
+      (s, dir) => {
+        val spend = t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(dbl(sum(dec(col("o_totalprice")))).as("spent"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("spent").desc, col("c_custkey"))
+        spend
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("c_mktsegment"), col("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            dbl(sum(col("spent").cast("decimal(18,2)"))).as("decile_spend"))
+          .orderBy(col("c_mktsegment"), col("decile"))
+      },
+      Some("""WITH spend AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spent
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey, c_mktsegment),
+        ranked AS (
+          SELECT c_mktsegment, spent,
+                 ntile(10) OVER (PARTITION BY c_mktsegment
+                   ORDER BY spent DESC, c_custkey) AS decile
+          FROM spend)
+        SELECT c_mktsegment, decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(spent AS DECIMAL(18,2))) AS DOUBLE) AS decile_spend
+        FROM ranked GROUP BY c_mktsegment, decile
+        ORDER BY c_mktsegment, decile""")),
+
+    // ------------------------------------------------------------------
+    // q62: fixed-width HISTOGRAM of order values — constant bin width
+    // (no data-dependent min/max pass), integer bin ids, one shuffle.
+    Q("q62_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select((floor(col("o_totalprice") / 50000.0)).cast("int").as("bin"),
+            dec(col("o_totalprice")).as("price"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_orders"),
+            dbl(sum(col("price"))).as("bin_revenue"))
+          .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_revenue
+        FROM orders GROUP BY bin ORDER BY bin""")),
+
+    // ------------------------------------------------------------------
+    // q63: INTERSECT / EXCEPT (set ops beyond q19's UNION): customers
+    // active in both 1995 and 1996, and in exactly one of them.
+    Q("q63_setops",
+      (s, dir) => {
+        def active(y: Int) = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val a = active(1995); val b = active(1996)
+        a.intersect(b).agg(count(lit(1)).as("n"))
+          .select(lit("both").as("grp"), col("n"))
+          .unionByName(a.except(b).agg(count(lit(1)).as("n"))
+            .select(lit("only_1995").as("grp"), col("n")))
+          .unionByName(b.except(a).agg(count(lit(1)).as("n"))
+            .select(lit("only_1996").as("grp"), col("n")))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1995),
+        b AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1996)
+        SELECT 'both' AS grp,
+               CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'only_1995',
+               CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT)
+        UNION ALL
+        SELECT 'only_1996',
+               CAST((SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS BIGINT)
+        ORDER BY grp""")),
+
+    // ------------------------------------------------------------------
+    // q64: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): two
+    // yearly rollups keyed by a nullable derived key join with NULL
+    // matching NULL — the semantics a plain equi-join silently drops.
+    Q("q64_nullsafe_join",
+      (s, dir) => {
+        val key = when(col("o_orderpriority") === "5-LOW",
+          lit(null).cast("string")).otherwise(col("o_orderpriority"))
+        def slice(y: Int, out: String) = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(key.as("prio_key"))
+          .agg(count(lit(1)).as(out))
+        slice(1995, "n_1995").alias("a")
+          .join(slice(1996, "n_1996").alias("b"),
+            col("a.prio_key") <=> col("b.prio_key"), "inner")
+          .select(coalesce(col("a.prio_key"), lit("NULL_KEY")).as("prio_key"),
+            col("n_1995"), col("n_1996"))
+          .orderBy(col("prio_key"))
+      },
+      Some("""WITH a AS (
+          SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                      ELSE o_orderpriority END AS prio_key,
+                 count(*) AS n_1995
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+          GROUP BY 1),
+        b AS (
+          SELECT CASE WHEN o_orderpriority = '5-LOW' THEN NULL
+                      ELSE o_orderpriority END AS prio_key,
+                 count(*) AS n_1996
+          FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+          GROUP BY 1)
+        SELECT coalesce(a.prio_key, 'NULL_KEY') AS prio_key,
+               CAST(n_1995 AS BIGINT) AS n_1995,
+               CAST(n_1996 AS BIGINT) AS n_1996
+        FROM a JOIN b ON a.prio_key IS NOT DISTINCT FROM b.prio_key
+        ORDER BY prio_key""")),
+
+    // ------------------------------------------------------------------
+    // q65: REGEXP extraction — pull the numeric id out of c_name
+    // ('Customer#000000007') and prove it round-trips to c_custkey.
+    // Digit-class pattern only: identical under Java regex and RE2.
+    Q("q65_regexp_extract",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long")
+              .as("extracted"))
+          .withColumn("roundtrips",
+            (col("extracted") === col("c_custkey")).cast("int"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+        CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted,
+        CAST(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey
+             AS INTEGER) AS roundtrips
+        FROM customer ORDER BY c_custkey"""))
+  )
+}
