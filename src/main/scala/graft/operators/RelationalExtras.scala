@@ -78,7 +78,10 @@ object RelationalExtras {
         def active(y: Int) = t(s, dir, "orders")
           .filter(year(col("o_orderdate")) === y)
           .select(col("o_custkey")).distinct()
-        val a = active(1995); val b = active(1996)
+        // cache both key sets: intersect + two excepts reuse each
+        // subtree, and Spark re-executes repeated subtrees otherwise
+        // (~6 scans of orders for a 3-row result)
+        val a = active(1995).cache(); val b = active(1996).cache()
         a.intersect(b).agg(count(lit(1)).as("n"))
           .select(lit("both").as("grp"), col("n"))
           .unionByName(a.except(b).agg(count(lit(1)).as("n"))
@@ -142,18 +145,20 @@ object RelationalExtras {
     // q65: REGEXP extraction — pull the numeric id out of c_name
     // ('Customer#000000007') and prove it round-trips to c_custkey.
     // Digit-class pattern only: identical under Java regex and RE2.
+    // try_cast: a digitless name yields "" → NULL instead of an ANSI
+    // cast error aborting the query (TRY_CAST mirrors it in the oracle).
     Q("q65_regexp_extract",
       (s, dir) =>
         t(s, dir, "customer")
           .select(col("c_custkey"),
-            regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long")
+            regexp_extract(col("c_name"), "([0-9]+)", 1).try_cast("long")
               .as("extracted"))
           .withColumn("roundtrips",
             (col("extracted") === col("c_custkey")).cast("int"))
           .orderBy(col("c_custkey")),
       Some("""SELECT c_custkey,
-        CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted,
-        CAST(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey
+        TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted,
+        CAST(TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey
              AS INTEGER) AS roundtrips
         FROM customer ORDER BY c_custkey"""))
   )
