@@ -14,7 +14,7 @@ object Bench {
   /** Verification-oracle queries whose production twin is benchmarked. */
   private val oracleOnly =
     Set("q35_jaccard_topk", "q40_cosine_neardup", "q48_minhash_lsh_oracle",
-      "q55_simhash_oracle")
+      "q55_simhash_oracle", "q66_corpus_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -342,6 +342,98 @@ object TrainingQueries {
         ORDER BY y, status""")),
 
     // ------------------------------------------------------------------
+    // q66: CROSS-CORPUS OVERLAP via min-hash sketches, fully
+    // oracle-checked: per `source`, one 32-position signature over the
+    // UNION of the source's shingle sets (min per position — the
+    // mergeable-sketch property MinHashUnion aggregates by), then
+    // pairwise estimated Jaccard = matching positions / 32. md5-string
+    // min-hashing (the q48 trick) keeps every step in SQL. Estimates
+    // corpus-level contamination/overlap WITHOUT any doc×doc or
+    // shingle-join work — O(sources²) on 32-element arrays.
+    // Oracle twin of the fast q67 (excluded from bench like q48/q55).
+    Q("q66_corpus_overlap",
+      (s, dir) => {
+        val nh = 32
+        val sh = t(s, dir, "documents")
+          .select(col("source"),
+            explode(shingles(col("text"), 3)).as("x"))
+          .distinct()
+        val sig = sh
+          .select(col("source"),
+            explode(sequence(lit(0), lit(nh - 1))).as("i"), col("x"))
+          .select(col("source"), col("i"),
+            md5(concat(col("i").cast("string"), lit("#"), col("x"))
+              .cast("binary")).as("h"))
+          .groupBy(col("source"), col("i"))
+          .agg(min(col("h")).as("m"))
+          .groupBy(col("source"))
+          .agg(transform(
+            sort_array(collect_list(struct(col("i"), col("m")))),
+            e => e.getField("m")).as("s"))
+        val matches = aggregate(
+          zip_with(col("a.s"), col("b.s"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        sig.alias("a").join(sig.alias("b"),
+          col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"),
+            (matches.cast("double") / nh).as("est_jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tk AS (
+          SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS x
+          FROM tk),
+        pos AS (
+          SELECT source, u.i, min(md5(u.i::VARCHAR || '#' || x)) AS m
+          FROM sh, (SELECT unnest(range(0, 32)) AS i) u
+          GROUP BY source, u.i),
+        sig AS (
+          SELECT source, list(m ORDER BY i) AS s FROM pos GROUP BY source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(len(list_filter(list_zip(a.s, b.s), p -> p[1] = p[2]))
+                 AS DOUBLE) / 32 AS est_jaccard
+        FROM sig a JOIN sig b ON a.source < b.source
+        ORDER BY source_a, source_b""")),
+
+    // ------------------------------------------------------------------
+    // q67: the PRODUCTION corpus-overlap path — fused XXH64 MinHashSig
+    // per doc (one pass), MinHashUnion UDAF merges them per source
+    // (map-side partial aggregation, O(k) per group across the
+    // shuffle), pairwise position-match estimate. Same dataflow as q66
+    // with the portable hashing swapped for the fast one → rows-only
+    // driver check; TrainingSpec bounds its estimates against q66's.
+    Q("q67_corpus_overlap_fast",
+      (s, dir) => {
+        val nh = 32
+        val sig = t(s, dir, "documents")
+          .select(col("source"),
+            graft.functions.MinHashSig.minhashSig(
+              graft.functions.TextFunctions.shingleSet(col("text"), 3), nh)
+              .as("doc_sig"))
+          .groupBy(col("source"))
+          .agg(graft.functions.MinHashUnion.minhashUnion(col("doc_sig"), nh)
+            .as("s"))
+        val matches = aggregate(
+          zip_with(col("a.s"), col("b.s"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        sig.alias("a").join(sig.alias("b"),
+          col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"),
+            col("b.source").as("source_b"),
+            (matches.cast("double") / nh).as("est_jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // q55: SimHash ORACLE TWIN (the q48 trick applied to q37): the same
     // distinct-token → 64-bit-hash → per-bit majority-vote pipeline,
     // but hashing via md5 hex digits so every step is expressible in

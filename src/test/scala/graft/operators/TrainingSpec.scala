@@ -109,6 +109,21 @@ class TrainingSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("fast corpus-overlap sketch tracks the oracle-checked md5 sketch") {
+    val oracle = q("q66_corpus_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val fast = q("q67_corpus_overlap_fast").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == oracle.keySet)
+    assert(fast.nonEmpty)
+    // both are 32-position min-hash estimates of the SAME underlying
+    // Jaccard, just different hash families; SE ≈ sqrt(J(1-J)/32) ≤ 0.09
+    // → allow 4 positions (0.125) of disagreement plus both being noisy
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - oracle(k)) <= 0.25, s"$k: fast=$v oracle=${oracle(k)}")
+    }
+  }
+
   test("simhash oracle twin packs 32-bit halves and is deterministic") {
     val r1 = q("q55_simhash_oracle").collect()
     val r2 = q("q55_simhash_oracle").collect()
