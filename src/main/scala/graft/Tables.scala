@@ -12,8 +12,20 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  // Memoize per (session, path): every query re-loading a table would
+  // otherwise re-list the file and re-read parquet footers during
+  // analysis — pure fixed overhead when 60+ queries share 10 tables.
+  // DataFrames are immutable logical plans, so sharing is safe; keyed by
+  // session so a stopped/restarted session never leaks stale plans.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, path) => doLoad(s, path) })
+
+  private def doLoad(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf
     // spark.sql.legacy.parquet.nanosAsLong) and truncate ns→µs with
     // integer division — identical to DuckDB's ns→µs coercion. A double
