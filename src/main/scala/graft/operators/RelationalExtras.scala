@@ -160,6 +160,28 @@ object RelationalExtras {
         TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted,
         CAST(TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) = c_custkey
              AS INTEGER) AS roundtrips
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q68: PII MASKING — the canonical training-data redaction pass:
+    // digits replaced with a mask character, with an audit count of
+    // masked characters per row. Digit-class regex only (identical
+    // under Java regex and RE2); at 100 TB this is a pure row-local
+    // codegen'd projection — no shuffle at all.
+    Q("q68_pii_mask",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+            (length(col("c_name")) -
+              length(regexp_replace(col("c_name"), "[0-9]", "")))
+              .as("n_masked"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+        regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        CAST(length(c_name)
+             - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INTEGER)
+          AS n_masked
         FROM customer ORDER BY c_custkey"""))
   )
 }
