@@ -182,6 +182,40 @@ object RelationalExtras {
         CAST(length(c_name)
              - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INTEGER)
           AS n_masked
-        FROM customer ORDER BY c_custkey"""))
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // q69: MOVING WINDOW frames (ROWS BETWEEN 6 PRECEDING AND CURRENT
+    // ROW): 7-day trailing revenue sum/average over the daily rollup —
+    // the frame-spec surface the reference never uses (SURVEY §2.5).
+    // The trailing average is built as exact-decimal frame sum ÷ frame
+    // count (not avg() over doubles) so it is order-exact on both
+    // engines. Global window, but over the ~2.4k-row DAILY aggregate —
+    // the post-aggregation shape that stays O(|days|) at any fact size.
+    Q("q69_moving_avg",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .as("sales_date"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        val w = Window.orderBy(col("sales_date")).rowsBetween(-6, 0)
+        daily
+          .select(col("sales_date"), dbl(col("rev")).as("revenue"),
+            dbl(sum(col("rev")).over(w)).as("rev_7d"),
+            count(lit(1)).over(w).as("n_7d"))
+          .withColumn("avg_7d", col("rev_7d") / col("n_7d"))
+          .orderBy(col("sales_date"))
+      },
+      Some("""WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m-%d') AS sales_date,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+          FROM orders GROUP BY sales_date)
+        SELECT sales_date, CAST(rev AS DOUBLE) AS revenue,
+               CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d,
+               CAST(count(*) OVER w AS BIGINT) AS n_7d,
+               CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS avg_7d
+        FROM daily
+        WINDOW w AS (ORDER BY sales_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY sales_date"""))
   )
 }
