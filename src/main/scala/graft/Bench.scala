@@ -7,33 +7,39 @@ package graft
   *   no collect, no pruning shortcut a `count()` would allow.
   * - One warmup query absorbs JVM/classloader/codegen startup so the
   *   numbers reflect steady-state execution.
-  * - q35/q40 are excluded: they are the deliberately O(n²) exact-oracle
-  *   twins of the LSH-based q36/q41 scale paths (which are timed).
+  * - Queries tagged `verificationOnly` in the registry (the deliberately
+  *   O(n²)/interpreted oracle twins q35/q40/q48/q55/q66) are excluded —
+  *   their production twins (q36/q41/q37/q67) are what gets timed.
+  * - One extra bench-only entry, `q53_percentiles_approx`, times the
+  *   approx_percentile scale path next to q53's exact form (the exact
+  *   percentile buffers all group values; the sketch is fixed-memory
+  *   and mergeable — TrainingSpec bounds its error).
   */
 object Bench {
-  /** Verification-oracle queries whose production twin is benchmarked. */
-  private val oracleOnly =
-    Set("q35_jaccard_topk", "q40_cosine_neardup", "q48_minhash_lsh_oracle",
-      "q55_simhash_oracle", "q66_corpus_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
 
-    def runNoop(name: String): Double = {
+    def time(df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      try df.write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] failed: ${e.getMessage}")
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.registry.map(_.name).filterNot(oracleOnly)
+    def runNoop(name: String): Double = {
+      val r = time(SparkEntry.queries(name)(spark, sfDir))
+      if (r < 0) System.err.println(s"[bench] $name failed")
+      r
+    }
+
+    val names = SparkEntry.registry.filterNot(_.verificationOnly).map(_.name)
     // Warmup absorbs JVM/classloader/codegen startup. Three queries with
     // disjoint operator shapes (hash agg / filter+sort+string kernels /
     // multi-join) so the first timed occurrence of each codegen path
@@ -41,7 +47,9 @@ object Bench {
     Seq("q01_pricing_summary", "q02_project_filter", "q04_multi_join")
       .filter(SparkEntry.queries.contains).foreach(runNoop)
 
-    val results = names.map(n => n -> runNoop(n))
+    val results = names.map(n => n -> runNoop(n)) :+
+      ("q53_percentiles_approx" ->
+        time(operators.TrainingQueries.percentilesApprox(spark, sfDir)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

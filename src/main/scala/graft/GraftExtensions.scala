@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, HyperplaneBucket, LangIdExpr, MinHashSig, PolyHash, Shingles, SimHash64, TextFunctions, TextStats}
+import graft.functions.{CosineSim, HyperplaneBucket, LangIdExpr, MinHashSig, PolyHash, PolyHashLongs, Shingles, SimHash61, TextFunctions, TextStats}
 
 /** SparkSessionExtensions registration: exposes the engine's custom
   * Catalyst expressions to SQL (`SELECT poly_hash(text) ...`,
@@ -38,9 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
       exprs => Shingles(exprs.head, intArg(exprs(1)))))
     e.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      exprs => SimHash64(exprs.head)))
+      new FunctionIdentifier("simhash61"),
+      new ExpressionInfo(classOf[SimHash61].getName, "simhash61"),
+      exprs => SimHash61(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("poly_hash_longs"),
+      new ExpressionInfo(classOf[PolyHashLongs].getName, "poly_hash_longs"),
+      exprs => PolyHashLongs(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -3,19 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature over a shingle array: for each element,
-  * one UTF-8 xxhash64, then k cheap long-rehashes, folding the k minima
-  * in a tight JVM loop. Replaces the k nested higher-order-function
-  * passes (one boxed lambda invocation per element per permutation) with
-  * one call per ROW — the preference-tier-(b) custom `Expression` from
-  * the build brief, used because the built-in composition is measurably
-  * the bottleneck.
+  * one polynomial byte hash into [0, 2^61), then k affine permutations
+  * `(a_i·x + b_i) mod (2^61−1)` ([[MulMod61]] — Broder's universal-hash
+  * MinHash construction), folding the k minima in a tight JVM loop.
+  * Replaces the k nested higher-order-function passes (one boxed lambda
+  * invocation per element per permutation) with one call per ROW — the
+  * preference-tier-(b) custom `Expression` from the build brief, used
+  * because the built-in composition is measurably the bottleneck.
   *
   * `doGenCode` emits a call to [[compute]] on a referenced instance
   * rather than falling back: a `CodegenFallback` here would force the
@@ -23,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * tree) into interpreted mode, costing far more than this operator
   * itself.
   *
-  * Hashing uses Spark's own XXH64 (the `xxhash64` builtin's algorithm),
-  * so values are stable public-algorithm outputs. Empty input yields
-  * Long.MaxValue sentinels (no shingles → matches nothing).
+  * The [[MulMod61]] family (not an xxhash64 chain) keeps every value
+  * recomputable in DuckDB HUGEINT SQL, so the driver's oracle gate
+  * checks the production signatures themselves (q34/q36/q67). Empty
+  * input yields Long.MaxValue sentinels (no shingles → matches nothing).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -42,12 +43,11 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var j = 0
     while (j < n) {
       val s: UTF8String = input.getUTF8String(j)
-      // one string hash, then k long re-hashes
-      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
+      // one byte-level hash, then k affine permutations
+      val x = MulMod61.polyHash61(s)
       var i = 0
       while (i < numHashes) {
-        val hi = XXH64.hashLong(h0, i.toLong)
+        val hi = MulMod61.affine(MulMod61.ha(i), MulMod61.hb(i), x)
         if (hi < mins(i)) mins(i) = hi
         i += 1
       }

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftinterop.ColumnInterop
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling-hash document fingerprint: h = Σ b_i · B^(n-1-i)
@@ -61,4 +62,51 @@ object PolyHash {
   /** Column-level entry point: `poly_hash($"text")`. */
   def polyHash(c: Column): Column =
     ColumnInterop.column(PolyHash(ColumnInterop.expression(c)))
+}
+
+/** Rolling hash of an `array<long>` into [0, 2^61): h ← (h·B + v) mod
+  * (2^61−1). The LSH band-key hash over MinHash-signature slices — same
+  * [[MulMod61]] arithmetic as the signature itself, so band keys are
+  * recomputable by the DuckDB oracle (`MulMod61.sqlPh61Longs`). Values
+  * must be in [0, 2^61) (signature positions are; the Long.MaxValue
+  * empty-set sentinel is outside the domain and only arises for empty
+  * shingle sets, which produce no candidate pairs anyway).
+  */
+case class PolyHashLongs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash_longs"
+
+  def compute(input: ArrayData): Long = {
+    val n = input.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      var s = MulMod61.mulmod(h, MulMod61.B) + input.getLong(i)
+      if (s >= MulMod61.P) s -= MulMod61.P
+      h = s
+      i += 1
+    }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("phl", this, classOf[PolyHashLongs].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyHashLongs = copy(child = newChild)
+}
+
+object PolyHashLongs {
+  def polyHashLongs(c: Column): Column =
+    ColumnInterop.column(PolyHashLongs(ColumnInterop.expression(c)))
 }

@@ -3,41 +3,50 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.graftinterop.ColumnInterop
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused 64-bit SimHash: lowercase → trim → whitespace-tokenize →
-  * distinct → per-token xxhash64 → per-bit majority vote (+1 for a set
-  * bit, −1 otherwise; ties round up) → packed long. One JVM pass per
-  * row — the higher-order-function formulation needs 64 interpreted
-  * `filter` traversals of the token array per row (HOFs are never
-  * codegen'd), which measured ~2.2s at sf0.1 vs ~0.2s fused.
+/** Fused 61-bit SimHash: lowercase → trim → whitespace-tokenize →
+  * distinct → per-token [[MulMod61]] hash → per-bit majority vote (+1
+  * for a set bit, −1 otherwise; ties round up) → packed long. One JVM
+  * pass per row — the higher-order-function formulation needs one
+  * interpreted `filter` traversal of the token array per bit per row
+  * (HOFs are never codegen'd), which measured ~2.2s at sf0.1 vs ~0.2s
+  * fused.
+  *
+  * 61 bits (not 64) because the token hash is
+  * `(tokA·polyHash61(tok) + tokB) mod (2^61−1)` — every step HUGEINT-
+  * SQL-expressible, so the DuckDB gate recomputes the production
+  * signatures bit-for-bit (q37 is oracle-checked, not rows-only; the
+  * independent md5 formulation q55 remains as a second fixture). The
+  * 3-bit shorter signature changes Hamming-distance resolution
+  * negligibly (61 independent majority votes vs 64).
   *
   * Near-duplicates have small Hamming distance:
   * `bit_count(simhash(a) ^ simhash(b))`.
   */
-case class SimHash64(child: Expression)
+case class SimHash61(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash61"
+
+  val Bits = 61
 
   def compute(input: UTF8String): Long = {
     // UTF8String.toLowerCase = Spark's lower(): locale-independent (the
     // JVM-default-locale String.toLowerCase would be machine-dependent).
     val toks = input.toLowerCase.toString.trim.split("\\s+").distinct
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](Bits)
     var i = 0
     while (i < toks.length) {
-      val b = toks(i).getBytes("UTF-8")
-      val h = XXH64.hashUnsafeBytes(b,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      val h = MulMod61.affine(MulMod61.tokA, MulMod61.tokB,
+        MulMod61.polyHash61(UTF8String.fromString(toks(i))))
       var bit = 0
-      while (bit < 64) {
+      while (bit < Bits) {
         if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
         bit += 1
       }
@@ -45,7 +54,7 @@ case class SimHash64(child: Expression)
     }
     var sig = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < Bits) {
       if (counts(bit) >= 0) sig |= (1L << bit)
       bit += 1
     }
@@ -58,15 +67,15 @@ case class SimHash64(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val ref = ctx.addReferenceObj("simhash", this,
-        classOf[SimHash64].getName)
+        classOf[SimHash61].getName)
       s"${ev.value} = $ref.compute($c);"
     })
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash61 =
     copy(child = newChild)
 }
 
-object SimHash64 {
+object SimHash61 {
   def simhash(c: Column): Column =
-    ColumnInterop.column(SimHash64(ColumnInterop.expression(c)))
+    ColumnInterop.column(SimHash61(ColumnInterop.expression(c)))
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.MulMod61
+import graft.functions.PolyHashLongs.polyHashLongs
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,12 +15,15 @@ import org.apache.spark.sql.functions._
   *     stage after LSH candidate generation at 100 TB),
   *   - MinHash + banded LSH (the scale path: candidate pairs come from a
   *     shuffle on (band, bucket) keys, never a cross join),
-  *   - SimHash (64-bit bit-majority signature; near-dups = small Hamming
+  *   - SimHash (61-bit bit-majority signature; near-dups = small Hamming
   *     distance).
   *
-  * MinHash/SimHash build on xxhash64 (codegen'd, no UDF) and are not
-  * DuckDB-expressible → exact-expectation ScalaTest coverage instead of
-  * SQL oracles.
+  * MinHash/SimHash build on the [[MulMod61]] universal-hash family
+  * (polynomial byte hash + affine permutations mod 2^61−1) inside fused
+  * codegen expressions — fast in the JVM AND exactly recomputable in
+  * DuckDB HUGEINT SQL, so q34/q36/q37 are oracle-checked end-to-end,
+  * values included (round 2 used an xxhash64 chain, which forced
+  * rows-only driver checks).
   */
 object DedupQueries {
 
@@ -34,19 +39,52 @@ object DedupQueries {
   val RowsPerBand: Int = NumHashes / NumBands
 
   /** MinHash signature: the single-pass custom Expression
-    * ([[graft.functions.MinHashSig]]) — one string hash + k long
-    * re-hashes per shingle in a tight JVM loop, no per-element lambda
+    * ([[graft.functions.MinHashSig]]) — one byte hash + k affine
+    * permutations per shingle in a tight JVM loop, no per-element lambda
     * overhead. See MinHashSig's scaladoc for why the HOF composition
     * wasn't enough.
     */
   private def minhashSignature(sh: org.apache.spark.sql.Column) =
     graft.functions.MinHashSig.minhashSig(sh, NumHashes)
 
+  private val P = MulMod61.P
+
+  /** Shared oracle CTE prefix: tokenize → distinct 3-shingles (`shl`),
+    * exploded shingles (`shr`), per-shingle polyHash61 (`ph`), the
+    * (i, a_i, b_i) constant table (`k`), per-(doc, i) affine minima
+    * (`pos`), and the assembled 64-long signature (`sig`) — the
+    * relational formulation of exactly what [[MinHashSig]] computes.
+    */
+  private def sigCtes: String =
+    s"""tk AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |shl AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           range(1, greatest(len(w) - 1, 1)),
+       |           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+       |  FROM tk),
+       |shr AS (SELECT doc_id, unnest(s) AS x FROM shl),
+       |ph AS (SELECT doc_id, ${MulMod61.sqlPh61("x")} AS px FROM shr),
+       |k AS (SELECT unnest(range(0, $NumHashes)) AS i,
+       |             unnest(${MulMod61.sqlHaList(NumHashes)}) AS a,
+       |             unnest(${MulMod61.sqlHbList(NumHashes)}) AS b),
+       |pos AS (
+       |  SELECT doc_id, k.i, min((k.a * ph.px + k.b) % $P) AS m
+       |  FROM ph CROSS JOIN k GROUP BY doc_id, k.i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sg FROM pos GROUP BY doc_id)""".stripMargin
+
+  private val jaccardSql =
+    """CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q34: MinHash signatures + band keys per document (the LSH
-    // pre-shuffle state). Rows-only driver check; exact values pinned in
-    // DedupSpec.
+    // pre-shuffle state). The MulMod61 family makes the signature values
+    // themselves oracle-checkable: DuckDB recomputes h0/h1 and the first
+    // band key from the same constants.
     Q("q34_minhash_signatures",
       (s, dir) => {
         t(s, dir, "documents")
@@ -56,10 +94,15 @@ object DedupQueries {
             col("doc_id"),
             element_at(col("sig"), 1).as("h0"),
             element_at(col("sig"), 2).as("h1"),
-            xxhash64(slice(col("sig"), 1, RowsPerBand)).as("band0_key"))
+            polyHashLongs(slice(col("sig"), 1, RowsPerBand)).as("band0_key"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(s"""WITH $sigCtes
+        SELECT doc_id,
+               CAST(sg[1] AS BIGINT) AS h0,
+               CAST(sg[2] AS BIGINT) AS h1,
+               CAST(${MulMod61.sqlPh61Longs(s"list_slice(sg, 1, $RowsPerBand)")} AS BIGINT) AS band0_key
+        FROM sig ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q35: exact 3-shingle Jaccard, top-20 most similar pairs. The
@@ -91,13 +134,17 @@ object DedupQueries {
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
+        ORDER BY jaccard DESC, a_id, b_id LIMIT 20"""),
+      doc = "O(n²) exact ground truth; scale path = q36 (banded LSH).",
+      verificationOnly = true),
 
     // ------------------------------------------------------------------
     // q36: MinHash-LSH candidate pairs → exact-Jaccard verified. The
     // scale path: explode 16 band keys per doc, shuffle on (band,
     // bucket), join within buckets — never an O(n²) cross join. Top-20
-    // by verified jaccard for a deterministic, non-empty result.
+    // by verified jaccard for a deterministic, non-empty result. The
+    // oracle replays the ENTIRE dataflow (signatures, band keys,
+    // candidate join, verification) in DuckDB from the same constants.
     Q("q36_minhash_lsh_pairs",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -108,7 +155,7 @@ object DedupQueries {
           col("doc_id"), col("sh"),
           explode(transform(sequence(lit(0), lit(NumBands - 1)),
             b => struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+              polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
                 .as("bucket")))).as("bb"))
           .select(col("doc_id"), col("sh"),
             col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -126,20 +173,29 @@ object DedupQueries {
           .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
-      None),
+      Some(s"""WITH $sigCtes,
+        banded AS (
+          SELECT doc_id, u.b AS band,
+                 ${MulMod61.sqlPh61Longs(s"list_slice(sg, u.b*$RowsPerBand + 1, u.b*$RowsPerBand + $RowsPerBand)")} AS bucket
+          FROM sig, (SELECT unnest(range(0, $NumBands)) AS b) u),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, $jaccardSql AS jaccard
+        FROM cand
+        JOIN shl sa ON sa.doc_id = a_id
+        JOIN shl sb ON sb.doc_id = b_id
+        ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
 
     // ------------------------------------------------------------------
-    // q37: SimHash 64-bit signatures: per bit, majority vote of the
-    // token-hash bits (weight +1/-1), packed to a long. Near-dups have
-    // small Hamming distance (bit_count(a XOR b)).
+    // q48: the md5/lexicographic-min LSH twin (round 2's portability
+    // trick, 32 hashes × 8 bands): an INDEPENDENT hash family running
+    // the same banded dataflow, kept as a second correctness fixture for
+    // q36 now that the production family is oracle-checked directly.
     Q("q48_minhash_lsh_oracle",
       (s, dir) => {
-        // The SAME banded-LSH dataflow as q36, but with md5-string
-        // min-hashing (lexicographic min of hex digests is a valid
-        // min-hash) — every step expressible in ANSI-ish SQL, so the
-        // whole candidate-generation pipeline is DuckDB-oracle-checked,
-        // not just its verified output. q36 (xxhash64 + fused
-        // expression) stays the production/bench path.
         val nh = 32
         val nb = 8
         val docs = t(s, dir, "documents")
@@ -205,15 +261,41 @@ object DedupQueries {
         JOIN sh sb ON sb.doc_id = b_id
         WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
-        ORDER BY a_id, b_id""")),
+        ORDER BY a_id, b_id"""),
+      doc = "Interpreted-HOF md5 twin of q36; production path = q36 (fused MulMod61).",
+      verificationOnly = true),
 
     // ------------------------------------------------------------------
+    // q37: SimHash signatures: per distinct token a MulMod61 hash, per
+    // bit a majority vote (+1/−1, ties up), packed to a 61-bit long.
+    // Near-dups have small Hamming distance (bit_count(a XOR b)). The
+    // oracle recomputes every signature from the same constants.
     Q("q37_simhash",
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-            graft.functions.SimHash64.simhash(col("text")).as("simhash"))
+            graft.functions.SimHash61.simhash(col("text")).as("simhash"))
           .orderBy(col("doc_id")),
-      None)
+      Some(s"""WITH tk AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+          FROM documents),
+        tr AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        th AS (
+          SELECT doc_id,
+                 CAST((${MulMod61.tokA}::HUGEINT * ${MulMod61.sqlPh61("tok")}
+                       + ${MulMod61.tokB}) % $P AS BIGINT) AS h
+          FROM tr),
+        votes AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN ((h >> CAST(u.b AS INTEGER)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(range(0, 61)) AS b) u
+          GROUP BY doc_id, u.b)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v >= 0
+                             THEN (1::BIGINT << CAST(b AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -141,15 +141,21 @@ object TextQueries {
 
     // ------------------------------------------------------------------
     // q32: PolyHash rolling-hash fingerprints (custom codegen'd Catalyst
-    // expression) — not SQL-expressible, exact golden values in
-    // TextFunctionsSpec instead.
+    // expression). The oracle replays the byte-level fold in DuckDB
+    // HUGEINT arithmetic — mod-2^64 per step, two's-complement at the
+    // end — so the exact JVM-overflow hash values are gate-checked
+    // (testdata text is ASCII, so ord(char) = UTF-8 byte).
     Q("q32_fingerprints",
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"), polyHash(col("text")).as("fingerprint"),
             polyHash(lower(trim(col("text")))).as("normalized_fingerprint"))
           .orderBy(col("doc_id")),
-      None),
+      Some(s"""WITH n AS (SELECT doc_id, text, lower(trim(text)) AS ntext FROM documents)
+        SELECT doc_id,
+               ${graft.functions.MulMod61.sqlPh64Signed("text")} AS fingerprint,
+               ${graft.functions.MulMod61.sqlPh64Signed("ntext")} AS normalized_fingerprint
+        FROM n ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q33: exact dedup via content-hash groupBy (md5), keeping the

@@ -25,6 +25,24 @@ object TrainingQueries {
   private def toks(text: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(text)
 
+  /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
+    * memory mergeable sketch vs the exact form's per-group value
+    * buffers). Not in the registry — sketch outputs are engine-specific
+    * so no cross-engine oracle is meaningful; TrainingSpec bounds its
+    * error against q53's exact values instead.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
+          .as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+        col("ps")(2).as("p75"), col("ps")(3).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q49: AS-OF JOIN (trades×quotes shape): for each 'purchase' event,
@@ -400,15 +418,18 @@ object TrainingQueries {
                CAST(len(list_filter(list_zip(a.s, b.s), p -> p[1] = p[2]))
                  AS DOUBLE) / 32 AS est_jaccard
         FROM sig a JOIN sig b ON a.source < b.source
-        ORDER BY source_a, source_b""")),
+        ORDER BY source_a, source_b"""),
+      doc = "Interpreted-HOF md5 twin of q67; production path = q67 (MinHashSig + MinHashUnion UDAF).",
+      verificationOnly = true),
 
     // ------------------------------------------------------------------
-    // q67: the PRODUCTION corpus-overlap path — fused XXH64 MinHashSig
-    // per doc (one pass), MinHashUnion UDAF merges them per source
-    // (map-side partial aggregation, O(k) per group across the
-    // shuffle), pairwise position-match estimate. Same dataflow as q66
-    // with the portable hashing swapped for the fast one → rows-only
-    // driver check; TrainingSpec bounds its estimates against q66's.
+    // q67: the PRODUCTION corpus-overlap path — fused MulMod61
+    // MinHashSig per doc (one pass), MinHashUnion UDAF merges them per
+    // source (map-side partial aggregation, O(k) per group across the
+    // shuffle), pairwise position-match estimate. The union-sketch
+    // property sig(A∪B) = min(sig(A), sig(B)) lets the oracle recompute
+    // each source signature directly as the per-position minimum over
+    // the source's distinct shingles — value-exact, not just bounded.
     Q("q67_corpus_overlap_fast",
       (s, dir) => {
         val nh = 32
@@ -431,18 +452,41 @@ object TrainingQueries {
             (matches.cast("double") / nh).as("est_jaccard"))
           .orderBy(col("source_a"), col("source_b"))
       },
-      None),
+      {
+        val mm = graft.functions.MulMod61
+        Some(s"""WITH tk AS (
+            SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(w) - 1, 1)),
+                     i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS x
+            FROM tk),
+          ph AS (SELECT source, ${mm.sqlPh61("x")} AS px FROM sh),
+          k AS (SELECT unnest(range(0, 32)) AS i,
+                       unnest(${mm.sqlHaList(32)}) AS a,
+                       unnest(${mm.sqlHbList(32)}) AS b),
+          pos AS (
+            SELECT source, k.i, min((k.a * ph.px + k.b) % ${mm.P}) AS m
+            FROM ph CROSS JOIN k GROUP BY source, k.i),
+          sig AS (SELECT source, list(m ORDER BY i) AS s FROM pos GROUP BY source)
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(len(list_filter(list_zip(a.s, b.s), p -> p[1] = p[2]))
+                   AS DOUBLE) / 32 AS est_jaccard
+          FROM sig a JOIN sig b ON a.source < b.source
+          ORDER BY source_a, source_b""")
+      }),
 
     // ------------------------------------------------------------------
-    // q55: SimHash ORACLE TWIN (the q48 trick applied to q37): the same
-    // distinct-token → 64-bit-hash → per-bit majority-vote pipeline,
-    // but hashing via md5 hex digits so every step is expressible in
-    // DuckDB. Bits are read straight from hex characters (digit value →
-    // shift/mask) — no platform-specific hex→int casts — and the packed
-    // signature is emitted as two 32-bit halves to stay inside signed
-    // BIGINT on both engines. q37 (fused XXH64 expression) remains the
-    // production/bench path; this twin makes the simhash DATAFLOW
-    // oracle-checked end-to-end, not just property-tested.
+    // q55: SimHash md5 TWIN (the q48 trick applied to q37): the same
+    // distinct-token → hash → per-bit majority-vote pipeline, but
+    // hashing via md5 hex digits — an INDEPENDENT hash family kept as a
+    // second fixture now that q37's production MulMod61 signatures are
+    // oracle-checked directly. Bits are read straight from hex
+    // characters (digit value → shift/mask) and the packed signature is
+    // emitted as two 32-bit halves to stay inside signed BIGINT on both
+    // engines. q37 (fused expression) is the production/bench path.
     Q("q55_simhash_oracle",
       (s, dir) => {
         val bits = t(s, dir, "documents")
@@ -486,6 +530,8 @@ object TrainingQueries {
                              THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_lo,
                CAST(sum(CASE WHEN b >= 32 AND vote >= 0
                              THEN CAST(power(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_hi
-        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+        FROM votes GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Declarative md5 twin of q37; production path = q37 (fused SimHash61).",
+      verificationOnly = true)
   )
 }

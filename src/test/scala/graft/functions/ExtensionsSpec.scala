@@ -29,13 +29,13 @@ class ExtensionsSpec extends AnyFunSuite {
   test("text functions are callable from SQL and match the API") {
     docs // force view registration
     val viaSql = spark.sql("""
-      SELECT doc_id, poly_hash(text) AS ph, simhash64(text) AS sh,
+      SELECT doc_id, poly_hash(text) AS ph, simhash61(text) AS sh,
              size(shingles(text, 3)) AS nsh,
              text_stats(text).n_tokens AS nt, lang_id(text) AS lang
       FROM ext_docs ORDER BY doc_id""").collect()
     val viaApi = docs.select($"doc_id",
       PolyHash.polyHash($"text").as("ph"),
-      SimHash64.simhash($"text").as("sh"),
+      SimHash61.simhash($"text").as("sh"),
       org.apache.spark.sql.functions.size(
         Shingles.shingles($"text", 3)).as("nsh"),
       TextFunctions.textStats($"text").getField("n_tokens").as("nt"),

@@ -34,6 +34,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaExpr == interp)
   }
 
+  test("MulMod61: mulmod/affine match arbitrary-precision arithmetic") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val a = math.abs(rnd.nextLong()) % MulMod61.P
+      val x = math.abs(rnd.nextLong()) % MulMod61.P
+      assert(MulMod61.mulmod(a, x) ==
+        (BigInt(a) * BigInt(x) % MulMod61.P).toLong)
+      val b = math.abs(rnd.nextLong()) % MulMod61.P
+      assert(MulMod61.affine(a, b, x) ==
+        ((BigInt(a) * BigInt(x) + b) % MulMod61.P).toLong)
+    }
+  }
+
+  test("MulMod61: polyHash61 matches the byte-fold reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s <- Seq("", "a", "abc def", "the quick brown fox", "x" * 500)) {
+      val expected = s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) =>
+        (h * MulMod61.B + (b & 0xff)) % MulMod61.P).toLong
+      assert(MulMod61.polyHash61(UTF8String.fromString(s)) == expected)
+    }
+  }
+
+  test("MinHashSig positions are the affine-family minima over shingle hashes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val sh = Seq(text).toDF("t")
+      .select(shingleSet($"t", 3).as("s")).as[Seq[String]].head()
+    val sig = Seq(text).toDF("t")
+      .select(MinHashSig.minhashSig(shingleSet($"t", 3), 8).as("sig"))
+      .as[Seq[Long]].head()
+    val phs = sh.map(x => MulMod61.polyHash61(UTF8String.fromString(x)))
+    val expected = (0 until 8).map(i =>
+      phs.map(x => MulMod61.affine(MulMod61.ha(i), MulMod61.hb(i), x)).min)
+    assert(sig == expected)
+  }
+
+  test("PolyHashLongs matches the long-fold reference and feeds band keys") {
+    val vs = Seq(5L, MulMod61.P - 1, 123456789012345L, 0L)
+    val got = Seq(vs).toDF("v")
+      .select(PolyHashLongs.polyHashLongs($"v")).as[Long].head()
+    val expected = vs.foldLeft(BigInt(0))((h, v) =>
+      (h * MulMod61.B + v) % MulMod61.P).toLong
+    assert(got == expected)
+  }
+
+  test("IntDot equals the BigInt dot product (codegen + interpreted)") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextInt(1001).toLong - 500),
+      Seq.fill(64)(rnd.nextInt(2000001).toLong - 1000000)))
+    val got = rows.toDF("a", "b")
+      .select(IntDot.intDot($"a", $"b")).as[Long].collect().toSeq
+    val expected = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum.toLong }
+    assert(got == expected)
+  }
+
   test("tokens / shingles") {
     val sh = Seq("a b c d").toDF("t")
       .select(shingleSet($"t", 3)).as[Seq[String]].head()

@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite {
       (4L, "completely different words about spark catalyst optimizer internals")
     ).toDF("doc_id", "text")
     val sigs = df
-      .select($"doc_id", graft.functions.SimHash64.simhash($"text").as("sh"))
+      .select($"doc_id", graft.functions.SimHash61.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
 
     assert(sigs(1L) == sigs(2L))
