@@ -1,0 +1,73 @@
+package graft
+
+import java.time.LocalDate
+
+/** Serving entry point — the engine's analogue of the reference's
+  * `public.*` passthrough views that its BI layer reads over a live
+  * connection (reference `analytics_dag.py:339-440`): run the pipeline,
+  * register every analytics table and derived view on a long-lived
+  * session, and stay up answering SQL.
+  *
+  * Usage: `runMain graft.Serve [csvDir] [outDir] [--once]`
+  *   - no csvDir → generate the deterministic CSV fixtures first
+  *   - `--once`  → smoke mode: query every view once, print row counts,
+  *                 exit 0 (what ServeSpec and the driver can run)
+  *   - otherwise → keep the session alive until stdin closes / SIGTERM,
+  *                 re-printing the catalog every 5 minutes. A production
+  *                 deployment would front this session with the Spark
+  *                 Thrift Server / Spark Connect for JDBC clients; the
+  *                 serving surface (the registered views) is identical.
+  */
+object Serve {
+
+  /** The served catalog: every `public_*` view registered by
+    * [[pipeline.PipelineResult.registerViews]].
+    */
+  def servedViews(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("public_")).sorted.toSeq
+
+  def main(args: Array[String]): Unit = {
+    val flags = args.filter(_.startsWith("--")).toSet
+    val paths = args.filterNot(_.startsWith("--"))
+    val once = flags.contains("--once")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val workDir = paths.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_serve").toString)
+    val csvDir = paths.headOption.getOrElse {
+      val d = s"$workDir/csv"
+      pipeline.DataGen.writeAll(spark, d)
+      d
+    }
+
+    val result = pipeline.Pipeline.run(spark, csvDir, s"$workDir/out",
+      LocalDate.of(2025, 7, 15))
+    result.registerViews(spark)
+
+    val views = servedViews(spark)
+    println(s"[serve] ${views.size} views registered:")
+    views.foreach { v =>
+      val n = spark.sql(s"SELECT count(*) FROM $v").head().getLong(0)
+      println(f"[serve]   $v%-28s $n%6d rows")
+    }
+
+    if (once) { spark.stop(); return }
+
+    println("[serve] serving; close stdin or SIGTERM to stop")
+    val in = System.in
+    var open = true
+    while (open) {
+      // wake every 5 min to confirm liveness; exit when stdin closes
+      val deadline = System.currentTimeMillis() + 5 * 60 * 1000
+      while (open && System.currentTimeMillis() < deadline) {
+        if (in.available() > 0 && in.read() == -1) open = false
+        else Thread.sleep(1000)
+      }
+      if (open) println(s"[serve] alive, ${views.size} views")
+    }
+    spark.stop()
+  }
+}

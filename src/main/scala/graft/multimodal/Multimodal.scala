@@ -6,15 +6,19 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column support: media as opaque
   * `BinaryType` payloads plus typed metadata, with decode /
-  * feature-extract / frame-sample stages.
+  * feature-extract / resize / frame-sample stages.
   *
   * The Spark-side plumbing is real and tested — schema, partition-size
   * control for large blobs, `mapPartitions` batch shape (the Scala
-  * analogue of arrow-batched pandas UDFs), typed output encoders. The
-  * codec itself is STUBBED (`StubCodec`): this container has no
-  * image/audio libraries, so the byte→pixels step is a deterministic
-  * fake with the same interface a JNI/FFmpeg-backed codec would have.
-  * Swapping in a real codec changes exactly one function.
+  * analogue of arrow-batched pandas UDFs), typed output encoders.
+  *
+  * The IMAGE path is a real codec ([[ImageCodec]]): PNG decode/encode
+  * via `javax.imageio` (in every JDK — no new dependency), grid-
+  * luminance features from actual pixels, nearest-neighbor resize.
+  * AUDIO/VIDEO decode remains STUBBED (`StubCodec`): the container has
+  * no PCM/FFmpeg libraries, so those byte→samples steps are a
+  * deterministic fake with the same interface a codec-backed version
+  * would have; swapping one in changes exactly one function.
   */
 object Multimodal {
 
@@ -35,12 +39,118 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Int, checksum: Long, feature: Array[Float])
 
-  /** ====== STUB ======
+  /** Real image codec on `javax.imageio` (JDK-built-in PNG/BMP/GIF
+    * readers — zero added dependencies). Features are 4×4 grid mean
+    * luminances of the DECODED PIXELS (16-dim, matching StubCodec's
+    * dimension so the two paths share the `MediaFeatures` schema), and
+    * resize is an explicit nearest-neighbor kernel — deterministic,
+    * unlike `Graphics2D` interpolation which may vary by rendering
+    * pipeline.
+    */
+  object ImageCodec {
+    val FeatureDim = 16
+    private val Grid = 4
+
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Mean Rec.601 luminance per cell of a Grid×Grid partition of the
+      * image, row-major; cells outside a tiny image stay 0.
+      */
+    def gridLuminance(img: java.awt.image.BufferedImage): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      val counts = new Array[Int](FeatureDim)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299f * ((rgb >> 16) & 0xff) +
+            0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255.0f
+          val cell = math.min(y * Grid / h, Grid - 1) * Grid +
+            math.min(x * Grid / w, Grid - 1)
+          f(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < FeatureDim) {
+        if (counts(i) > 0) f(i) /= counts(i)
+        i += 1
+      }
+      f
+    }
+
+    def decodeToFeature(payload: Array[Byte]): Array[Float] =
+      gridLuminance(decode(payload))
+
+    /** Downscale so max(side) ≤ maxSide (never upscales), nearest-
+      * neighbor sampling, re-encoded as PNG.
+      */
+    def resize(payload: Array[Byte], maxSide: Int): Array[Byte] = {
+      val img = decode(payload)
+      val w = img.getWidth; val h = img.getHeight
+      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+      val tw = math.max(1, (w * scale).toInt)
+      val th = math.max(1, (h * scale).toInt)
+      if (tw == w && th == h) return encodePng(img)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(out)
+    }
+
+    /** Deterministic synthetic PNG (used by [[generate]]): a smooth
+      * id-seeded RGB gradient, actually encoded — downstream stages
+      * exercise the real decoder.
+      */
+    def makePng(id: Long, side: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val r = ((id * 37 + x * 3 + y) & 0xff).toInt
+          val g = ((id * 59 + x + y * 5) & 0xff).toInt
+          val b = ((id * 83 + x * 2 + y * 2) & 0xff).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+  }
+
+  /** ====== STUB (audio/video only) ======
     * Deterministic fake decode: a real implementation would decode the
-    * container format here (JPEG→pixels, WAV→PCM, MP4→frames). The fake
-    * derives a stable 16-dim feature from the payload bytes so the
-    * pipeline around it is fully testable. Interface (bytes → feature
-    * vector) is exactly what a real codec-backed version exposes.
+    * container format here (WAV→PCM, MP4→frames). The fake derives a
+    * stable 16-dim feature from the payload bytes so the pipeline
+    * around it is fully testable. Interface (bytes → feature vector) is
+    * exactly what a real codec-backed version exposes — the image kind
+    * already runs the real [[ImageCodec]].
     */
   object StubCodec {
     val FeatureDim = 16
@@ -70,16 +180,21 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media table (payload bytes derived from the
-    * id — stable across partitionings, no RNG).
+  /** Deterministic synthetic media table (payloads derived from the id —
+    * stable across partitionings, no RNG). Image rows carry REAL PNG
+    * bytes ([[ImageCodec.makePng]]) so the decode path downstream is the
+    * actual `javax.imageio` decoder, not a fake.
     */
   def generate(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = 256 + (id * 37 % 1024).toInt
-      val payload = Array.tabulate[Byte](len)(i =>
-        ((id * 131 + i * 31) & 0xff).toByte)
+      val payload =
+        if (kind == "image") ImageCodec.makePng(id, 64)
+        else {
+          val len = 256 + (id * 37 % 1024).toInt
+          Array.tabulate[Byte](len)(i => ((id * 131 + i * 31) & 0xff).toByte)
+        }
       MediaRow(id, kind, payload,
         format = kind match {
           case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
@@ -100,10 +215,28 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
+      val feature =
+        if (m.kind == "image") ImageCodec.decodeToFeature(m.payload)
+        else StubCodec.decodeToFeature(m.payload)
       MediaFeatures(m.media_id, m.kind, m.payload.length,
-        StubCodec.checksum(m.payload),
-        StubCodec.decodeToFeature(m.payload))
+        StubCodec.checksum(m.payload), feature)
     })
+  }
+
+  /** Real image resize: decode → nearest-neighbor downscale → PNG
+    * re-encode, one codec call per row inside a partition pass. The
+    * metadata-only [[resizePlan]] remains for bookkeeping transforms
+    * that shouldn't touch pixels.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .mapPartitions(_.map { m =>
+        val resized = ImageCodec.resize(m.payload, maxSide)
+        val img = ImageCodec.decode(resized)
+        (m.media_id, img.getWidth, img.getHeight, resized)
+      })
+      .toDF("media_id", "out_width", "out_height", "payload")
   }
 
   /** Frame sampling for video rows: one output row per sampled frame. */

@@ -78,10 +78,14 @@ object RelationalExtras {
         def active(y: Int) = t(s, dir, "orders")
           .filter(year(col("o_orderdate")) === y)
           .select(col("o_custkey")).distinct()
-        // cache both key sets: intersect + two excepts reuse each
-        // subtree, and Spark re-executes repeated subtrees otherwise
-        // (~6 scans of orders for a 3-row result)
-        val a = active(1995).cache(); val b = active(1996).cache()
+        // materialize both key sets once: intersect + two excepts reuse
+        // each subtree, and Spark re-executes repeated subtrees otherwise
+        // (~6 scans of orders for a 3-row result). localCheckpoint, not
+        // cache(): cached plans pin CacheManager entries for the session
+        // lifetime, while checkpoint blocks are reference-tracked by the
+        // ContextCleaner and freed once this query's plan is collected.
+        val a = active(1995).localCheckpoint()
+        val b = active(1996).localCheckpoint()
         a.intersect(b).agg(count(lit(1)).as("n"))
           .select(lit("both").as("grp"), col("n"))
           .unionByName(a.except(b).agg(count(lit(1)).as("n"))

@@ -100,10 +100,11 @@ object EventStream {
     * closes on event-time timeout past the watermark.
     */
   def sessionizeStateful(events: Dataset[Event],
-      gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {

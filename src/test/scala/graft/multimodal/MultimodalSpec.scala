@@ -51,6 +51,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(length($"frame_bytes") === 0).count() == 0)
   }
 
+  test("ImageCodec golden: decoded PNG pixels produce the hand-computed luminance grid") {
+    // 2×2 image, one pure color per pixel: the 4×4 grid puts each pixel
+    // alone in a corner cell; expected luminances are the Rec.601
+    // weights computed here independently of the codec.
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // red
+    img.setRGB(1, 0, 0x00ff00) // green
+    img.setRGB(0, 1, 0x0000ff) // blue
+    img.setRGB(1, 1, 0xffffff) // white
+    val png = Multimodal.ImageCodec.encodePng(img)
+    val f = Multimodal.ImageCodec.decodeToFeature(png)
+    assert(f.length == Multimodal.ImageCodec.FeatureDim)
+    def lum(r: Int, g: Int, b: Int) =
+      (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+    // cell(x,y) = min(y*4/h,3)*4 + min(x*4/w,3) with w=h=2:
+    // (0,0) → 0; (1,0) → 2; (0,1) → 8; (1,1) → 10
+    assert(math.abs(f(0) - lum(255, 0, 0)) < 1e-6)
+    assert(math.abs(f(2) - lum(0, 255, 0)) < 1e-6)
+    assert(math.abs(f(8) - lum(0, 0, 255)) < 1e-6)
+    assert(math.abs(f(10) - lum(255, 255, 255)) < 1e-6)
+    assert(Seq(1, 3, 5, 15).forall(i => f(i) == 0.0f)) // unhit cells empty
+  }
+
+  test("ImageCodec: PNG round-trip preserves pixels; resize is nearest-neighbor") {
+    val png = Multimodal.ImageCodec.makePng(7L, 8)
+    val img = Multimodal.ImageCodec.decode(png)
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // round-trip: encode(decode(png)) decodes to identical pixels
+    val img2 = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.encodePng(img))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img2.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff))
+    // resize 8→4: target pixel (x,y) samples source (2x, 2y)
+    val small = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.resize(png, 4))
+    assert(small.getWidth == 4 && small.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((small.getRGB(x, y) & 0xffffff) ==
+        (img.getRGB(2 * x, 2 * y) & 0xffffff))
+    // never upscales
+    val same = Multimodal.ImageCodec.decode(
+      Multimodal.ImageCodec.resize(png, 100))
+    assert(same.getWidth == 8 && same.getHeight == 8)
+  }
+
+  test("generated image payloads are real PNGs; distributed decode + resize work") {
+    val images = media.filter(_.kind == "image")
+    // every image payload starts with the PNG magic and decodes to its
+    // declared metadata dimensions
+    val heads = images.collect()
+    assert(heads.nonEmpty)
+    heads.foreach { m =>
+      assert((m.payload(0) & 0xff) == 0x89 && m.payload(1) == 0x50.toByte)
+      val img = Multimodal.ImageCodec.decode(m.payload)
+      assert(img.getWidth == m.width.get && img.getHeight == m.height.get)
+    }
+    val resized = Multimodal.resizeImages(media, maxSide = 32)
+    assert(resized.count() == images.count())
+    assert(resized.filter($"out_width" =!= 32 || $"out_height" =!= 32)
+      .count() == 0)
+    // image features come from decoded pixels: luminance grid is bounded
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.kind == "image").collect()
+    assert(feats.forall(_.feature.forall(v => v >= 0.0f && v <= 1.0f)))
+  }
+
   test("resize plan: aspect preserved, never upscales") {
     val plan = Multimodal.resizePlan(media.toDF(), maxSide = 32)
     assert(plan.filter($"out_width" > 32 || $"out_height" > 32).count() == 0)

@@ -128,6 +128,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(failed.isEmpty, s"failed checks: ${failed.mkString("; ")}")
   }
 
+  test("serving surface: all public_* views register and answer SQL") {
+    result.registerViews(spark)
+    val views = graft.Serve.servedViews(spark)
+    assert(views.size == 11, s"got $views")
+    // every view is queryable through plain SQL on the session, like a
+    // Thrift/Connect client would issue it
+    views.foreach { v =>
+      assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) >= 0)
+    }
+    // the reference's headline serving views carry rows
+    Seq("public_customer_metrics", "public_daily_sales",
+      "public_executive_summary").foreach { v =>
+      assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) > 0, v)
+    }
+  }
+
   test("SCD2 second run with a changed batch grows history") {
     val dir = Files.createTempDirectory("graft_scd2").toString
     DataGen.writeAll(spark, s"$dir/csv", nCustomers = 20, nProducts = 10,

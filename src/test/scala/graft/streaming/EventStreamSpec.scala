@@ -122,6 +122,85 @@ class EventStreamSpec extends AnyFunSuite {
     assert(sRows.size >= bRows.size / 2)
   }
 
+  test("late events: in-watermark lates merge into sessions, too-late rows drop (gaps-and-islands oracle)") {
+    // Manufactured fixture, watermark = 15 minutes (a second setting next
+    // to the default 10), gap = 30 minutes. Three single-file drops
+    // processed one per micro-batch (maxFilesPerTrigger=1, mtime order):
+    //   drop1  t0+0m  u1   t0+5m u1   t0+0m u2        (all on time)
+    //   drop2  t0+60m u1   t0+4m u2                   (u2's is LATE but
+    //          above the t0-10m watermark → must merge into u2's session)
+    //   drop3  t0+120m u3  t0-30m u2                  (u2's is TOO LATE:
+    //          below the t0+45m watermark → must be dropped)
+    // Expected closed sessions afterwards (watermark ends at t0+105m):
+    //   u1 [t0, t0+5m] n=2 (closed by the 55m gap), u1 [t0+60m] n=1 and
+    //   u2 [t0, t0+4m] n=2 (closed by event-time timeout); u3's session
+    //   times out at t0+150m > watermark → still open, not emitted.
+    import java.io.File
+    import java.sql.Timestamp
+    import org.apache.spark.sql.expressions.Window
+
+    val t0 = Timestamp.valueOf("2025-03-01 12:00:00").getTime
+    def ts(offMin: Long) = new Timestamp(t0 + offMin * 60000L)
+    def row(id: Long, offMin: Long, user: Long, value: Double) =
+      (id, ts(offMin), user, "click", value, "{}")
+    val drops = Seq(
+      Seq(row(1, 0, 1, 1.0), row(2, 5, 1, 2.0), row(3, 0, 2, 3.0)),
+      Seq(row(4, 60, 1, 4.0), row(5, 4, 2, 5.0)),
+      Seq(row(6, 120, 3, 6.0), row(7, -30, 2, 7.0)))
+
+    val dir = Files.createTempDirectory("graft_late").toString
+    drops.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft_late_tmp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = new File(dir, f"drop$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L) // strict mtime order
+    }
+
+    val src = spark.readStream.schema(EventStream.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionizeStateful(src, watermark = "15 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sessions").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late_sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .collect().map(_.toSeq).toSet
+
+    // Batch oracle: q59's gaps-and-islands rewrite over the rows the
+    // watermark admitted (everything except the too-late event_id=7).
+    val accepted = drops.flatten.filter(_._1 != 7L)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val brk = when(lag($"ts", 1).over(w).isNull ||
+      unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >=
+        30L * 60 * 1000000, 1).otherwise(0)
+    val oracle = accepted
+      .withColumn("brk", brk)
+      .withColumn("session_id", sum($"brk").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .collect().map(_.toSeq).toSet
+
+    // u3's single-event session is the only one still open in state
+    val openU3 = Seq[Any](3L, ts(120), ts(120), 1L, 6.0)
+    assert(oracle.contains(openU3))
+    assert(emitted == oracle - openU3,
+      s"emitted=$emitted\noracle-minus-open=${oracle - openU3}")
+    // the late-but-admitted event really landed in u2's session
+    assert(emitted.exists(r => r(0) == 2L && r(3) == 2L && r(2) == ts(4)))
+  }
+
   test("sessionization: gap-based session windows per user") {
     val sessions = EventStream.runToMemory(spark, srcDir, "sessions",
       df => EventStream.sessionize(df, gap = "30 minutes"))
