@@ -8,15 +8,19 @@ import java.time.LocalDate
   * register every analytics table and derived view on a long-lived
   * session, and stay up answering SQL.
   *
-  * Usage: `runMain graft.Serve [csvDir] [outDir] [--once]`
-  *   - no csvDir → generate the deterministic CSV fixtures first
-  *   - `--once`  → smoke mode: query every view once, print row counts,
-  *                 exit 0 (what ServeSpec and the driver can run)
-  *   - otherwise → keep the session alive until stdin closes / SIGTERM,
-  *                 re-printing the catalog every 5 minutes. A production
-  *                 deployment would front this session with the Spark
-  *                 Thrift Server / Spark Connect for JDBC clients; the
-  *                 serving surface (the registered views) is identical.
+  * Usage: `runMain graft.Serve [csvDir] [outDir] [--once] [--connect]`
+  *   - no csvDir  → generate the deterministic CSV fixtures first
+  *   - `--once`   → smoke mode: query every view once, print row counts,
+  *                  exit 0 (what the spec and the driver can run)
+  *   - `--connect`→ additionally start the Spark Connect gRPC service
+  *                  (default port 15002) and mirror every view into
+  *                  `global_temp` — remote Connect sessions have their
+  *                  own session state, so plain temp views would be
+  *                  invisible to them; `global_temp.public_*` is the
+  *                  cross-session serving catalog a
+  *                  `spark.remote("sc://host:15002")` client queries.
+  *   - otherwise  → keep the session alive until stdin closes / SIGTERM,
+  *                  re-printing the catalog every 5 minutes.
   */
 object Serve {
 
@@ -52,6 +56,16 @@ object Serve {
     views.foreach { v =>
       val n = spark.sql(s"SELECT count(*) FROM $v").head().getLong(0)
       println(f"[serve]   $v%-28s $n%6d rows")
+    }
+
+    if (flags.contains("--connect")) {
+      views.foreach(v => spark.table(v).createOrReplaceGlobalTempView(v))
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .start(spark.sparkContext)
+      val port = spark.conf.getOption("spark.connect.grpc.binding.port")
+        .getOrElse("15002")
+      println(s"[serve] Spark Connect gRPC service on port $port " +
+        s"(views under global_temp.*)")
     }
 
     if (once) { spark.stop(); return }

@@ -144,13 +144,108 @@ object Multimodal {
     }
   }
 
-  /** ====== STUB (audio/video only) ======
+  /** Real audio codec on `javax.sound.sampled` (JDK-built-in WAV/PCM
+    * support — zero added dependencies): WAV container decode to 16-bit
+    * PCM samples, a 16-bin RMS energy envelope as the feature vector,
+    * and a deterministic synthesized-tone encoder for the generator.
+    */
+  object AudioCodec {
+    val FeatureDim = 16
+    val SampleRate = 8000f
+
+    private def pcmFormat = new javax.sound.sampled.AudioFormat(
+      SampleRate, 16, 1, true /* signed */, false /* little-endian */)
+
+    /** WAV bytes → 16-bit signed PCM samples. */
+    def decodePcm(payload: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = in.readAllBytes()
+        require(in.getFormat.getSampleSizeInBits == 16 &&
+          !in.getFormat.isBigEndian, s"expected 16-bit LE PCM, got ${in.getFormat}")
+        val out = new Array[Short](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** 16-bin RMS energy envelope of the decoded samples, each bin in
+      * [0, 1] (normalized by the 16-bit full scale).
+      */
+    def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+      val pcm = decodePcm(payload)
+      val f = new Array[Float](FeatureDim)
+      if (pcm.isEmpty) return f
+      val binLen = math.max(1, pcm.length / FeatureDim)
+      var b = 0
+      while (b < FeatureDim) {
+        val from = b * binLen
+        val until = math.min(if (b == FeatureDim - 1) pcm.length
+          else (b + 1) * binLen, pcm.length)
+        if (from < until) {
+          var acc = 0.0
+          var i = from
+          while (i < until) { acc += pcm(i).toDouble * pcm(i); i += 1 }
+          f(b) = (math.sqrt(acc / (until - from)) / 32768.0).toFloat
+        }
+        b += 1
+      }
+      f
+    }
+
+    def durationMs(payload: Array[Byte]): Int = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try (in.getFrameLength * 1000 / in.getFormat.getFrameRate).toInt
+      finally in.close()
+    }
+
+    def encodeWav(pcm: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](pcm.length * 2)
+      var i = 0
+      while (i < pcm.length) {
+        bytes(2 * i) = (pcm(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), pcmFormat, pcm.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic synthetic WAV (used by [[generate]]): a two-tone
+      * id-seeded waveform, actually containerized — downstream stages
+      * exercise the real decoder.
+      */
+    def makeWav(id: Long, ms: Int): Array[Byte] = {
+      val n = (SampleRate * ms / 1000).toInt
+      val f1 = 200.0 + (id % 17) * 50.0
+      val f2 = 600.0 + (id % 11) * 80.0
+      val pcm = Array.tabulate[Short](n) { i =>
+        val t = i / SampleRate.toDouble
+        val v = 0.4 * math.sin(2 * math.Pi * f1 * t) +
+          0.3 * math.sin(2 * math.Pi * f2 * t)
+        (v * 32767).toShort
+      }
+      encodeWav(pcm)
+    }
+  }
+
+  /** ====== STUB (video only) ======
     * Deterministic fake decode: a real implementation would decode the
-    * container format here (WAV→PCM, MP4→frames). The fake derives a
-    * stable 16-dim feature from the payload bytes so the pipeline
-    * around it is fully testable. Interface (bytes → feature vector) is
-    * exactly what a real codec-backed version exposes — the image kind
-    * already runs the real [[ImageCodec]].
+    * container format here (MP4→frames). The fake derives a stable
+    * 16-dim feature from the payload bytes so the pipeline around it is
+    * fully testable. Interface (bytes → feature vector) is exactly what
+    * a codec-backed version exposes — image and audio kinds already run
+    * the real [[ImageCodec]]/[[AudioCodec]].
     */
   object StubCodec {
     val FeatureDim = 16
@@ -182,27 +277,29 @@ object Multimodal {
 
   /** Deterministic synthetic media table (payloads derived from the id —
     * stable across partitionings, no RNG). Image rows carry REAL PNG
-    * bytes ([[ImageCodec.makePng]]) so the decode path downstream is the
-    * actual `javax.imageio` decoder, not a fake.
+    * bytes ([[ImageCodec.makePng]]) and audio rows REAL WAV bytes
+    * ([[AudioCodec.makeWav]]) so the decode paths downstream are the
+    * actual JDK decoders, not fakes; only video payloads are opaque.
     */
   def generate(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val payload =
-        if (kind == "image") ImageCodec.makePng(id, 64)
-        else {
+      val ms = 1000 + (id % 9000).toInt
+      val payload = kind match {
+        case "image" => ImageCodec.makePng(id, 64)
+        case "audio" => AudioCodec.makeWav(id, ms)
+        case _ =>
           val len = 256 + (id * 37 % 1024).toInt
           Array.tabulate[Byte](len)(i => ((id * 131 + i * 31) & 0xff).toByte)
-        }
+      }
       MediaRow(id, kind, payload,
         format = kind match {
           case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
         },
         width = if (kind == "image") Some(64) else None,
         height = if (kind == "image") Some(64) else None,
-        duration_ms = if (kind != "image") Some(1000 + (id % 9000).toInt)
-        else None)
+        duration_ms = if (kind != "image") Some(ms) else None)
     }
   }
 
@@ -215,9 +312,11 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      val feature =
-        if (m.kind == "image") ImageCodec.decodeToFeature(m.payload)
-        else StubCodec.decodeToFeature(m.payload)
+      val feature = m.kind match {
+        case "image" => ImageCodec.decodeToFeature(m.payload)
+        case "audio" => AudioCodec.decodeToFeature(m.payload)
+        case _ => StubCodec.decodeToFeature(m.payload)
+      }
       MediaFeatures(m.media_id, m.kind, m.payload.length,
         StubCodec.checksum(m.payload), feature)
     })

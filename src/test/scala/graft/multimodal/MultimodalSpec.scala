@@ -118,6 +118,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.forall(v => v >= 0.0f && v <= 1.0f)))
   }
 
+  test("AudioCodec golden: WAV round-trip preserves PCM; RMS envelope matches hand math") {
+    // constant-amplitude square wave: RMS of every bin is exactly the
+    // amplitude — computed here independently of the codec
+    val amp = 8000
+    val pcm = Array.tabulate[Short](1600)(i =>
+      (if ((i / 8) % 2 == 0) amp else -amp).toShort)
+    val wav = Multimodal.AudioCodec.encodeWav(pcm)
+    // RIFF/WAVE magic
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(Multimodal.AudioCodec.decodePcm(wav).toSeq == pcm.toSeq)
+    val f = Multimodal.AudioCodec.decodeToFeature(wav)
+    assert(f.length == Multimodal.AudioCodec.FeatureDim)
+    val expected = amp / 32768.0f
+    f.foreach(v => assert(math.abs(v - expected) < 1e-4, s"$v vs $expected"))
+    // duration: 1600 samples at 8 kHz = 200 ms
+    assert(Multimodal.AudioCodec.durationMs(wav) == 200)
+  }
+
+  test("generated audio payloads are real WAVs matching their metadata") {
+    val audios = media.filter(_.kind == "audio").collect()
+    assert(audios.nonEmpty)
+    audios.foreach { m =>
+      assert(new String(m.payload.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(Multimodal.AudioCodec.durationMs(m.payload) == m.duration_ms.get)
+    }
+    // audio features come from decoded samples: a sine mix with peak
+    // amplitude 0.7 has per-bin RMS well inside (0, 0.7]
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.kind == "audio").collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.feature.forall(v => v > 0.0f && v <= 0.7f)))
+  }
+
   test("resize plan: aspect preserved, never upscales") {
     val plan = Multimodal.resizePlan(media.toDF(), maxSide = 32)
     assert(plan.filter($"out_width" > 32 || $"out_height" > 32).count() == 0)

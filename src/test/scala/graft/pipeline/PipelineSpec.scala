@@ -144,6 +144,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark Connect serving: gRPC service binds and global_temp mirrors the views") {
+    result.registerViews(spark)
+    graft.Serve.servedViews(spark)
+      .foreach(v => spark.table(v).createOrReplaceGlobalTempView(v))
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    svc.start(spark.sparkContext)
+    try {
+      // remote clients resolve views through global_temp — their own
+      // session state can't see plain temp views
+      val globals = spark.sql("SHOW VIEWS IN global_temp")
+        .select("viewName").collect().map(_.getString(0)).toSet
+      assert(globals.contains("public_customer_metrics"), globals)
+      // the gRPC endpoint accepts TCP connections on the default port
+      val s = new java.net.Socket()
+      try s.connect(new java.net.InetSocketAddress("127.0.0.1", 15002), 5000)
+      finally s.close()
+    } finally svc.stop(None, None)
+  }
+
   test("SCD2 second run with a changed batch grows history") {
     val dir = Files.createTempDirectory("graft_scd2").toString
     DataGen.writeAll(spark, s"$dir/csv", nCustomers = 20, nProducts = 10,
