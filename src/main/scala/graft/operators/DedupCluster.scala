@@ -21,10 +21,19 @@ object DedupCluster {
     */
   def resolve(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .cache()
+    // size the iteration's parallelism to the edge set: dup graphs are
+    // tiny relative to the corpus (most docs are in no pair), and a
+    // fixed 32-partition shuffle per iteration would be pure scheduling
+    // overhead; at 100 TB the same rule lands on many partitions
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      (nEdges / 500000L).toInt))
+    val edges = edges0.repartition(parts, col("src")).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
@@ -48,7 +57,15 @@ object DedupCluster {
       iter += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("label", "canonical_id")
+    edges0.unpersist()
+    // hand the result off as a checkpoint: the iteration's lineage (and
+    // its last cached stage) is cut, the cache entry released, and the
+    // checkpoint blocks are freed by the ContextCleaner once the caller
+    // drops the plan — no session-lifetime CacheManager pin
+    val out = labels.withColumnRenamed("label", "canonical_id")
+      .localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Keep-one-per-cluster view: every doc with its keeper; docs in no

@@ -79,6 +79,56 @@ object DedupQueries {
     """CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
       |  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))""".stripMargin
 
+  /** Oracle CTE prefix extending [[sigCtes]] through band keys, the
+    * bucket-join candidate pairs, and exact-Jaccard verification
+    * (`verif`: a_id, b_id, jaccard) — the full LSH dataflow, shared by
+    * q36 (top-20 view) and q70 (cluster resolution).
+    */
+  private def pairCtes: String =
+    s"""$sigCtes,
+       |banded AS (
+       |  SELECT doc_id, u.b AS band,
+       |         ${MulMod61.sqlPh61Longs(s"list_slice(sg, u.b*$RowsPerBand + 1, u.b*$RowsPerBand + $RowsPerBand)")} AS bucket
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS b) u),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |       AND a.doc_id < b.doc_id),
+       |verif AS (
+       |  SELECT a_id, b_id, $jaccardSql AS jaccard
+       |  FROM cand
+       |  JOIN shl sa ON sa.doc_id = a_id
+       |  JOIN shl sb ON sb.doc_id = b_id)""".stripMargin
+
+  /** The production LSH pipeline: banded MinHash candidates verified by
+    * exact Jaccard — (a_id, b_id, jaccard), one row per candidate pair.
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+    val banded = docs
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => struct(b.as("band"),
+            polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q34: MinHash signatures + band keys per document (the LSH
@@ -146,48 +196,44 @@ object DedupQueries {
     // oracle replays the ENTIRE dataflow (signatures, band keys,
     // candidate join, verification) in DuckDB from the same constants.
     Q("q36_minhash_lsh_pairs",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-        val sigs = docs
-          .select(col("doc_id"), col("sh"), minhashSignature(col("sh")).as("sig"))
-        val banded = sigs.select(
-          col("doc_id"), col("sh"),
-          explode(transform(sequence(lit(0), lit(NumBands - 1)),
-            b => struct(b.as("band"),
-              polyHashLongs(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))
-                .as("bucket")))).as("bb"))
-          .select(col("doc_id"), col("sh"),
-            col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-        val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-        val pairs = l.join(r, Seq("band", "bucket"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id")).distinct()
-        val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-        val uni = size(col("a_sh")) + size(col("b_sh")) - inter
-        pairs
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+      (s, dir) =>
+        verifiedPairs(s, dir)
           .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-          .limit(20)
-      },
-      Some(s"""WITH $sigCtes,
-        banded AS (
-          SELECT doc_id, u.b AS band,
-                 ${MulMod61.sqlPh61Longs(s"list_slice(sg, u.b*$RowsPerBand + 1, u.b*$RowsPerBand + $RowsPerBand)")} AS bucket
-          FROM sig, (SELECT unnest(range(0, $NumBands)) AS b) u),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket
-               AND a.doc_id < b.doc_id)
-        SELECT a_id, b_id, $jaccardSql AS jaccard
-        FROM cand
-        JOIN shl sa ON sa.doc_id = a_id
-        JOIN shl sb ON sb.doc_id = b_id
+          .limit(20),
+      Some(s"""WITH $pairCtes
+        SELECT a_id, b_id, jaccard FROM verif
         ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // q70: end-to-end DEDUP RESOLUTION — the full production pipeline:
+    // LSH candidates → exact-Jaccard verification (≥ 0.8) → connected
+    // components (DedupCluster label propagation; keeper = min doc_id
+    // per component). The oracle replays components with a recursive
+    // label-reachability CTE over the same verified edge set, so even
+    // the iterative graph stage is value-checked. At 100 TB the same
+    // code runs: each propagation iteration is one shuffle-partitioned
+    // join + min-aggregation, nothing driver-sized.
+    Q("q70_dedup_resolve",
+      (s, dir) => {
+        val pairs = verifiedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        DedupCluster.resolve(pairs)
+          .select(col("id").as("doc_id"), col("canonical_id"),
+            (col("id") === col("canonical_id")).cast("int").as("is_keeper"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $pairCtes,
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM verif WHERE jaccard >= 0.8
+          UNION
+          SELECT b_id, a_id FROM verif WHERE jaccard >= 0.8),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, comp) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id)
+        SELECT doc_id, CAST(min(comp) AS BIGINT) AS canonical_id,
+               CAST(doc_id = min(comp) AS INTEGER) AS is_keeper
+        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q48: the md5/lexicographic-min LSH twin (round 2's portability
