@@ -20,6 +20,19 @@ object TextQueries {
   private val stopList =
     EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q72's multilingual decoration: composed + DECOMPOSED accents (the
+    * trailing "été" is e+U+0301 twice), a compatibility ligature (ﬁ,
+    * untouched by NFC/NFD), Turkish İ, stroked Ł (no decomposition),
+    * Greek, Hangul (NFD → Jamo → must RECOMPOSE), and multi-mark stacks
+    * (ậ Ḉ ǻ ử ᾷ). Every char's strip_accents/nfc_normalize parity
+    * between java.text.Normalizer and DuckDB utf8proc was probed before
+    * inclusion.
+    */
+  private val UnicodeDecor =
+    " — naïve café ﬁn İstanbul Łukasz ñü " +
+      "ώρα 한국 ậḈǻửᾷ " +
+      "ÅÆΩ e\u0301te\u0301"
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q28: token counting + quality metrics, row-level. Token/stopword
@@ -171,6 +184,37 @@ object TextQueries {
         CAST(min(doc_id) AS BIGINT) AS keep_id,
         CAST(count(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY content_hash""")),
+
+    // ------------------------------------------------------------------
+    // q72: Unicode normalization — NFC canonical composition and accent
+    // stripping (NFD − Mn marks, NFC recomposed), the corpus-cleaning
+    // passes that make visually-identical strings byte-identical before
+    // dedup/shingling. The testdata text is ASCII (where both passes are
+    // identity and the fused expressions take the zero-copy fast path),
+    // so each row is decorated with a fixed multilingual suffix — incl.
+    // a DECOMPOSED e+U+0301 and Hangul — to force real normalization
+    // work through the gate: DuckDB's nfc_normalize/strip_accents must
+    // reproduce java.text.Normalizer byte-for-byte. Row-local, no
+    // shuffle: scales as a pure map stage.
+    Q("q72_unicode_norm",
+      (s, dir) => {
+        import graft.functions.UnicodeNorm._
+        val decorated = concat(col("text"), lit(UnicodeDecor))
+        t(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            nfcNormalize(decorated).as("nfc_text"),
+            stripAccentsCol(decorated).as("plain_text"),
+            (length(decorated) - length(nfcNormalize(decorated)))
+              .cast("int").as("n_composed"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text || '$UnicodeDecor' AS t FROM documents)
+        SELECT doc_id,
+               nfc_normalize(t) AS nfc_text,
+               strip_accents(t) AS plain_text,
+               CAST(length(t) - length(nfc_normalize(t)) AS INTEGER) AS n_composed
+        FROM d ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // q47: token counting two ways — whitespace and a BPE-ish regex

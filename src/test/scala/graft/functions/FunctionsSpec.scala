@@ -205,4 +205,47 @@ class FunctionsSpec extends AnyFunSuite {
     // antipodal vector flips every plane sign → complementary bucket
     assert(b(2) == 255 - b(0))
   }
+
+  test("unicode: NFC composes decomposed accents, ASCII untouched") {
+    import graft.functions.UnicodeNorm._
+    val df = Seq(
+      "plain ascii text",
+      "été",          // decomposed é → composed
+      "café",                // already NFC: unchanged
+      "각"        // Hangul Jamo → syllable 각
+    ).toDF("s")
+    val got = df.select(nfcNormalize($"s")).as[String].collect()
+    assert(got(0) == "plain ascii text")
+    assert(got(1) == "été" && got(1).length == 3)
+    assert(got(2) == "café")
+    assert(got(3) == "각" && got(3).length == 1)
+  }
+
+  test("unicode: strip_accents drops Mn marks, recomposes, keeps non-Latin") {
+    import graft.functions.UnicodeNorm._
+    val df = Seq(
+      "naïve café",     // naïve café → naive cafe
+      "İstanbul",            // İ → I (dot above is Mn)
+      "Łukasz",              // Ł has no decomposition: unchanged
+      "한국",             // Hangul: NFD→Jamo→recompose, unchanged
+      "ḉǻ",             // multi-mark stacks ḉǻ → ca
+      "ώρα"        // ώρα → ωρα (Greek base kept)
+    ).toDF("s")
+    val got = df.select(stripAccentsCol($"s")).as[String].collect()
+    assert(got(0) == "naive cafe")
+    assert(got(1) == "Istanbul")
+    assert(got(2) == "Łukasz")
+    assert(got(3) == "한국")
+    assert(got(4) == "ca")
+    assert(got(5) == "ωρα")
+  }
+
+  test("unicode: nulls propagate, ligatures survive canonical forms") {
+    import graft.functions.UnicodeNorm._
+    val df = Seq(Some("ﬁn"), None).toDF("s")
+    val got = df.select(nfcNormalize($"s"), stripAccentsCol($"s")).collect()
+    // ﬁ is a COMPATIBILITY ligature: NFC/NFD leave it alone
+    assert(got(0).getString(0) == "ﬁn" && got(0).getString(1) == "ﬁn")
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+  }
 }
