@@ -30,6 +30,42 @@ object DataSplit {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Corpus-mix keep decision: keep a row iff its scrambled id falls
+    * under the per-row sampling threshold `ppm` (parts-per-million).
+    * Rates ride as INTEGER ppm, not double fractions, so the threshold
+    * compare is exact in every engine (no float rounding at the cast).
+    * Monotone in ppm: raising a source's quota only adds documents.
+    */
+  def mixKeep(id: Column, ppm: Column): Column = {
+    import graft.functions.Affine61._
+    affine61(id, mixA, mixB) % 1000000L < ppm
+  }
+
+  /** Down-sample a corpus to target per-source proportions: `rates` maps
+    * source → ppm quota; unlisted sources are dropped. The rates side is
+    * a broadcast dim — one map-side hash join + filter, no shuffle of
+    * the corpus itself. This is the "data mixing" step of training-set
+    * assembly (e.g. 100% wiki, 35% web crawl) made deterministic and
+    * incremental: re-running on a grown corpus keeps every previously
+    * kept row.
+    */
+  def mixSample(docs: DataFrame, rates: Map[String, Long],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dim = rates.toSeq.toDF(sourceCol, "ppm")
+    docs.join(broadcast(dim), sourceCol)
+      .filter(mixKeep(col(idCol), col("ppm")))
+      .drop("ppm")
+  }
+
+  /** The q73 quota table: sources srcN get ppm quotas cycling through
+    * 150k/350k/550k/750k by N mod 4 — unequal on purpose, so the gate
+    * checks rows move per-source, not just globally.
+    */
+  def q73Rates: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (150000L + 200000L * (i % 4))).toMap
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q45: deterministic train/val/test split. The oracle-portable form
@@ -53,6 +89,54 @@ object DataSplit {
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY split ORDER BY split""")),
+
+    // ------------------------------------------------------------------
+    // q73: corpus mixing — down-sample each source to its target quota
+    // (the training-mix step: so-many-parts web, so-many-parts wiki).
+    // Keep decision = affine61(doc_id) % 1e6 < ppm, a pure function of
+    // the row, so the oracle recomputes the exact kept SET (checked via
+    // per-source counts + the sum of kept ids), not just sizes. Plan
+    // shape: broadcast the 20-row quota dim, one map-side join+filter —
+    // the 100 TB corpus is never shuffled.
+    Q("q73_corpus_mix",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.Affine61._
+        val dim = q73Rates.toSeq.sorted.toDF("source", "ppm")
+        val kept = mixKeep(col("doc_id"), col("ppm"))
+        t(s, dir, "documents")
+          .join(broadcast(dim), "source")
+          .groupBy(col("source"), col("ppm"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(kept, lit(1))).as("n_kept"),
+            coalesce(sum(when(kept, col("doc_id"))), lit(0L)).as("sum_kept_ids"))
+          .select(
+            col("source"),
+            (col("ppm").cast("double") / 1000000.0).as("target_rate"),
+            col("n_docs"), col("n_kept"),
+            (col("n_kept").cast("double") / col("n_docs")).as("achieved_rate"),
+            col("sum_kept_ids"))
+          .orderBy(col("source"))
+      },
+      {
+        import graft.functions.Affine61.{mixA, mixB}
+        import graft.functions.MulMod61.P
+        val values = q73Rates.toSeq.sorted
+          .map { case (src, ppm) => s"('$src', $ppm)" }.mkString(", ")
+        Some(s"""WITH rates(source, ppm) AS (VALUES $values),
+          flagged AS (
+            SELECT d.source, r.ppm, d.doc_id,
+                   ((($mixA::HUGEINT * d.doc_id + $mixB) % $P) % 1000000 < r.ppm) AS kept
+            FROM documents d JOIN rates r ON d.source = r.source)
+          SELECT source,
+                 CAST(ppm AS DOUBLE) / 1000000.0 AS target_rate,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+                 CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate,
+                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
+          FROM flagged GROUP BY source, ppm ORDER BY source""")
+      }),
 
     // ------------------------------------------------------------------
     // q46: stratified per-class sampling — k deterministic rows per

@@ -293,6 +293,54 @@ object TrainingQueries {
         SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp""")),
 
     // ------------------------------------------------------------------
+    // q74: SEQUENCE PACKING — assemble documents into fixed-budget
+    // training chunks (the pack-then-chunk step before tokenizer
+    // sharding: concatenate docs in stable order, cut every `Budget`
+    // tokens; a doc belongs to the chunk its first token lands in,
+    // chunk_id = floor(start_offset / Budget)). Packing is PER SOURCE —
+    // the shard key — so the window is partitioned, never global: at
+    // 100 TB each source packs independently in parallel, and adding a
+    // new source never renumbers existing chunks. Exact integer
+    // arithmetic end-to-end (token counts, running sums), so the packing
+    // plan is oracle-checked value-for-value.
+    Q("q74_sequence_pack",
+      (s, dir) => {
+        val budget = 1024L
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(toks(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("chunk_id", ((col("cum") - col("n_tok")) / budget)
+            .cast("long"))
+          .groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("chunk_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("chunk_id"))
+      },
+      Some("""WITH tok AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+          FROM documents),
+        packed AS (
+          SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM tok)
+        SELECT source,
+               CAST((cum - n_tok) // 1024 AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM packed GROUP BY source, chunk_id
+        ORDER BY source, chunk_id""")),
+
+    // ------------------------------------------------------------------
     // q59: batch SESSIONIZATION via Spark's native session_window —
     // gap-based (30 min) per-user sessions with event counts and value
     // sums. The DuckDB oracle is the classic gaps-and-islands rewrite

@@ -43,4 +43,37 @@ class DataSplitSpec extends AnyFunSuite {
     val again = q.run(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(again == got.map(_.toSeq).toSeq)
   }
+
+  test("mixSample: partition-independent, monotone in quota, rate-accurate") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def keptIds(rates: Map[String, Long], df: org.apache.spark.sql.DataFrame) =
+      DataSplit.mixSample(df, rates).select($"doc_id")
+        .as[Long].collect().toSet
+
+    val half = (0 until 20).map(i => s"src$i" -> 500000L).toMap
+    val a = keptIds(half, docs)
+    val b = keptIds(half, docs.repartition(17))
+    assert(a == b)
+
+    // raising every quota only ADDS rows (threshold form ⇒ monotone)
+    val more = (0 until 20).map(i => s"src$i" -> 800000L).toMap
+    assert(a.subsetOf(keptIds(more, docs)))
+
+    // unlisted sources are dropped entirely
+    val only3 = Map("src3" -> 1000000L)
+    val c = DataSplit.mixSample(docs, only3)
+    assert(c.select($"source").distinct().as[String].collect().toSeq == Seq("src3"))
+    assert(c.count() == docs.filter($"source" === "src3").count())
+
+    // achieved rate tracks the quota (binomial tolerance on 500 docs)
+    assert(math.abs(a.size / 500.0 - 0.5) < 0.1)
+  }
+
+  test("mixSample plan: quota dim is broadcast, corpus not shuffled") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = DataSplit.mixSample(docs, DataSplit.q73Rates)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
