@@ -101,13 +101,19 @@ object DedupQueries {
        |  JOIN shl sa ON sa.doc_id = a_id
        |  JOIN shl sb ON sb.doc_id = b_id)""".stripMargin
 
-  /** The production LSH pipeline: banded MinHash candidates verified by
-    * exact Jaccard — (a_id, b_id, jaccard), one row per candidate pair.
-    */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** (doc_id, sh): per-document distinct 3-shingle set. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-    val banded = docs
+
+  /** (doc_id, band, bucket): the LSH band index — [[NumBands]] rows per
+    * document, bucket = polyhash of the signature slice. At 100 TB this
+    * is the persisted, (band,bucket)-bucketed structure incremental
+    * dedup probes (q71); here it is recomputed because the gate is
+    * stateless.
+    */
+  private def bandKeys(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)),
@@ -116,17 +122,29 @@ object DedupQueries {
               .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+
+  /** Exact Jaccard over candidate pairs carrying `a_sh`/`b_sh`. */
+  private def jaccardCol = {
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+    inter.cast("double") / uni
+  }
+
+  /** The production LSH pipeline: banded MinHash candidates verified by
+    * exact Jaccard — (a_id, b_id, jaccard), one row per candidate pair.
+    */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(s, dir)
+    val banded = bandKeys(docs)
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     pairs
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), (inter.cast("double") / uni).as("jaccard"))
+      .select(col("a_id"), col("b_id"), jaccardCol.as("jaccard"))
   }
 
   val all: Seq[Q] = Seq(
@@ -234,6 +252,59 @@ object DedupQueries {
         SELECT doc_id, CAST(min(comp) AS BIGINT) AS canonical_id,
                CAST(doc_id = min(comp) AS INTEGER) AS is_keeper
         FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q71: INCREMENTAL dedup — a new ingest batch (doc_id ≡ 2 mod 3
+    // plays the incoming batch) checked against the EXISTING corpus's
+    // band index, the operation a live pipeline runs per ingest: only
+    // the new batch is shingled/hashed fresh, candidates come from an
+    // equi-join of new band keys against the persisted (band,bucket)-
+    // bucketed index — never new×corpus, and never corpus×corpus again.
+    // At 100 TB the index side is the stored structure from the last
+    // full dedup ([[bandKeys]]); with the index bucketed on the join
+    // key, only the (small) new batch shuffles. Output: every new doc's
+    // verified matches at jaccard ≥ 0.5 with an is_dup verdict at the
+    // 0.8 production threshold.
+    Q("q71_incremental_dedup",
+      (s, dir) => {
+        val docs = shingled(s, dir)
+        val isNew = col("doc_id") % 3 === 2
+        val fresh = bandKeys(docs.filter(isNew))
+        val index = bandKeys(docs.filter(!isNew))
+        val cand = fresh.select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+          .join(index.select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+            Seq("band", "bucket"))
+          .select(col("new_id"), col("corpus_id")).distinct()
+        cand
+          .join(docs.select(col("doc_id").as("new_id"), col("sh").as("a_sh")),
+            Seq("new_id"))
+          .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("b_sh")),
+            Seq("corpus_id"))
+          .select(col("new_id"), col("corpus_id"), jaccardCol.as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("new_id"), col("corpus_id"), col("jaccard"),
+            (col("jaccard") >= 0.8).cast("int").as("is_dup"))
+          .orderBy(col("new_id"), col("corpus_id"))
+      },
+      Some(s"""WITH $sigCtes,
+        banded AS (
+          SELECT doc_id, u.b AS band,
+                 ${MulMod61.sqlPh61Longs(s"list_slice(sg, u.b*$RowsPerBand + 1, u.b*$RowsPerBand + $RowsPerBand)")} AS bucket
+          FROM sig, (SELECT unnest(range(0, $NumBands)) AS b) u),
+        cand AS (
+          SELECT DISTINCT f.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM banded f JOIN banded c
+            ON f.band = c.band AND f.bucket = c.bucket
+          WHERE f.doc_id % 3 = 2 AND c.doc_id % 3 != 2),
+        verif AS (
+          SELECT new_id, corpus_id, $jaccardSql AS jaccard
+          FROM cand
+          JOIN shl sa ON sa.doc_id = new_id
+          JOIN shl sb ON sb.doc_id = corpus_id)
+        SELECT new_id, corpus_id, jaccard,
+               CAST(jaccard >= 0.8 AS INTEGER) AS is_dup
+        FROM verif WHERE jaccard >= 0.5
+        ORDER BY new_id, corpus_id""")),
 
     // ------------------------------------------------------------------
     // q48: the md5/lexicographic-min LSH twin (round 2's portability
