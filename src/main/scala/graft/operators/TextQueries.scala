@@ -217,6 +217,162 @@ object TextQueries {
         FROM d ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // q75: TF-IDF — top-5 terms per document by (1+ln tf)·ln((N+1)/(df+1)).
+    // The relevance-weighting primitive for corpus search/analysis. Three
+    // shuffles, all on keys (doc-term counts; per-term document
+    // frequencies; per-doc top-k window) — vocabulary is zipf-bounded, so
+    // the df side stays small at any corpus size, and the top-k window is
+    // partitioned by doc. ln() is bit-identical between Math.log and
+    // DuckDB (probed on 2000 ratios in this value domain) and products/
+    // divisions are IEEE-deterministic, so the gate hash-checks the
+    // double scores themselves.
+    Q("q75_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            (lit(1.0) + graft.functions.MathLn.ln(col("tf").cast("double"))) *
+              graft.functions.MathLn.ln((col("n_docs").cast("double") + 1.0) /
+                (col("df").cast("double") + 1.0)))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("term"),
+            col("tf"), col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 (1.0 + ln(CAST(tf AS DOUBLE)))
+                   * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tf, df, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+          FROM scored)
+        SELECT doc_id, rank, term, tf, df, tfidf
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // q76: BM25 scoring of the corpus against a fixed query (terms with
+    // deliberately different rarity: 'dup' df≈5%, 'spark'/'vector'
+    // common). Classic Robertson k1=1.2, b=0.75 with the +1 idf form.
+    // Per-term contributions are summed in FIXED order (three explicit
+    // columns, left to right) — never a groupBy sum over doubles, whose
+    // accumulation order would vary with partitioning. Corpus stats
+    // (N, avgdl) and per-term dfs ride as 1-row broadcast dims: the
+    // scoring pass is a single map over documents.
+    Q("q76_bm25",
+      (s, dir) => {
+        val qterms = Seq("dup", "spark", "vector")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val tfq = toks.groupBy(col("doc_id"))
+          .agg(qterms.map(tm =>
+            count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).head,
+            qterms.map(tm =>
+              count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).tail: _*)
+        val dfs = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy()
+          .agg(qterms.map(tm =>
+            count(when(col("term") === tm, lit(1))).as(s"df_$tm")).head,
+            qterms.map(tm =>
+              count(when(col("term") === tm, lit(1))).as(s"df_$tm")).tail: _*)
+        val stats = docs
+          .select(size(tokens(col("text"))).cast("long").as("dl"), col("doc_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        val dl = size(tokens(col("text"))).cast("long")
+        val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+        def part(tm: String) = {
+          val tf = col(s"tf_$tm").cast("double")
+          val df = col(s"df_$tm").cast("double")
+          val idf = graft.functions.MathLn.ln(lit(1.0) +
+            (col("n_docs").cast("double") - df + 0.5) / (df + 0.5))
+          // IEEE multiply is commutative, so Column*scalar == the
+          // oracle's scalar*Column bit-for-bit; addition order matches.
+          val denom = tf +
+            (lit(1.0 - b) + (col("dl").cast("double") / avgdl) * b) * k1
+          when(col(s"tf_$tm") > 0, idf * (tf * (k1 + 1.0)) / denom)
+            .otherwise(lit(0.0))
+        }
+        docs.select(col("doc_id"), dl.as("dl"))
+          .join(tfq, "doc_id")
+          .crossJoin(broadcast(dfs))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"),
+            col("tf_dup"), col("tf_spark"), col("tf_vector"),
+            (part("dup") + part("spark") + part("vector")).as("bm25"))
+          .filter(col("bm25") > 0.0)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tfq AS (
+          SELECT doc_id,
+                 CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS tf_dup,
+                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS tf_spark,
+                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS tf_vector
+          FROM toks GROUP BY doc_id),
+        dfs AS (
+          SELECT CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS df_dup,
+                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS df_spark,
+                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS df_vector
+          FROM (SELECT DISTINCT doc_id, term FROM toks)),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_dl
+          FROM documents),
+        dls AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+          FROM documents),
+        scored AS (
+          SELECT d.doc_id, d.dl, t.tf_dup, t.tf_spark, t.tf_vector,
+            (CASE WHEN t.tf_dup > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_dup AS DOUBLE) + 0.5) / (CAST(f.df_dup AS DOUBLE) + 0.5))
+                * (CAST(t.tf_dup AS DOUBLE) * 2.2)
+                / (CAST(t.tf_dup AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END
+             + CASE WHEN t.tf_spark > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_spark AS DOUBLE) + 0.5) / (CAST(f.df_spark AS DOUBLE) + 0.5))
+                * (CAST(t.tf_spark AS DOUBLE) * 2.2)
+                / (CAST(t.tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END
+             + CASE WHEN t.tf_vector > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_vector AS DOUBLE) + 0.5) / (CAST(f.df_vector AS DOUBLE) + 0.5))
+                * (CAST(t.tf_vector AS DOUBLE) * 2.2)
+                / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END) AS bm25
+          FROM dls d JOIN tfq t USING (doc_id) CROSS JOIN dfs f CROSS JOIN stats s)
+        SELECT doc_id, dl, tf_dup, tf_spark, tf_vector, bm25
+        FROM scored WHERE bm25 > 0.0
+        ORDER BY bm25 DESC, doc_id LIMIT 50""")),
+
+    // ------------------------------------------------------------------
     // q47: token counting two ways — whitespace and a BPE-ish regex
     // (word / number / punctuation runs with optional leading space,
     // the GPT-2 pre-tokenizer shape, ASCII-simplified so Java regex and

@@ -240,6 +240,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(5) == "ωρα")
   }
 
+  test("MathLn = Math.log (libm), not StrictMath: the ln(3) ulp pin") {
+    import graft.functions.MathLn.ln
+    val df3 = Seq(1).toDF("one")
+    val got = df3.select(ln(lit(3.0)), ln(lit(501.0 / 374.0))).head()
+    // Math.log(3.0) = ...098; StrictMath (Spark's log()) = ...096.
+    // DuckDB/libm agree with Math.log — this pin catches any engine
+    // change that would silently re-route q75/q76 logs to StrictMath.
+    assert(got.getDouble(0) == Math.log(3.0))
+    assert(java.lang.Double.toString(got.getDouble(0)) == "1.0986122886681098")
+    assert(got.getDouble(1) == Math.log(501.0 / 374.0))
+    val n = df3.select(ln(lit(null).cast("double"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("unicode: nulls propagate, ligatures survive canonical forms") {
     import graft.functions.UnicodeNorm._
     val df = Seq(Some("ﬁn"), None).toDF("s")
