@@ -61,5 +61,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       exprs => LangIdExpr(exprs.head, TextFunctions.LangMarkers)))
+    e.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      exprs => graft.functions.NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName, "strip_accents"),
+      exprs => graft.functions.StripAccents(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("affine61"),
+      new ExpressionInfo(classOf[graft.functions.Affine61].getName, "affine61"),
+      exprs => graft.functions.Affine61(exprs.head,
+        longArg(exprs(1)), longArg(exprs(2)))))
+    e.injectFunction((
+      new FunctionIdentifier("math_ln"),
+      new ExpressionInfo(classOf[graft.functions.MathLn].getName, "math_ln"),
+      exprs => graft.functions.MathLn(exprs.head)))
   }
+
+  private def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"literal long argument expected, got $other")
+    }
 }

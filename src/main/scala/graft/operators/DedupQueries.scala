@@ -307,6 +307,42 @@ object DedupQueries {
         ORDER BY new_id, corpus_id""")),
 
     // ------------------------------------------------------------------
+    // q77: ENTITY RESOLUTION by blocked fuzzy match — the classic
+    // record-linkage shape: a cheap blocking key (brand) bounds the
+    // candidate space to within-block pairs, then edit distance verifies
+    // each candidate; never an unblocked n² comparison. Spark's
+    // THRESHOLDED levenshtein(a, b, k) is the scale-correct verifier —
+    // the DP early-exits once distance must exceed k (O(k·n) band
+    // instead of O(n·m) table), returning −1 beyond it — and on kept
+    // rows its value equals the full distance, so the DuckDB oracle
+    // (full levenshtein, WHERE ≤ k) checks the same numbers. At 100 TB
+    // the block key must keep blocks bounded (add a secondary key or
+    // salt hot blocks); the join itself is one shuffle on the key.
+    Q("q77_fuzzy_match",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_name"))
+        val a = p.select(col("p_brand"), col("p_partkey").as("a_key"),
+          col("p_name").as("a_name"))
+        val b = p.select(col("p_brand"), col("p_partkey").as("b_key"),
+          col("p_name").as("b_name"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("a_key") < col("b_key"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+          .filter(col("dist") >= 0)
+          .select(col("p_brand"), col("a_key"), col("b_key"),
+            col("a_name"), col("b_name"), col("dist"))
+          .orderBy(col("p_brand"), col("a_key"), col("b_key"))
+      },
+      Some("""SELECT a.p_brand, a.p_partkey AS a_key, b.p_partkey AS b_key,
+               a.p_name AS a_name, b.p_name AS b_name,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY a.p_brand, a_key, b_key""")),
+
+    // ------------------------------------------------------------------
     // q48: the md5/lexicographic-min LSH twin (round 2's portability
     // trick, 32 hashes × 8 bands): an INDEPENDENT hash family running
     // the same banded dataflow, kept as a second correctness fixture for

@@ -61,6 +61,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("round-3 functions are callable from SQL and match the API") {
+    docs
+    val (a, b) = (Affine61.mixA, Affine61.mixB)
+    val viaSql = spark.sql(s"""
+      SELECT doc_id,
+             nfc_normalize(text || ' été') AS nfc,
+             strip_accents(text || ' été') AS plain,
+             affine61(doc_id, ${a}L, ${b}L) AS h,
+             math_ln(CAST(doc_id + 1 AS DOUBLE)) AS lg
+      FROM ext_docs ORDER BY doc_id""").collect()
+    val decorated = org.apache.spark.sql.functions.concat(
+      $"text", org.apache.spark.sql.functions.lit(" été"))
+    val viaApi = docs.select($"doc_id",
+      UnicodeNorm.nfcNormalize(decorated).as("nfc"),
+      UnicodeNorm.stripAccentsCol(decorated).as("plain"),
+      Affine61.affine61($"doc_id", a, b).as("h"),
+      MathLn.ln(($"doc_id" + 1).cast("double")).as("lg"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+  }
+
   test("cosine_sim rejects non-float arrays at analysis instead of misreading them") {
     // array(1.0, 2.0) is array<double>; getFloat over 8-byte slots would
     // silently return garbage without the ExpectsInputTypes guard
