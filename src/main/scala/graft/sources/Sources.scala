@@ -57,6 +57,21 @@ object Sources {
       .filter(col(CorruptCol).isNull)
       .drop(CorruptCol)
 
+  /** Streaming twin of [[readJsonl]]: watch `path` for new JSONL files
+    * and parse them with the SAME text-scan + `from_json` transform, so
+    * the batch and streaming ingest paths cannot diverge (one parse
+    * definition, two scan modes). Malformed lines flow through as
+    * quarantine rows here too — a corrupt file must never kill a
+    * long-running ingest stream.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)
+    spark.readStream.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), withCorrupt(schema), opts).as("j"))
+      .select(col("j.*"))
+  }
+
   /** DQ accounting for an ingest: (valid, corrupt) line counts — the
     * numbers every 100 TB ingest job should emit. One scan, one
     * map-side-combinable aggregate.

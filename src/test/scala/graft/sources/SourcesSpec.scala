@@ -62,6 +62,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(kept.length == 1 && kept.head.getString(0).contains("truncated"))
   }
 
+  test("JSONL streaming ingest matches the batch read, quarantine included") {
+    val dir = tmp()
+    val srcDir = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // two file drops, the second containing a malformed line
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/a.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$srcDir/b.jsonl"),
+      """{"doc_id": 3, "text": "gamma"}
+        |{"doc_id": 4, "text": "truncat
+        |""".stripMargin)
+
+    val q = Sources.readJsonlStream(spark, srcDir, schema)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("jsonl_stream")
+      .orderBy(col("doc_id"))
+    val batch = Sources.readJsonl(spark, srcDir, schema)
+      .orderBy(col("doc_id"))
+    assert(streamed.collect().map(_.toSeq).toSeq ==
+      batch.collect().map(_.toSeq).toSeq)
+    // the malformed line arrived as a quarantine row, not a crash
+    assert(streamed.filter(col(Sources.CorruptCol).isNotNull).count() == 1)
+    assert(streamed.filter(col(Sources.CorruptCol).isNull).count() == 3)
+  }
+
   test("ORC round-trip: lineitem measures survive value-identical, pushdown-ready") {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
