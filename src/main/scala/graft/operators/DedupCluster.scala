@@ -21,9 +21,11 @@ object DedupCluster {
     */
   def resolve(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    // no distinct(): duplicate edges are harmless under the min
+    // aggregation (idempotent), and deduping them would cost an extra
+    // shuffle per resolve
     val edges0 = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
       .cache()
     // size the iteration's parallelism to the edge set: dup graphs are
     // tiny relative to the corpus (most docs are in no pair), and a
@@ -37,6 +39,16 @@ object DedupCluster {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
+    // Fixed-point detection by the label-sum invariant: labels only
+    // ever DECREASE elementwise (min propagation), so the total is
+    // strictly monotone until convergence — comparing sums is an exact
+    // convergence test and costs one narrow aggregation over the cached
+    // frame instead of a next-vs-previous join per iteration. DECIMAL
+    // accumulation so the test can't overflow at any id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -47,13 +59,11 @@ object DedupCluster {
       val next = labels.unionByName(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"),
-        Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
