@@ -1,0 +1,133 @@
+package graft.corpus
+
+import graft.functions.TextFunctions
+import graft.functions.UnicodeNorm
+import graft.operators.{DataSplit, DedupCluster, DedupQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the LLM-pipeline analogue of
+  * the warehouse's `Pipeline.run`: one call composes the individually
+  * oracle-checked operators into the standard assembly line
+  *
+  *   normalize → quality gate → exact dedup → near-dup resolution →
+  *   decontaminate → mix → split → pack
+  *
+  * Every stage is the same dataflow its registry query runs (q72, q30,
+  * q33, q36+q70, q50, q73, q45, q74), so each is value-verified by the
+  * DuckDB gate in isolation; CorpusPrepSpec verifies the composition
+  * (stage accounting, end-state invariants). Scale posture per stage is
+  * documented in SCALING.md — nothing here shuffles more than its
+  * registry twin.
+  *
+  * @param minQuality      quality-score gate (q30's score; 0 disables)
+  * @param nearDupJaccard  verified-Jaccard threshold for near-dup edges
+  * @param decontamShingleK n-gram size for eval-overlap contamination
+  * @param mixQuotasPpm    per-source keep quotas (ppm); empty = keep all
+  * @param packBudget      tokens per training chunk
+  * @param trainPct/valPct hash-split proportions (rest = test)
+  */
+final case class CorpusPrepConfig(
+    minQuality: Double = 0.3,
+    nearDupJaccard: Double = 0.8,
+    decontamShingleK: Int = 5,
+    mixQuotasPpm: Map[String, Long] = Map.empty,
+    packBudget: Long = 1024L,
+    trainPct: Int = 80,
+    valPct: Int = 10)
+
+object CorpusPrep {
+
+  /** One row per pipeline stage: rows surviving after it ran. */
+  final case class StageCount(stage: String, rows: Long)
+
+  /** Run the full preparation pipeline.
+    *
+    * @param docs  corpus with (doc_id, text, source) columns
+    * @param eval  held-out benchmark docs (doc_id, text) to
+    *              decontaminate against; None skips the stage
+    * @return (prepared corpus, per-stage accounting). The prepared
+    *         corpus carries the original columns plus `split`
+    *         (train/val/test) and `chunk_id` (per-source packing).
+    */
+  def run(docs: DataFrame, eval: Option[DataFrame],
+      cfg: CorpusPrepConfig = CorpusPrepConfig()): (DataFrame, Seq[StageCount]) = {
+    val counts = Seq.newBuilder[StageCount]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      counts += StageCount(name, cached.count())
+      cached
+    }
+
+    val input = stage("input", docs)
+
+    // 1. normalize: NFC canonical composition, so byte-level dedup and
+    // shingling below see one representation per string
+    val normalized = stage("normalize",
+      input.withColumn("text", UnicodeNorm.nfcNormalize(col("text"))))
+
+    // 2. quality gate (row-local score, no shuffle)
+    val gated = stage("quality_gate",
+      if (cfg.minQuality <= 0.0) normalized
+      else normalized.filter(
+        TextFunctions.qualityScoreFused(col("text"),
+          TextFunctions.textStats(col("text"))) >= cfg.minQuality))
+
+    // 3. exact dedup: one shuffle on the content digest, keep min id
+    val exactKeep = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = stage("exact_dedup", gated.join(exactKeep, Seq("doc_id")))
+
+    // 4. near-dup resolution: LSH candidates → verified Jaccard edges →
+    // connected components → keep the canonical doc per cluster
+    val edges = DedupQueries.lshVerifiedPairs(exact)
+      .filter(col("jaccard") >= cfg.nearDupJaccard)
+    val losers = DedupCluster.resolve(edges)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    val nearDeduped = stage("near_dedup",
+      exact.join(losers, Seq("doc_id"), "left_anti"))
+
+    // 5. decontamination: drop docs sharing any k-gram with the eval
+    // set (shuffle on the shingle key, never doc×doc)
+    val decontaminated = stage("decontaminate", eval match {
+      case None => nearDeduped
+      case Some(ev) =>
+        val trainSh = nearDeduped.select(col("doc_id"),
+          explode(graft.functions.Shingles.shingles(col("text"),
+            cfg.decontamShingleK)).as("sh"))
+        val evalSh = ev.select(
+          explode(graft.functions.Shingles.shingles(col("text"),
+            cfg.decontamShingleK)).as("sh")).distinct()
+        val contaminated = trainSh.join(evalSh, Seq("sh"))
+          .select(col("doc_id")).distinct()
+        nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    })
+
+    // 6. mix: per-source ppm quotas (broadcast dim; deterministic,
+    // monotone in quota)
+    val mixed = stage("mix",
+      if (cfg.mixQuotasPpm.isEmpty) decontaminated
+      else DataSplit.mixSample(decontaminated, cfg.mixQuotasPpm))
+
+    // 7. split: hash-derived membership, stable under corpus growth
+    val split = mixed.withColumn("split",
+      DataSplit.byHash(col("doc_id"), cfg.trainPct, cfg.valPct))
+
+    // 8. pack: per-source fixed-budget chunking (the window partitions
+    // by the shard key — never global)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+    val packed = stage("pack",
+      split.withColumn("n_tok", nTok)
+        .withColumn("chunk_id",
+          ((sum(col("n_tok")).over(w) - col("n_tok")) / cfg.packBudget)
+            .cast("long")))
+
+    (packed, counts.result())
+  }
+}

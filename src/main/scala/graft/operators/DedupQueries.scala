@@ -103,8 +103,10 @@ object DedupQueries {
 
   /** (doc_id, sh): per-document distinct 3-shingle set. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+    shingledOf(t(s, dir, "documents"))
+
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
 
   /** (doc_id, band, bucket): the LSH band index — [[NumBands]] rows per
     * document, bucket = polyhash of the signature slice. At 100 TB this
@@ -130,11 +132,13 @@ object DedupQueries {
     inter.cast("double") / uni
   }
 
-  /** The production LSH pipeline: banded MinHash candidates verified by
-    * exact Jaccard — (a_id, b_id, jaccard), one row per candidate pair.
+  /** The production LSH pipeline over any (doc_id, text) frame: banded
+    * MinHash candidates verified by exact Jaccard — (a_id, b_id,
+    * jaccard), one row per candidate pair. The library entry point for
+    * near-dup detection ([[graft.corpus.CorpusPrep]] composes it).
     */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = shingled(s, dir)
+  def lshVerifiedPairs(input: DataFrame): DataFrame = {
+    val docs = shingledOf(input)
     val banded = bandKeys(docs)
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
@@ -215,7 +219,7 @@ object DedupQueries {
     // candidate join, verification) in DuckDB from the same constants.
     Q("q36_minhash_lsh_pairs",
       (s, dir) =>
-        verifiedPairs(s, dir)
+        lshVerifiedPairs(t(s, dir, "documents"))
           .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
           .limit(20),
       Some(s"""WITH $pairCtes
@@ -233,7 +237,7 @@ object DedupQueries {
     // join + min-aggregation, nothing driver-sized.
     Q("q70_dedup_resolve",
       (s, dir) => {
-        val pairs = verifiedPairs(s, dir).filter(col("jaccard") >= 0.8)
+        val pairs = lshVerifiedPairs(t(s, dir, "documents")).filter(col("jaccard") >= 0.8)
         DedupCluster.resolve(pairs)
           .select(col("id").as("doc_id"), col("canonical_id"),
             (col("id") === col("canonical_id")).cast("int").as("is_keeper"))
