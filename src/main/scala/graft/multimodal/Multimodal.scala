@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * control for large blobs, `mapPartitions` batch shape (the Scala
   * analogue of arrow-batched pandas UDFs), typed output encoders.
   *
-  * The IMAGE path is a real codec ([[ImageCodec]]): PNG decode/encode
-  * via `javax.imageio` (in every JDK — no new dependency), grid-
-  * luminance features from actual pixels, nearest-neighbor resize.
-  * AUDIO/VIDEO decode remains STUBBED (`StubCodec`): the container has
-  * no PCM/FFmpeg libraries, so those byte→samples steps are a
-  * deterministic fake with the same interface a codec-backed version
-  * would have; swapping one in changes exactly one function.
+  * All three kinds run REAL codecs on JDK built-ins: images via
+  * `javax.imageio` PNG ([[ImageCodec]]), audio via
+  * `javax.sound.sampled` WAV/PCM ([[AudioCodec]]), video via
+  * MJPEG-in-AVI ([[VideoCodec]] — RIFF container parsing + per-frame
+  * JPEG decode). [[StubCodec]] remains only as the documented
+  * stand-in for container formats that genuinely need external
+  * libraries (MP4/H.264); swapping a real one in changes exactly one
+  * dispatch arm.
   */
 object Multimodal {
 
@@ -239,13 +240,12 @@ object Multimodal {
     }
   }
 
-  /** ====== STUB (video only) ======
-    * Deterministic fake decode: a real implementation would decode the
-    * container format here (MP4→frames). The fake derives a stable
-    * 16-dim feature from the payload bytes so the pipeline around it is
-    * fully testable. Interface (bytes → feature vector) is exactly what
-    * a codec-backed version exposes — image and audio kinds already run
-    * the real [[ImageCodec]]/[[AudioCodec]].
+  /** ====== STUB (non-AVI video containers only) ======
+    * Deterministic fake decode for formats that need FFmpeg-class
+    * dependencies (MP4/H.264). AVI/MJPEG video is decoded for real by
+    * [[VideoCodec]]; this fake keeps the pipeline testable for other
+    * containers with the same bytes→feature interface, and provides
+    * the shared payload checksum.
     */
   object StubCodec {
     val FeatureDim = 16
@@ -277,9 +277,8 @@ object Multimodal {
 
   /** Deterministic synthetic media table (payloads derived from the id —
     * stable across partitionings, no RNG). Image rows carry REAL PNG
-    * bytes ([[ImageCodec.makePng]]) and audio rows REAL WAV bytes
-    * ([[AudioCodec.makeWav]]) so the decode paths downstream are the
-    * actual JDK decoders, not fakes; only video payloads are opaque.
+    * bytes, audio rows REAL WAV bytes, video rows REAL MJPEG AVI bytes
+    * — every decode path downstream is an actual decoder.
     */
   def generate(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
@@ -290,16 +289,20 @@ object Multimodal {
         case "image" => ImageCodec.makePng(id, 64)
         case "audio" => AudioCodec.makeWav(id, ms)
         case _ =>
-          val len = 256 + (id * 37 % 1024).toInt
-          Array.tabulate[Byte](len)(i => ((id * 131 + i * 31) & 0xff).toByte)
+          VideoCodec.makeAviSample(id, nFrames = 4 + (id % 9).toInt,
+            side = 32, fps = 4)
       }
       MediaRow(id, kind, payload,
         format = kind match {
-          case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
+          case "image" => "png"; case "audio" => "wav"; case _ => "avi"
         },
         width = if (kind == "image") Some(64) else None,
         height = if (kind == "image") Some(64) else None,
-        duration_ms = if (kind != "image") Some(ms) else None)
+        duration_ms = kind match {
+          case "audio" => Some(ms)
+          case "video" => Some(VideoCodec.durationMs(payload))
+          case _ => None
+        })
     }
   }
 
@@ -315,6 +318,8 @@ object Multimodal {
       val feature = m.kind match {
         case "image" => ImageCodec.decodeToFeature(m.payload)
         case "audio" => AudioCodec.decodeToFeature(m.payload)
+        case "video" if m.format == "avi" =>
+          VideoCodec.decodeToFeature(m.payload)
         case _ => StubCodec.decodeToFeature(m.payload)
       }
       MediaFeatures(m.media_id, m.kind, m.payload.length,
@@ -338,12 +343,19 @@ object Multimodal {
       .toDF("media_id", "out_width", "out_height", "payload")
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame. */
+  /** Frame sampling for video rows: one output row per sampled frame —
+    * REAL container-level extraction for AVI (each frame_bytes is a
+    * decodable JPEG still), byte-slice stub for other formats.
+    */
   def sampleFrames(media: Dataset[MediaRow], nFrames: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
-      .flatMap(m => StubCodec.sampleFrames(m.payload, nFrames)
-        .zipWithIndex.map { case (frame, i) => (m.media_id, i, frame) })
+      .flatMap { m =>
+        val frames =
+          if (m.format == "avi") VideoCodec.sampleFrames(m.payload, nFrames)
+          else StubCodec.sampleFrames(m.payload, nFrames)
+        frames.zipWithIndex.map { case (frame, i) => (m.media_id, i, frame) }
+      }
       .toDF("media_id", "frame_no", "frame_bytes")
   }
 

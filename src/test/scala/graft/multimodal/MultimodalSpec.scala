@@ -157,4 +157,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.filter($"out_width" > 32 || $"out_height" > 32).count() == 0)
     assert(plan.filter($"scale" > 1.0).count() == 0)
   }
+
+  test("VideoCodec golden: MPNG AVI round-trips frames pixel-exact") {
+    // lossless PNG frames → decoded pixels must equal the originals
+    val frames = (0 until 5).map { fno =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (fno * 40 + x * 5) << 16 | (y * 20) << 8 | fno * 50)
+      img
+    }
+    val avi = VideoCodec.makeAvi(frames, fps = 5, frameFormat = "png")
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(VideoCodec.frameCount(avi) == 5)
+    assert(VideoCodec.durationMs(avi) == 1000)
+    val back = VideoCodec.decodeFrames(avi)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        assert((a.getRGB(x, y) & 0xffffff) == (b.getRGB(x, y) & 0xffffff))
+    }
+  }
+
+  test("VideoCodec: MJPEG decode recovers luminance within JPEG tolerance") {
+    val avi = VideoCodec.makeAviSample(id = 7, nFrames = 8, side = 32, fps = 4)
+    val back = VideoCodec.decodeFrames(avi)
+    assert(back.length == 8)
+    // JPEG is lossy but mean luminance survives to within a few percent
+    val feature = VideoCodec.decodeToFeature(avi)
+    assert(feature.length == 16)
+    val firstLum = ImageCodecSupport.meanLuminance(back.head)
+    assert(math.abs(feature(0) - firstLum) < 1e-6) // bin 0 = frame 0 here
+    assert(feature.forall(v => v >= 0f && v <= 1f))
+    // temporal envelope varies across bins (frames drift by design)
+    assert(feature.distinct.length > 1)
+  }
+
+  test("generated video payloads are real AVIs; distributed decode + frame sampling work") {
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { m =>
+      assert(m.format == "avi")
+      assert(new String(m.payload.slice(0, 4), "US-ASCII") == "RIFF")
+      assert(VideoCodec.durationMs(m.payload) == m.duration_ms.get)
+      assert(VideoCodec.frameCount(m.payload) == 4 + (m.media_id % 9).toInt)
+    }
+    // distributed feature extraction runs the real container parse
+    val feats = Multimodal.extractFeatures(media)
+      .filter(_.kind == "video").collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.feature.length == 16 &&
+      f.feature.exists(_ > 0f)))
+    // sampled frames are decodable JPEG stills
+    val sampled = Multimodal.sampleFrames(media, nFrames = 3)
+      .select($"frame_bytes").as[Array[Byte]].collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { bytes =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 32)
+    }
+  }
 }
