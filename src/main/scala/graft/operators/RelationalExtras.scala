@@ -189,6 +189,116 @@ object RelationalExtras {
         FROM customer ORDER BY c_custkey""")),
 
     // ------------------------------------------------------------------
+    // q78: FUNNEL analysis — ordered event-sequence conversion
+    // (view → click-after-view → purchase-after-click), the product-
+    // analytics staple. Each stage is one conditional-min aggregation
+    // joined to the previous stage's users (shuffles keyed on user_id;
+    // stage frames shrink monotonically), then a 3-row conversion
+    // ladder via lag(). Timestamp comparisons happen on the µs-exact
+    // event time; only counts and ratios leave the query, so the
+    // output is engine-exact.
+    Q("q78_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        def rowOf(stageNo: Int, stage: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(stageNo).as("stage_no"), lit(stage).as("stage"),
+              col("n_users"))
+        val w = Window.orderBy(col("stage_no"))
+        rowOf(1, "view", v)
+          .unionByName(rowOf(2, "click_after_view", c))
+          .unionByName(rowOf(3, "purchase_after_click", p))
+          .withColumn("conversion",
+            coalesce(col("n_users").cast("double") /
+              lag(col("n_users"), 1).over(w), lit(1.0)))
+          .orderBy(col("stage_no"))
+      },
+      Some("""WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id),
+        ladder AS (
+          SELECT 1 AS stage_no, 'view' AS stage,
+                 CAST(count(*) AS BIGINT) AS n_users FROM v
+          UNION ALL
+          SELECT 2, 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+          UNION ALL
+          SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+        SELECT stage_no, stage, n_users,
+               coalesce(CAST(n_users AS DOUBLE)
+                 / lag(n_users) OVER (ORDER BY stage_no), 1.0) AS conversion
+        FROM ladder ORDER BY stage_no""")),
+
+    // ------------------------------------------------------------------
+    // q79: COHORT RETENTION — users grouped by acquisition week (their
+    // first event's Monday-truncated week), tracked by distinct-active
+    // week offset, with retention as a share of cohort size. Anchoring
+    // on the FIRST event keeps every offset ≥ 0, sidestepping the
+    // Spark-truncates/DuckDB-floors integer-division divergence on
+    // negatives. Two shuffles on user_id (first-event agg, activity
+    // join) + one on (cohort, wk): the cohort table is users-sized,
+    // never events-sized.
+    Q("q79_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+        val su = e.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .select(col("user_id"),
+            date_trunc("week", col("t0")).cast("date").as("cohort"))
+        val act = e.join(su, "user_id")
+          .select(col("cohort"), col("user_id"),
+            (datediff(date_trunc("week", col("ts")).cast("date"),
+              col("cohort")) / 7).cast("int").as("wk"))
+          .distinct()
+        val sizes = su.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_users"))
+        act.groupBy(col("cohort"), col("wk"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(
+            date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("wk"), col("n_active"), col("cohort_users"),
+            (col("n_active").cast("double") / col("cohort_users"))
+              .as("retention"))
+          .orderBy(col("cohort"), col("wk"))
+      },
+      Some("""WITH su AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+          FROM events GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT su.cohort, e.user_id,
+                 CAST(date_diff('day', su.cohort,
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS wk
+          FROM events e JOIN su USING (user_id)),
+        sizes AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+          FROM su GROUP BY cohort)
+        SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, a.wk,
+               CAST(count(*) AS BIGINT) AS n_active, s.cohort_users,
+               CAST(count(*) AS DOUBLE) / s.cohort_users AS retention
+        FROM act a JOIN sizes s USING (cohort)
+        GROUP BY a.cohort, a.wk, s.cohort_users
+        ORDER BY cohort, wk""")),
+
+    // ------------------------------------------------------------------
     // q69: MOVING WINDOW frames (ROWS BETWEEN 6 PRECEDING AND CURRENT
     // ROW): 7-day trailing revenue sum/average over the daily rollup —
     // the frame-spec surface the reference never uses (SURVEY §2.5).
