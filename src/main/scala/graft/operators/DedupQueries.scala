@@ -108,6 +108,12 @@ object DedupQueries {
   private def shingledOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
 
+  /** (doc_id, band, bucket) for any (doc_id, text) frame: the LSH band
+    * index an incremental pipeline persists ([[DedupIndex]]) and q71
+    * probes.
+    */
+  def bandIndex(input: DataFrame): DataFrame = bandKeys(shingledOf(input))
+
   /** (doc_id, band, bucket): the LSH band index — [[NumBands]] rows per
     * document, bucket = polyhash of the signature slice. At 100 TB this
     * is the persisted, (band,bucket)-bucketed structure incremental
