@@ -25,11 +25,31 @@ import java.time.LocalDate
 object Serve {
 
   /** The served catalog: every `public_*` view registered by
-    * [[pipeline.PipelineResult.registerViews]].
+    * [[pipeline.PipelineResult.registerViews]] plus the corpus views.
     */
   def servedViews(spark: org.apache.spark.sql.SparkSession): Seq[String] =
     spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("public_")).sorted.toSeq
+
+  /** Corpus-side dashboard views over the documents/events tables —
+    * the LLM-pipeline half of the serving surface (language mix,
+    * quality gates, dedup resolution, funnel, retention), each backed
+    * by its oracle-checked registry query.
+    */
+  val CorpusViews: Map[String, String] = Map(
+    "public_corpus_langs" -> "q29_lang_stats",
+    "public_corpus_quality" -> "q30_quality_gate",
+    "public_corpus_dedup" -> "q70_dedup_resolve",
+    "public_corpus_mix" -> "q73_corpus_mix",
+    "public_funnel" -> "q78_funnel",
+    "public_retention" -> "q79_retention")
+
+  def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit =
+    if (new java.io.File(sfDir).isDirectory)
+      CorpusViews.foreach { case (view, q) =>
+        SparkEntry.queries(q)(spark, sfDir).createOrReplaceTempView(view)
+      }
 
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
@@ -50,6 +70,8 @@ object Serve {
     val result = pipeline.Pipeline.run(spark, csvDir, s"$workDir/out",
       LocalDate.of(2025, 7, 15))
     result.registerViews(spark)
+    registerCorpusViews(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
     val views = servedViews(spark)
     println(s"[serve] ${views.size} views registered:")

@@ -130,8 +130,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("serving surface: all public_* views register and answer SQL") {
     result.registerViews(spark)
+    graft.Serve.registerCorpusViews(spark, "/root/testdata/sf0.001")
     val views = graft.Serve.servedViews(spark)
-    assert(views.size == 11, s"got $views")
+    assert(views.size == 11 + graft.Serve.CorpusViews.size, s"got $views")
+    // the corpus half of the catalog serves rows too
+    Seq("public_corpus_langs", "public_funnel", "public_retention")
+      .foreach { v =>
+        assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) > 0, v)
+      }
     // every view is queryable through plain SQL on the session, like a
     // Thrift/Connect client would issue it
     views.foreach { v =>
