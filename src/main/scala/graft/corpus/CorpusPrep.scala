@@ -54,9 +54,18 @@ object CorpusPrep {
   def run(docs: DataFrame, eval: Option[DataFrame],
       cfg: CorpusPrepConfig = CorpusPrepConfig()): (DataFrame, Seq[StageCount]) = {
     val counts = Seq.newBuilder[StageCount]
+    // Each stage caches for the count + the next stage's build, then the
+    // PREVIOUS stage's cache is dropped: once stage N is materialized
+    // its lineage no longer needs N−1's blocks. The final result is
+    // handed off as a localCheckpoint (lineage cut, blocks freed by the
+    // ContextCleaner when the caller drops the plan) so a run pins
+    // nothing in the CacheManager for the session's lifetime.
+    var prev: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
       val cached = df.cache()
       counts += StageCount(name, cached.count())
+      if (prev != null) prev.unpersist()
+      prev = cached
       cached
     }
 
@@ -128,6 +137,8 @@ object CorpusPrep {
           ((sum(col("n_tok")).over(w) - col("n_tok")) / cfg.packBudget)
             .cast("long")))
 
-    (packed, counts.result())
+    val out = packed.localCheckpoint()
+    packed.unpersist()
+    (out, counts.result())
   }
 }
