@@ -299,6 +299,49 @@ object RelationalExtras {
         ORDER BY cohort, wk""")),
 
     // ------------------------------------------------------------------
+    // q80: RANGE window frames — the time-based sibling of q69's ROWS
+    // frame, and semantically different wherever the calendar has
+    // gaps: RANGE looks back 6 DAYS of value distance, ROWS 6
+    // physical rows, so after a missing day the two diverge. Ordered
+    // on an integer day number so both engines run the same numeric
+    // RANGE spec (Spark's rangeBetween and DuckDB's RANGE PRECEDING
+    // agree on longs; interval frames would drag timestamp typing
+    // into the compare). Same post-aggregation O(|days|) shape as q69.
+    Q("q80_range_frame",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("sales_date"),
+            datediff(col("d"), lit("1992-01-01").cast("date"))
+              .cast("long").as("day_num"),
+            col("rev"))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily
+          .select(col("sales_date"), dbl(col("rev")).as("revenue"),
+            dbl(sum(col("rev")).over(w)).as("rev_7d_range"),
+            count(lit(1)).over(w).as("n_days_present"))
+          .orderBy(col("sales_date"))
+      },
+      Some("""WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+          FROM orders GROUP BY d),
+        numbered AS (
+          SELECT strftime(d, '%Y-%m-%d') AS sales_date,
+                 CAST(date_diff('day', DATE '1992-01-01', d) AS BIGINT) AS day_num,
+                 rev
+          FROM daily)
+        SELECT sales_date,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d_range,
+               CAST(count(*) OVER w AS BIGINT) AS n_days_present
+        FROM numbered
+        WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY sales_date""")),
+
+    // ------------------------------------------------------------------
     // q69: MOVING WINDOW frames (ROWS BETWEEN 6 PRECEDING AND CURRENT
     // ROW): 7-day trailing revenue sum/average over the daily rollup —
     // the frame-spec surface the reference never uses (SURVEY §2.5).
