@@ -93,15 +93,20 @@ object Serve {
     if (once) { spark.stop(); return }
 
     println("[serve] serving; close stdin or SIGTERM to stop")
-    val in = System.in
-    var open = true
+    // EOF is only observable from a BLOCKING read (available() stays 0 at
+    // EOF, so polling it never sees the close) — dedicate a reader thread
+    // that drains stdin and flips the flag when read() returns -1
+    @volatile var open = true
+    val reader = new Thread(() => {
+      try { while (System.in.read() != -1) () } catch { case _: Throwable => }
+      open = false
+    }, "serve-stdin-watcher")
+    reader.setDaemon(true)
+    reader.start()
     while (open) {
       // wake every 5 min to confirm liveness; exit when stdin closes
       val deadline = System.currentTimeMillis() + 5 * 60 * 1000
-      while (open && System.currentTimeMillis() < deadline) {
-        if (in.available() > 0 && in.read() == -1) open = false
-        else Thread.sleep(1000)
-      }
+      while (open && System.currentTimeMillis() < deadline) Thread.sleep(1000)
       if (open) println(s"[serve] alive, ${views.size} views")
     }
     spark.stop()

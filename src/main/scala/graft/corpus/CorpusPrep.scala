@@ -126,9 +126,12 @@ object CorpusPrep {
     val split = mixed.withColumn("split",
       DataSplit.byHash(col("doc_id"), cfg.trainPct, cfg.valPct))
 
-    // 8. pack: per-source fixed-budget chunking (the window partitions
-    // by the shard key — never global)
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // 8. pack: per-(source, split) fixed-budget chunking — the window
+    // partitions by the shard key, never global, and includes the split
+    // label so no chunk_id ever spans train/val/test (a chunk is a
+    // training unit; mixing splits inside one would leak eval data)
+    val w = Window.partitionBy(col("source"), col("split"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
     val packed = stage("pack",

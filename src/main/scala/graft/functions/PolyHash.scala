@@ -69,8 +69,10 @@ object PolyHash {
   * [[MulMod61]] arithmetic as the signature itself, so band keys are
   * recomputable by the DuckDB oracle (`MulMod61.sqlPh61Longs`). Values
   * must be in [0, 2^61) (signature positions are; the Long.MaxValue
-  * empty-set sentinel is outside the domain and only arises for empty
-  * shingle sets, which produce no candidate pairs anyway).
+  * empty-set sentinel is outside the domain — and since every
+  * shingle-less doc shares the SAME sentinel signature they would all
+  * collide in every band, so callers filter empty shingle sets out
+  * before banding: see DedupQueries.bandKeys).
   */
 case class PolyHashLongs(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

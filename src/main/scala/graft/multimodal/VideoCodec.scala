@@ -119,6 +119,13 @@ object VideoCodec {
         val id = new String(payload, off, 4, "US-ASCII")
         val size = readLe32(payload, off + 4)
         val dataOff = off + 8
+        // a corrupt/truncated container can carry a negative or oversized
+        // LE32 here; without this check a negative size walks `off`
+        // BACKWARDS (infinite loop) and an oversized one throws a raw
+        // ArrayIndexOutOfBounds from copyOfRange
+        require(size >= 0 && dataOff + size <= until,
+          s"corrupt RIFF chunk '$id' at offset $off: size $size exceeds " +
+            s"enclosing extent $until")
         if (id == "LIST" && size >= 4) {
           val listType = new String(payload, dataOff, 4, "US-ASCII")
           if (listType == "movi" || listType == "hdrl" || listType == "strl")
@@ -151,6 +158,9 @@ object VideoCodec {
         val id = new String(payload, off, 4, "US-ASCII")
         val size = readLe32(payload, off + 4)
         val dataOff = off + 8
+        require(size >= 0 && dataOff + size <= until,
+          s"corrupt RIFF chunk '$id' at offset $off: size $size exceeds " +
+            s"enclosing extent $until")
         if (id == "LIST" && size >= 4) walk(dataOff + 4, dataOff + size)
         else if (id == "avih" && size >= 20) {
           val usecPerFrame = readLe32(payload, dataOff)

@@ -32,6 +32,14 @@ object DedupCluster {
     // fixed 32-partition shuffle per iteration would be pure scheduling
     // overhead; at 100 TB the same rule lands on many partitions
     val nEdges = edges0.count()
+    // a clean corpus (zero near-dup pairs at the caller's threshold) is a
+    // legal input: resolve to the empty mapping instead of entering the
+    // loop, where an empty `labels` would make sum(label) a null DECIMAL
+    if (nEdges == 0L) {
+      edges0.unpersist()
+      return pairs.select(col("a_id").as("id"), col("a_id").as("canonical_id"))
+        .limit(0)
+    }
     val parts = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions,
       (nEdges / 500000L).toInt))
@@ -46,8 +54,8 @@ object DedupCluster {
     // frame instead of a next-vs-previous join per iteration. DECIMAL
     // accumulation so the test can't overflow at any id magnitude.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -122,6 +122,12 @@ object DedupQueries {
     */
   private def bandKeys(docs: DataFrame): DataFrame =
     docs
+      // docs with no shingles (< k tokens) carry the Long.MaxValue
+      // sentinel signature — identical for ALL such docs, so they'd
+      // collide in every band and flood the candidate join; they also
+      // have no rows in the oracle's sig CTE. Drop them here: a doc
+      // with no shingles has no near-dup evidence to offer.
+      .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)),
@@ -167,6 +173,9 @@ object DedupQueries {
       (s, dir) => {
         t(s, dir, "documents")
           .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+          // match the oracle's sig CTE, which has no rows for docs
+          // without shingles (see bandKeys for the sentinel rationale)
+          .filter(size(col("sh")) > 0)
           .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
           .select(
             col("doc_id"),
