@@ -28,6 +28,8 @@ object Serve {
     * [[pipeline.PipelineResult.registerViews]] plus the corpus views.
     */
   def servedViews(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    // catalog metadata only (a few dozen view names) — NOT a data collect;
+    // the no-driver-collect rule applies to operator/data paths
     spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("public_")).sorted.toSeq
 

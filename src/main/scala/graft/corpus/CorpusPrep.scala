@@ -49,7 +49,7 @@ object CorpusPrep {
     *              decontaminate against; None skips the stage
     * @return (prepared corpus, per-stage accounting). The prepared
     *         corpus carries the original columns plus `split`
-    *         (train/val/test) and `chunk_id` (per-source packing).
+    *         (train/val/test) and `chunk_id` (per-(source, split) packing).
     */
   def run(docs: DataFrame, eval: Option[DataFrame],
       cfg: CorpusPrepConfig = CorpusPrepConfig()): (DataFrame, Seq[StageCount]) = {

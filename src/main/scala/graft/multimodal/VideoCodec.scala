@@ -122,8 +122,10 @@ object VideoCodec {
         // a corrupt/truncated container can carry a negative or oversized
         // LE32 here; without this check a negative size walks `off`
         // BACKWARDS (infinite loop) and an oversized one throws a raw
-        // ArrayIndexOutOfBounds from copyOfRange
-        require(size >= 0 && dataOff + size <= until,
+        // ArrayIndexOutOfBounds from copyOfRange. Compare in LONG
+        // arithmetic: a size near Int.MaxValue wraps `dataOff + size`
+        // negative and would slip past an int comparison.
+        require(size >= 0 && dataOff.toLong + size <= until,
           s"corrupt RIFF chunk '$id' at offset $off: size $size exceeds " +
             s"enclosing extent $until")
         if (id == "LIST" && size >= 4) {
@@ -158,7 +160,7 @@ object VideoCodec {
         val id = new String(payload, off, 4, "US-ASCII")
         val size = readLe32(payload, off + 4)
         val dataOff = off + 8
-        require(size >= 0 && dataOff + size <= until,
+        require(size >= 0 && dataOff.toLong + size <= until, // long: no int wrap
           s"corrupt RIFF chunk '$id' at offset $off: size $size exceeds " +
             s"enclosing extent $until")
         if (id == "LIST" && size >= 4) walk(dataOff + 4, dataOff + size)

@@ -66,22 +66,69 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(math.abs(frac("train") - 0.8) < 0.1, frac)
   }
 
+  test("clean corpus (zero near-dup pairs) runs end-to-end") {
+    // regression: a corpus with NO verified near-dup pairs at the
+    // threshold drives DedupCluster.resolve with an empty edge set —
+    // the path that NPE'd before round 4. Every doc must survive
+    // near-dedup and the pipeline must complete.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "web"),
+      (2L, "one two three four five six seven eight nine ten eleven", "web"),
+      (3L, "spark catalyst optimizer rewrites logical plans into physical", "books"),
+      (4L, "entirely unrelated sentence about mountains rivers and weather", "books")
+    ).toDF("doc_id", "text", "source")
+    val (out, counts) = CorpusPrep.run(docs, None,
+      CorpusPrepConfig(minQuality = 0.0))
+    val byStage = counts.map(c => c.stage -> c.rows).toMap
+    assert(byStage("near_dedup") == byStage("exact_dedup"),
+      "clean corpus: near-dedup must drop nothing")
+    assert(out.count() == 4)
+    assert(out.columns.contains("chunk_id") && out.columns.contains("split"))
+  }
+
   test("packing matches an independent sequential re-implementation") {
+    // packing windows by (source, split) — re-implement per that key
     val got = prepared
-      .select($"source", $"doc_id", $"n_tok", $"chunk_id")
-      .as[(String, Long, Long, Long)].collect()
-      .groupBy(_._1)
+      .select($"source", $"split", $"doc_id", $"n_tok", $"chunk_id")
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
     got.foreach { case (_, rows) =>
       var cum = 0L
-      rows.sortBy(_._2).foreach { case (_, _, tok, chunk) =>
+      rows.sortBy(_._3).foreach { case (_, _, _, tok, chunk) =>
         assert(chunk == cum / 1024L)
         cum += tok
       }
     }
-    // chunks start at 0 and are contiguous per source
-    got.foreach { case (src, rows) =>
-      val ids = rows.map(_._4).distinct.sorted.toSeq
-      assert(ids == (0L until ids.length), s"$src: $ids")
+    // chunks start at 0 and are contiguous per (source, split)
+    got.foreach { case (key, rows) =>
+      val ids = rows.map(_._5).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length), s"$key: $ids")
     }
+  }
+
+  test("no chunk spans two splits — the property split-aware packing guarantees") {
+    // Before the round-4 fix the packing window partitioned by source only,
+    // so one cumulative token sum ran across split boundaries and a single
+    // chunk could mix train and eval docs. Pin the fixed semantics two ways:
+    // (a) every (source, split) restarts numbering at chunk 0 — under the
+    // old per-source window, only the split holding a source's first docs
+    // could contain chunk 0;
+    val starts = prepared.groupBy($"source", $"split")
+      .agg(min($"chunk_id").as("first_chunk"))
+    assert(starts.filter($"first_chunk" =!= 0).count() == 0)
+    // (b) the cumulative sum feeding chunk_id includes only same-split
+    // docs: recompute each doc's chunk from same-split predecessors alone
+    // and assert equality — a cross-split leak shifts the cumulative sum.
+    val sameSplitOnly = prepared
+      .select($"source", $"split", $"doc_id", $"n_tok", $"chunk_id")
+      .as[(String, String, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .forall { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._3).forall { case (_, _, _, tok, chunk) =>
+          val ok = chunk == cum / 1024L; cum += tok; ok
+        }
+      }
+    assert(sameSplitOnly)
   }
 }

@@ -180,6 +180,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("VideoCodec: corrupt AVIs fail fast with the descriptive require") {
+    // regression for the round-4 bounds checks: a corrupt LE32 size must
+    // raise the descriptive IllegalArgumentException, never loop forever
+    // (negative size walked `off` backwards) or escape as a raw
+    // ArrayIndexOutOfBounds / StringIndexOutOfBounds
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def avi(chunkSize: Int): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le32(100) ++ "AVI ".getBytes("US-ASCII") ++
+        "00dc".getBytes("US-ASCII") ++ le32(chunkSize) ++ Array.fill[Byte](8)(1)
+
+    for (bad <- Seq(-5 /*negative walks backwards*/,
+        1000 /*truncated: size exceeds payload*/,
+        Int.MaxValue - 4 /*int wrap: dataOff + size overflows negative*/)) {
+      val e1 = intercept[IllegalArgumentException](VideoCodec.frameChunks(avi(bad)))
+      assert(e1.getMessage.contains("corrupt RIFF chunk"), s"size=$bad")
+      val e2 = intercept[IllegalArgumentException](VideoCodec.durationMs(avi(bad)))
+      assert(e2.getMessage.contains("corrupt RIFF chunk"), s"size=$bad")
+    }
+    // non-AVI payloads are rejected before any chunk walk
+    val e = intercept[IllegalArgumentException](
+      VideoCodec.frameChunks("not a riff container at all".getBytes))
+    assert(e.getMessage.contains("not a RIFF/AVI container"))
+  }
+
   test("VideoCodec: MJPEG decode recovers luminance within JPEG tolerance") {
     val avi = VideoCodec.makeAviSample(id = 7, nFrames = 8, side = 32, fps = 4)
     val back = VideoCodec.decodeFrames(avi)

@@ -17,6 +17,23 @@ class DedupClusterSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("zero-edge input resolves to an empty mapping (clean corpus)") {
+    // regression: before round 4 an empty edge set entered the label-
+    // propagation loop, where sum(label) over zero rows is a null DECIMAL
+    // and labelSum NPE'd — a clean corpus crashed the flagship pipeline
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = DedupCluster.resolve(empty)
+    assert(got.columns.toSeq == Seq("id", "canonical_id"))
+    assert(got.count() == 0)
+  }
+
+  test("keepers on zero pairs: everyone keeps themselves") {
+    val all = Seq(1L, 2L, 3L).toDF("doc_id")
+    val none = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = DedupCluster.keepers(all, none).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("keepers: unpaired docs keep themselves") {
     val all = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")

@@ -25,6 +25,28 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed pairs: ${exact -- lsh}")
   }
 
+  test("short docs (< k tokens) produce no band keys and flood no candidates") {
+    // regression for the round-4 sentinel fix: docs too short to shingle
+    // used to carry the identical Long.MaxValue sentinel signature, so
+    // every such doc collided with every other in ALL bands — a candidate
+    // flood quadratic in the short-doc count. They must now be excluded
+    // from banding entirely.
+    val docs = Seq(
+      (1L, "hi"), (2L, "ok"), (3L, "a b"), // all < 3 tokens: no shingles
+      (4L, "the quick brown fox jumps over the lazy dog by the river"),
+      (5L, "the quick brown fox jumps over the lazy dog by the riverside")
+    ).toDF("doc_id", "text")
+    val bands = DedupQueries.bandIndex(docs)
+    assert(bands.filter($"doc_id".isin(1L, 2L, 3L)).count() == 0,
+      "short docs must emit no band keys")
+    assert(bands.filter($"doc_id".isin(4L, 5L)).count() > 0)
+    // verified pairs only ever involve shingle-bearing docs
+    val pairs = DedupQueries.lshVerifiedPairs(docs)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a >= 4L && b >= 4L },
+      s"sentinel pair leaked: ${pairs.mkString(",")}")
+  }
+
   test("simhash: identical texts get identical signatures, edits stay close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
