@@ -80,17 +80,28 @@ object VectorQueries {
   // out of the cosine argmax: cos(x, s/n) ∝ dot(x,s)/|s|), making the
   // whole build order-independent — a 32-way shuffled Spark aggregation
   // and DuckDB's single-threaded replay produce identical cells. At
-  // 100 TB the build runs on a bounded sample (the per-iteration collect
-  // is k×dims integers, never data-sized); the query path stays one
-  // broadcast probe join + cell-key equi-join per batch.
+  // 100 TB the build is bounded end to end: the INIT collect targets a
+  // fixed NCells centroids via a stride derived from a pre-counted n
+  // (so it is O(NCells×dims) at ANY corpus size, never a fraction of
+  // the data), and the per-iteration collect is k×dims integers. The
+  // query path stays one broadcast probe join + cell-key equi-join per
+  // batch.
 
-  private val Stride = 45 // initial cells: vec_id % Stride = 0 (~√n at sf0.01)
+  // Coarse-quantizer size: a FIXED constant, so driver state (init
+  // sample + per-iteration sums) is O(NCells×dims) at any corpus size.
+  // 11 keeps NProbe/NCells ≈ 25% — the probed fraction the recall
+  // floor in VectorSpec was measured at (and makes the sf0.001 init
+  // stride 500/11 = 45, the exact sample those measurements used); a
+  // real 100 TB deployment sets this higher (e.g. 4096) for smaller
+  // cells — still O(1) driver state.
+  private[operators] val NCells = 11
   private val NProbe = 3
 
   /** One Lloyd update: measured recall@5 vs the raw stride sample is
-    * 0.60→0.66 (sf0.001), 0.40→0.56 (sf0.01), 0.38→0.42 (sf0.1) on the
-    * 10 fixed queries; further iterations oscillate below that on this
-    * corpus (VectorSpec pins the improvement).
+    * 0.60→0.66 at sf0.001 on the 10 fixed queries (NOTES.md round 3;
+    * the sf0.001 init is unchanged by the round-5 bounded-stride fix);
+    * further iterations oscillate below that on this corpus (VectorSpec
+    * pins the improvement).
     */
   private val KMeansIters = 1
 
@@ -227,8 +238,12 @@ object VectorQueries {
         val emb = t(s, dir, "embeddings")
         val qemb = emb.select(col("vec_id"), col("embedding"),
           quantize(col("embedding")).as("qv"))
-        // k-means build (driver holds only k×dims integer sums)
-        val init = qemb.filter(col("vec_id") % Stride === 0)
+        // k-means build (driver holds only k×dims integer sums). The
+        // init stride comes from a pre-counted n so the collect below is
+        // ~NCells rows REGARDLESS of corpus size — never the linear
+        // fraction a fixed stride would ship to the driver.
+        val stride = math.max(1L, emb.count() / NCells)
+        val init = qemb.filter(col("vec_id") % stride === 0)
           .select(col("vec_id"), col("qv")).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
         var cells = init
@@ -279,7 +294,8 @@ object VectorQueries {
                    list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
             FROM embeddings),
-          c0 AS (SELECT vec_id AS cell, qv AS s FROM qe WHERE vec_id % $Stride = 0),
+          c0 AS (SELECT vec_id AS cell, qv AS s FROM qe
+                 WHERE vec_id % (SELECT greatest(1, count(*) // $NCells) FROM qe) = 0),
           ${assign("c0", "a1")},
           ${update("a1", "c1")},
           ${assign("c1", "a2")},
