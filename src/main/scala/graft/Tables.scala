@@ -24,6 +24,17 @@ object Tables {
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, path) => doLoad(s, path) })
 
+  // Row counts memoized alongside the plans: a parquet count(*) is a
+  // metadata-only job, but it is still a job per invocation — callers
+  // that size something off n (e.g. q43's k-means init stride) should
+  // pay it once per (session, table), not once per query run.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, path) => java.lang.Long.valueOf(load(s, dir, name).count()) })
+
   private def doLoad(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf

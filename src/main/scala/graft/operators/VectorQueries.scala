@@ -89,7 +89,7 @@ object VectorQueries {
 
   // Coarse-quantizer size: a FIXED constant, so driver state (init
   // sample + per-iteration sums) is O(NCells×dims) at any corpus size.
-  // 11 keeps NProbe/NCells ≈ 25% — the probed fraction the recall
+  // 11 keeps NProbe/NCells ≈ 27% (3/11) — the probed fraction the recall
   // floor in VectorSpec was measured at (and makes the sf0.001 init
   // stride 500/11 = 45, the exact sample those measurements used); a
   // real 100 TB deployment sets this higher (e.g. 4096) for smaller
@@ -241,8 +241,10 @@ object VectorQueries {
         // k-means build (driver holds only k×dims integer sums). The
         // init stride comes from a pre-counted n so the collect below is
         // ~NCells rows REGARDLESS of corpus size — never the linear
-        // fraction a fixed stride would ship to the driver.
-        val stride = math.max(1L, emb.count() / NCells)
+        // fraction a fixed stride would ship to the driver. The count is
+        // memoized per (session, table): metadata-only for parquet, but
+        // still a job, so it runs once, not once per query invocation.
+        val stride = math.max(1L, Tables.rowCount(s, dir, "embeddings") / NCells)
         val init = qemb.filter(col("vec_id") % stride === 0)
           .select(col("vec_id"), col("qv")).collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
