@@ -39,7 +39,13 @@ object Bench {
       r
     }
 
+    // SPARK_GRAFT_ONLY=q75_tfidf,q75_tfidf_salted — optional comma list
+    // for targeted local iteration; the driver never sets it, so the
+    // per-round bench always times the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.registry.filterNot(_.verificationOnly).map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // Warmup absorbs JVM/classloader/codegen startup. Three queries with
     // disjoint operator shapes (hash agg / filter+sort+string kernels /
     // multi-join) so the first timed occurrence of each codegen path

@@ -33,6 +33,57 @@ object TextQueries {
       "ώρα 한국 ậḈǻửᾷ " +
       "ÅÆΩ e\u0301te\u0301"
 
+  /** Shared q75 body: TF-IDF top-5 terms per doc, parameterized by how
+    * the tf⋈dfreq term join is performed (plain equi-join vs salted) so
+    * the two registry entries provably score through identical logic.
+    */
+  private def tfidfTop5(s: SparkSession, dir: String,
+      joinTfDf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = joinTfDf(tf, dfreq)
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (lit(1.0) + graft.functions.MathLn.ln(col("tf").cast("double"))) *
+          graft.functions.MathLn.ln((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val TfidfOracle = Some("""WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df,
+                 (1.0 + ln(CAST(tf AS DOUBLE)))
+                   * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tf, df, tfidf,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+          FROM scored)
+        SELECT doc_id, rank, term, tf, df, tfidf
+        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q28: token counting + quality metrics, row-level. Token/stopword
@@ -227,50 +278,23 @@ object TextQueries {
     // divisions are IEEE-deterministic, so the gate hash-checks the
     // double scores themselves.
     Q("q75_tfidf",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = t(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(tokens(col("text"))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(dfreq, "term")
-          .crossJoin(broadcast(n))
-          .withColumn("tfidf",
-            (lit(1.0) + graft.functions.MathLn.ln(col("tf").cast("double"))) *
-              graft.functions.MathLn.ln((col("n_docs").cast("double") + 1.0) /
-                (col("df").cast("double") + 1.0)))
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("tfidf").desc, col("term"))
-        scored
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("doc_id"), col("rank"), col("term"),
-            col("tf"), col("df"), col("tfidf"))
-          .orderBy(col("doc_id"), col("rank"))
-      },
-      Some("""WITH toks AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-          FROM documents),
-        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-               FROM toks GROUP BY doc_id, term),
-        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-                  FROM tf GROUP BY term),
-        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-        scored AS (
-          SELECT doc_id, term, tf, df,
-                 (1.0 + ln(CAST(tf AS DOUBLE)))
-                   * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
-          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-        ranked AS (
-          SELECT doc_id, term, tf, df, tfidf,
-                 CAST(row_number() OVER (PARTITION BY doc_id
-                      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
-          FROM scored)
-        SELECT doc_id, rank, term, tf, df, tfidf
-        FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")),
+      (s, dir) => tfidfTop5(s, dir, (tf, dfreq) => tf.join(dfreq, "term")),
+      TfidfOracle),
+
+    // q75 salted twin: the SAME scores through an explicitly salted
+    // tf⋈dfreq join. At corpus scale the term key is zipf-skewed — stop
+    // words put a constant fraction of ALL doc-term rows on single
+    // shuffle keys, and once the vocabulary outgrows broadcast range the
+    // equi-join's hot partitions bottleneck even under AQE's skew split
+    // (one key can exceed what splitting rebalances). Salting by the
+    // unique (doc_id, term) row spreads each hot term n ways at the cost
+    // of an n× explode of the tiny df side. Row-identical to q75 (same
+    // oracle SQL); SCALING.md records the sf0.1 measurement.
+    Q("q75_tfidf_salted",
+      (s, dir) => tfidfTop5(s, dir, (tf, dfreq) =>
+        SkewJoin.saltedInnerJoin(tf, dfreq, "term", n = 8,
+          saltBy = Seq("doc_id", "term"))),
+      TfidfOracle),
 
     // ------------------------------------------------------------------
     // q76: BM25 scoring of the corpus against a fixed query (terms with
