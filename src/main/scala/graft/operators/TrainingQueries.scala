@@ -43,6 +43,63 @@ object TrainingQueries {
         col("ps")(2).as("p75"), col("ps")(3).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Shared q50/q81 body: flag train docs sharing any distinct word-
+    * 5-gram with the eval split. With `bloomPrefilter` the train side is
+    * pruned by a broadcast bloom of the eval shingle hashes before the
+    * exact equi-join — identical results (no false negatives; the join
+    * removes false positives), fewer shuffled rows.
+    */
+  private def decontaminate(s: SparkSession, dir: String,
+      bloomPrefilter: Boolean): DataFrame = {
+    import graft.functions.BloomFilterOps.{bloomAgg, mightContain}
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+    val train = sh.filter(col("doc_id") % 20 =!= 0)
+    val eval_ = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("sh"), col("doc_id").as("eval_id"))
+    val candidates =
+      if (!bloomPrefilter) train
+      else {
+        // Size for the eval side's shingle cardinality: ~1 M items in
+        // 8 Mbit ≈ 1 MiB broadcast at 1% fpp. A real deployment derives
+        // estItems from the eval corpus's token count; the bloom is
+        // one fixed-size binary regardless, so the broadcast never
+        // scales with the TRAIN side, which is the 100 TB one.
+        val bloom = eval_.agg(
+          bloomAgg(xxhash64(col("sh")), estItems = 1000000L,
+            numBits = 8388608L).as("bf"))
+        // might_contain requires a constant or scalar subquery on the
+        // bloom side (same wiring as Catalyst's InjectRuntimeFilter):
+        // the subquery runs once, its one fixed-size binary is shared
+        // across every probe — never a per-row re-evaluation and never
+        // a broadcast that scales with the train side.
+        train.filter(mightContain(
+          org.apache.spark.sql.graftinterop.ColumnInterop.scalarSubquery(bloom),
+          xxhash64(col("sh"))))
+      }
+    candidates.join(eval_, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val DecontaminateOracle = Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS sh
+          FROM tk),
+        tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0)
+        SELECT tr.doc_id,
+               CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shared_shingles,
+               CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+        FROM tr JOIN ev ON tr.sh = ev.sh
+        GROUP BY tr.doc_id ORDER BY tr.doc_id""")
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q49: AS-OF JOIN (trades×quotes shape): for each 'purchase' event,
@@ -110,33 +167,24 @@ object TrainingQueries {
     // sides, equi-join on the shingle key (shuffle on n-gram — no doc×
     // doc product), count shared shingles + distinct eval docs hit.
     Q("q50_decontaminate",
-      (s, dir) => {
-        val sh = t(s, dir, "documents")
-          .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
-        val train = sh.filter(col("doc_id") % 20 =!= 0)
-        val eval_ = sh.filter(col("doc_id") % 20 === 0)
-          .select(col("sh"), col("doc_id").as("eval_id"))
-        train.join(eval_, Seq("sh"))
-          .groupBy(col("doc_id"))
-          .agg(countDistinct(col("sh")).as("n_shared_shingles"),
-            countDistinct(col("eval_id")).as("n_eval_docs"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH tk AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-          FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-                   range(1, greatest(len(w) - 3, 1)),
-                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS sh
-          FROM tk),
-        tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
-        ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 20 = 0)
-        SELECT tr.doc_id,
-               CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shared_shingles,
-               CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
-        FROM tr JOIN ev ON tr.sh = ev.sh
-        GROUP BY tr.doc_id ORDER BY tr.doc_id""")),
+      (s, dir) => decontaminate(s, dir, bloomPrefilter = false),
+      DecontaminateOracle),
+
+    // q81: the SAME decontamination behind a bloom-filter prefilter —
+    // the 100 TB shape. The eval side's shingle keys aggregate into one
+    // FIXED-size bloom (Spark's own BloomFilterAggregate — the runtime-
+    // filter machinery, applied explicitly); the train side drops every
+    // shingle the bloom rejects BEFORE the shuffle, so the exact
+    // equi-join only shuffles candidate rows. Blooms have no false
+    // negatives, and the exact join removes false positives, so the
+    // result is row-identical to q50 — both entries share one oracle SQL
+    // and the gate hash-checks the equivalence. At real scale the win is
+    // proportional to the clean fraction of the corpus: the shuffle
+    // carries only (true hits + fpp-sized noise) instead of every
+    // train-side shingle.
+    Q("q81_bloom_decontaminate",
+      (s, dir) => decontaminate(s, dir, bloomPrefilter = true),
+      DecontaminateOracle),
 
     // ------------------------------------------------------------------
     // q51: REPETITION-quality signals (Gopher-style): per document, the

@@ -357,6 +357,90 @@ object VectorQueries {
         SELECT q_id, vec_id, cos_sim,
                CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
-        FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk"""))
+        FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q82: int8-quantized ANN — the memory-bandwidth scale path. Each
+    // vector is symmetrically quantized to [-127,127] by its own max-|x|
+    // (`floor(x/ma·127 + 0.5)` — scale cancels out of cosine, so no
+    // per-vector scale factor needs to ride along); candidate scoring is
+    // the fused INTEGER dot product over the int8 codes (4× less memory
+    // traffic than float32 — at 100 TB the scan is bandwidth-bound, so
+    // that is the speedup), and only the top-5 survivors per query are
+    // re-ranked with exact float cosine. All arithmetic is exact-integer
+    // or IEEE-deterministic (integer dots ≤ 127²·64 are exact in
+    // doubles; sqrt is correctly rounded), so the oracle replays the
+    // whole thing value-for-value. The approx pass here is brute-force
+    // over codes — at scale it composes with q41/q43's bucket pruning
+    // (quantize WITHIN cells), which changes candidates, not this shape.
+    Q("q82_int8_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q8 = emb.select(col("vec_id"), col("embedding"),
+          quantizeInt8(col("embedding")).as("v8"))
+          .withColumn("n8", sqrt(intDot(col("v8"), col("v8")).cast("double")))
+        val queries = q8.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("v8").as("q_v8"), col("n8").as("q_n8"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_cos").desc, col("vec_id"))
+        val rw = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        q8.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
+            (intDot(col("q_v8"), col("v8")).cast("double") /
+              (col("q_n8") * col("n8"))).as("approx_cos"))
+          .withColumn("arn", row_number().over(w))
+          .filter(col("arn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("approx_cos"),
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(rw).cast("long"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH base AS (
+          SELECT vec_id, embedding,
+                 greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS ma
+          FROM embeddings),
+        q8 AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / ma * 127.0 + 0.5) AS BIGINT)) AS v8
+          FROM base),
+        n8 AS (
+          SELECT vec_id, embedding, v8,
+                 sqrt(CAST(list_sum(list_transform(v8, x -> x * x)) AS DOUBLE)) AS n8
+          FROM q8),
+        cand AS (
+          SELECT q.vec_id AS q_id, e.vec_id, q.embedding AS q_vec, e.embedding,
+                 CAST(list_sum(list_transform(list_zip(q.v8, e.v8),
+                   p -> p[1] * p[2])) AS DOUBLE) / (q.n8 * e.n8) AS approx_cos
+          FROM n8 q CROSS JOIN n8 e
+          WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+        top AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY approx_cos DESC, vec_id) AS arn
+          FROM cand)
+        SELECT q_id, vec_id, approx_cos,
+               ${duckDot("q_vec", "embedding")}
+                 / (${duckNorm("q_vec")} * ${duckNorm("embedding")}) AS cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY ${duckDot("q_vec", "embedding")}
+                      / (${duckNorm("q_vec")} * ${duckNorm("embedding")}) DESC,
+                    vec_id) AS BIGINT) AS rnk
+        FROM top WHERE arn <= 5 ORDER BY q_id, rnk"""))
   )
+
+  /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`
+    * ∈ [-127, 127]. Cosine is scale-invariant, so the per-vector scale
+    * never needs to be stored or multiplied back. The HOF form here runs
+    * once per vector in the scan projection (not in the pairwise hot
+    * loop, which is the fused [[IntDot]]); ε floors the zero vector.
+    */
+  private def quantizeInt8(c: Column): Column = {
+    val ma = greatest(array_max(transform(c, x => abs(x.cast("double")))),
+      lit(1e-30))
+    transform(c, x => floor(x.cast("double") / ma * lit(127.0) + lit(0.5)))
+  }
 }

@@ -14,6 +14,18 @@ object ColumnInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame's result as a scalar-subquery EXPRESSION (the frame
+    * must be a one-row, one-column aggregate). This is how Catalyst's
+    * own InjectRuntimeFilter feeds a `BloomFilterAggregate` into
+    * `BloomFilterMightContain`, which accepts only constants or scalar
+    * subqueries — the subquery executes once and its value is shared,
+    * never re-evaluated per row.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed))
+
   /** `AbstractDataType` (the `ExpectsInputTypes.inputTypes` element
     * type) is `private[sql]` in Spark 4 — aliased here so expressions
     * outside the sql package can declare strict input types.

@@ -124,6 +124,44 @@ class TrainingSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-prefiltered decontamination is row-identical to the exact form") {
+    // q81 = q50 behind a bloom prefilter: no false negatives (bloom) +
+    // exact join removes false positives → same rows, always. The gate
+    // checks this against DuckDB at sf0.01; pin it here at sf0.001 too
+    // so a refactor can't silently fork the twins.
+    val exact = q("q50_decontaminate").collect().map(_.toSeq).toSeq
+    val bloom = q("q81_bloom_decontaminate").collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
+  test("bloom prefilter prunes train-side shingles before the join shuffle") {
+    // the point of q81 at 100 TB: the shuffle carries only candidate
+    // rows. Re-create the two sides and check the bloom actually
+    // rejects a meaningful share of clean train shingles (fpp is 1%,
+    // so anything surviving ≫ true-hit count would mean the prefilter
+    // is wired wrong / always-true).
+    import graft.functions.BloomFilterOps.{bloomAgg, mightContain}
+    import org.apache.spark.sql.graftinterop.ColumnInterop
+    val sh = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(graft.functions.Shingles.shingles($"text", 5)).as("sh"))
+    val train = sh.filter($"doc_id" % 20 =!= 0)
+    val eval_ = sh.filter($"doc_id" % 20 === 0)
+    val bloom = eval_.agg(
+      bloomAgg(xxhash64($"sh"), 1000000L, 8388608L).as("bf"))
+    val kept = train.filter(mightContain(
+      ColumnInterop.scalarSubquery(bloom), xxhash64($"sh"))).count()
+    val total = train.count()
+    val trueHits = train.join(eval_.select($"sh").distinct(), Seq("sh")).count()
+    assert(kept >= trueHits, "bloom must never drop a true hit")
+    assert(kept < total,
+      s"bloom kept all $total train shingles — prefilter is not pruning")
+    // kept = true hits + fp noise; with 1% fpp the noise is ≤ a few
+    // percent of the clean rows, far below the clean total
+    assert(kept - trueHits <= (total - trueHits) / 10,
+      s"false-positive share too high: kept=$kept trueHits=$trueHits total=$total")
+  }
+
   test("simhash oracle twin packs 32-bit halves and is deterministic") {
     val r1 = q("q55_simhash_oracle").collect()
     val r2 = q("q55_simhash_oracle").collect()

@@ -86,4 +86,33 @@ class VectorSpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("int8 ANN: high recall vs exact, approx scores tight, exact re-rank scores") {
+    // int8 symmetric quantization keeps ~7 bits of per-dimension
+    // precision — on 64-dim vectors the cosine error is ~1e-2, so the
+    // approx top-5 should nearly always BE the exact top-5 (far
+    // stronger than the bucketed ANNs' recall floors).
+    val exact = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val exactScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val got = VectorQueries.all.find(_.name == "q82_int8_ann").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id", $"approx_cos", $"cos_sim")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // the quantized score must sit close to the true cosine everywhere
+    got.foreach { case (q, v, approx, ex) =>
+      assert(math.abs(approx - ex) < 0.05, s"($q,$v): approx=$approx exact=$ex")
+    }
+    // survivors carry the EXACT re-ranked score (same fused kernel as q39)
+    got.foreach { case (q, v, _, ex) =>
+      exactScore.get((q, v)).foreach(e => assert(math.abs(e - ex) < 1e-12))
+    }
+    val recall = (exactSet & got.map(r => (r._1, r._2)).toSet).size.toDouble /
+      exactSet.size
+    assert(recall >= 0.9, s"int8 recall@5 $recall below 0.9")
+  }
 }
