@@ -160,6 +160,74 @@ object DataSplit {
                CAST(row_number() OVER (PARTITION BY label
                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
         FROM embeddings
-        QUALIFY rn <= 5 ORDER BY label, rn"""))
+        QUALIFY rn <= 5 ORDER BY label, rn""")),
+
+    // ------------------------------------------------------------------
+    // q84: TEMPERATURE-SCALED corpus mixing (α = 0.5) — q73 with the
+    // quotas DERIVED instead of given: each source's per-doc keep rate
+    // is K/√(source token mass), so the expected kept token mass is
+    // K·√T_s ∝ T_s^α — the multilingual/multi-source rebalancing rule
+    // (upsample the tail, downsample the head) used for training-mix
+    // construction. Everything stays engine-exact: token counts and
+    // masses are integers, the rate is ONE floor(mul/div/sqrt) chain in
+    // IEEE doubles (correctly rounded in both engines), and the keep
+    // decision is the same affine61-threshold pure function of doc_id
+    // as q73/mixSample — deterministic, partition-independent, monotone.
+    // Plan shape: per-source mass is a 20-group map-side-combinable agg;
+    // the dim broadcasts back; the corpus itself is never shuffled.
+    Q("q84_temperature_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+              .as("n_tokens"))
+        val dim = docs.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("total_tokens"))
+          .withColumn("ppm",
+            floor(lit(1000000.0) * lit(8.0) /
+              sqrt(col("total_tokens").cast("double"))).cast("long"))
+        val kept = mixKeep(col("doc_id"), col("ppm"))
+        docs.join(broadcast(dim), "source")
+          .groupBy(col("source"), col("total_tokens"), col("ppm"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(kept, lit(1))).as("n_kept"),
+            coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
+              .as("kept_tokens"),
+            coalesce(sum(when(kept, col("doc_id"))), lit(0L))
+              .as("sum_kept_ids"))
+          .select(col("source"), col("total_tokens"),
+            (col("ppm").cast("double") / 1000000.0).as("sample_rate"),
+            col("n_docs"), col("n_kept"), col("kept_tokens"),
+            col("sum_kept_ids"))
+          .orderBy(col("source"))
+      },
+      {
+        import graft.functions.Affine61.{mixA, mixB}
+        import graft.functions.MulMod61.P
+        Some(s"""WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+            FROM documents),
+          mass AS (
+            SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM toks GROUP BY source),
+          dim AS (
+            SELECT source, total_tokens,
+                   CAST(floor(1000000.0 * 8.0 / sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS ppm
+            FROM mass),
+          flagged AS (
+            SELECT t.source, d.total_tokens, d.ppm, t.doc_id, t.n_tokens,
+                   ((($mixA::HUGEINT * t.doc_id + $mixB) % $P) % 1000000 < d.ppm) AS kept
+            FROM toks t JOIN dim d ON t.source = d.source)
+          SELECT source, total_tokens,
+                 CAST(ppm AS DOUBLE) / 1000000.0 AS sample_rate,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+                 CAST(coalesce(sum(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
+          FROM flagged GROUP BY source, total_tokens, ppm
+          ORDER BY source""")
+      })
   )
 }

@@ -5,6 +5,7 @@ import graft.functions.MulMod61
 import graft.functions.PolyHashLongs.polyHashLongs
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` — the three standard
@@ -271,6 +272,62 @@ object DedupQueries {
         SELECT doc_id, CAST(min(comp) AS BIGINT) AS canonical_id,
                CAST(doc_id = min(comp) AS INTEGER) AS is_keeper
         FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q85: QUALITY-AWARE CANONICAL SELECTION — q70's clusters with the
+    // keeper chosen by the q28/q30 quality score instead of min-id: per
+    // near-dup component, keep the HIGHEST-quality member (tie → lower
+    // doc_id). This is the production dedup output: what survives is the
+    // best copy, not an arbitrary one. Dataflow: resolve() as in q70,
+    // then an equi-join against per-doc quality (row-local scoring, no
+    // extra shuffle beyond the join on doc_id) and a per-cluster window
+    // — clusters are near-dup components, inherently small groups, so
+    // the window never degenerates. The oracle replays components with
+    // the recursive CTE and ranks by the SAME quality doubles (the
+    // q28-verified expression), so even the cross-stage composition is
+    // value-checked.
+    Q("q85_keep_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = lshVerifiedPairs(docs).filter(col("jaccard") >= 0.8)
+        val clusters = DedupCluster.resolve(pairs)
+        val quality = docs.select(col("doc_id"),
+          qualityScoreFused(col("text"), textStats(col("text")))
+            .as("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        clusters
+          .select(col("id").as("doc_id"),
+            col("canonical_id").as("cluster_id"))
+          .join(quality, Seq("doc_id"))
+          .withColumn("is_kept",
+            (row_number().over(w) === 1).cast("int"))
+          .select(col("doc_id"), col("cluster_id"), col("quality"),
+            col("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $pairCtes,
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM verif WHERE jaccard >= 0.8
+          UNION
+          SELECT b_id, a_id FROM verif WHERE jaccard >= 0.8),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, comp) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id),
+        comps AS (
+          SELECT doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+            ${TextQueries.qualitySqlExpr} AS quality
+          FROM documents)
+        SELECT c.doc_id, c.cluster_id, s.quality,
+               CAST(row_number() OVER (PARTITION BY c.cluster_id
+                    ORDER BY s.quality DESC, c.doc_id) = 1 AS INTEGER) AS is_kept
+        FROM comps c JOIN scored s ON s.doc_id = c.doc_id
+        ORDER BY c.doc_id""")),
 
     // ------------------------------------------------------------------
     // q71: INCREMENTAL dedup — a new ingest batch (doc_id ≡ 2 mod 3

@@ -20,6 +20,18 @@ object TextQueries {
   private val stopList =
     EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** The q28/q30 quality-score expression as DuckDB SQL (expects a
+    * `text` column in scope) — shared with oracles that rank by the same
+    * doubles (q85's quality-aware canonical selection).
+    */
+  private[operators] def qualitySqlExpr: String =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |              + least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                                           x -> list_contains($stopList, x))) AS DOUBLE)
+       |                      / len(string_split_regex(lower(trim(text)), '\\s+')) * 4.0, 1.0) * 0.4
+       |              + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |                             / length(text) * 10.0, 1.0)) * 0.2""".stripMargin
+
   /** q72's multilingual decoration: composed + DECOMPOSED accents (the
     * trailing "été" is e+U+0301 twice), a compatibility ligature (ﬁ,
     * untouched by NFC/NFD), Turkish İ, stroked Ł (no decomposition),
@@ -415,6 +427,50 @@ object TextQueries {
       Some("""SELECT doc_id,
         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws_tokens,
         CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q83: DUPLICATE-NGRAM FRACTION — the Gopher/Dolma repetition signal
+    // at CORPUS scope (q51 is the within-document form): for each doc,
+    // the share of its distinct word-5-grams that also appear in at
+    // least one OTHER document. High values flag boilerplate and near-
+    // template text that per-doc signals can't see. Dataflow: distinct
+    // (doc, shingle) pairs (the fused Shingles expression dedups per
+    // doc, so count(*) per shingle IS document frequency), df counts
+    // (map-side combinable), df-dim equi-join back on the shingle key,
+    // per-doc fold — the same one-fat-shuffle-on-the-term-key shape as
+    // q75, with the same salted-join escape hatch if stop-grams skew at
+    // corpus scale. Docs with <5 tokens have no 5-grams and drop out in
+    // both engines.
+    Q("q83_dup_ngram_fraction",
+      (s, dir) => {
+        val pairs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.Shingles.shingles(col("text"), 5)).as("sh"))
+        val dfDim = pairs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        pairs.join(dfDim, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(when(col("df") >= 2, lit(1))).as("n_dup"))
+          .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS sh
+          FROM tk),
+        dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(CASE WHEN dfs.df >= 2 THEN 1 END) AS BIGINT) AS n_dup,
+               CAST(count(CASE WHEN dfs.df >= 2 THEN 1 END) AS DOUBLE)
+                 / count(*) AS dup_frac
+        FROM sh s JOIN dfs ON s.sh = dfs.sh
+        GROUP BY s.doc_id ORDER BY s.doc_id"""))
   )
 }

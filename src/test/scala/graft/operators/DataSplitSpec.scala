@@ -76,4 +76,27 @@ class DataSplitSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("q84 temperature mix: rate follows K/sqrt(mass), kept within bounds") {
+    val r = graft.SparkEntry.queries("q84_temperature_mix")(spark, sfDir)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val total = row.getAs[Long]("total_tokens")
+      val rate = row.getAs[Double]("sample_rate")
+      assert(row.getAs[Long]("n_kept") <= row.getAs[Long]("n_docs"))
+      assert(row.getAs[Long]("kept_tokens") <= total)
+      // ppm = floor(1e6·K/√T) ⇒ rate·√T ∈ (K − √T/1e6, K], K = 8
+      val rs = rate * math.sqrt(total.toDouble)
+      assert(rs <= 8.0 + 1e-9, s"rate·√T=$rs above K")
+      assert(rs > 8.0 - math.sqrt(total.toDouble) / 1e6 - 1e-9,
+        s"rate·√T=$rs below the floor band")
+    }
+    // α = 0.5 flattening: heavier sources get strictly lower rates
+    val byMass = r.map(row => (row.getAs[Long]("total_tokens"),
+      row.getAs[Double]("sample_rate"))).sortBy(_._1)
+    byMass.zip(byMass.tail).foreach { case ((t1, r1), (t2, r2)) =>
+      if (t1 < t2) assert(r2 <= r1, s"rate not monotone: $t1->$r1, $t2->$r2")
+    }
+  }
 }

@@ -70,4 +70,29 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("keep-best: one keeper per cluster, argmax quality, q70 membership") {
+    val r = DedupQueries.all.find(_.name == "q85_keep_best").get
+      .run(spark, sfDir).cache()
+    val q70 = DedupQueries.all.find(_.name == "q70_dedup_resolve").get
+      .run(spark, sfDir)
+    // q85 re-ranks q70's clusters — identical membership and grouping
+    val m85 = r.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap
+    val m70 = q70.select($"doc_id", $"canonical_id")
+      .as[(Long, Long)].collect().toMap
+    assert(m85.nonEmpty && m85 == m70)
+    val rows = r.select($"doc_id", $"cluster_id", $"quality", $"is_kept")
+      .as[(Long, Long, Double, Int)].collect()
+    rows.groupBy(_._2).foreach { case (cid, g) =>
+      assert(g.length >= 2, s"cluster $cid has a single member")
+      // the unique keeper is max-quality, tie broken by smaller doc_id
+      val best = g.minBy(x => (-x._3, x._1))
+      g.foreach { x =>
+        assert((x._4 == 1) == (x._1 == best._1),
+          s"cluster $cid: keeper should be ${best._1}")
+      }
+    }
+    r.unpersist()
+  }
 }

@@ -162,6 +162,28 @@ class TrainingSpec extends AnyFunSuite {
       s"false-positive share too high: kept=$kept trueHits=$trueHits total=$total")
   }
 
+  test("dup-ngram fraction: internally consistent, near-dup docs score > 0") {
+    val rows = q("q83_dup_ngram_fraction")
+      .select($"doc_id", $"n_shingles", $"n_dup", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, d, f) =>
+      assert(n > 0 && d >= 0 && d <= n)
+      assert(math.abs(f - d.toDouble / n) < 1e-15)
+    }
+    // corpus-scope signal: members of verified near-dup clusters (q70)
+    // share long spans, so their duplicated-5-gram count is positive —
+    // the property per-doc signals (q51) can't detect
+    val dupDocs = q("q70_dedup_resolve")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(dupDocs.nonEmpty)
+    val flagged = rows.filter(r0 => dupDocs.contains(r0._1))
+    assert(flagged.nonEmpty)
+    flagged.foreach { case (id, _, d, _) =>
+      assert(d > 0, s"near-dup doc $id has no duplicated 5-grams")
+    }
+  }
+
   test("simhash oracle twin packs 32-bit halves and is deterministic") {
     val r1 = q("q55_simhash_oracle").collect()
     val r2 = q("q55_simhash_oracle").collect()
