@@ -145,6 +145,24 @@ object DedupQueries {
     inter.cast("double") / uni
   }
 
+  /** q71's verification stage as a reusable function: exact Jaccard for
+    * candidate (new_id, corpus_id) pairs given the two (doc_id, text)
+    * sides — the verify step every incremental ingest runs after an
+    * index probe ([[DedupIndex.probeCandidates]],
+    * [[graft.streaming.DocStream]]). One equi-join per side; only
+    * candidate rows ever carry shingle sets.
+    */
+  def verifyCandidates(cand: DataFrame, newDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame =
+    cand
+      .join(shingledOf(newDocs)
+        .select(col("doc_id").as("new_id"), col("sh").as("a_sh")),
+        Seq("new_id"))
+      .join(shingledOf(corpusDocs)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("b_sh")),
+        Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), jaccardCol.as("jaccard"))
+
   /** The production LSH pipeline over any (doc_id, text) frame: banded
     * MinHash candidates verified by exact Jaccard — (a_id, b_id,
     * jaccard), one row per candidate pair. The library entry point for
