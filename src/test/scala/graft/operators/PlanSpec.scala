@@ -89,6 +89,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan)
   }
 
+  test("q81: bloom probe sits in the plan before the shingle join") {
+    val plan = planOf("q81_bloom_decontaminate")
+    // the prefilter must survive optimization as a might_contain probe
+    // fed by ONE scalar subquery (not a per-row re-aggregation)
+    assert(plan.contains("might_contain"), plan.take(2000))
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      plan.take(2000))
+  }
+
+  test("q82: int8 candidate scan broadcasts queries; no cartesian") {
+    val plan = planOf("q82_int8_ann")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q83: df counts pre-aggregate map-side; no cartesian") {
+    val plan = planOf("q83_dup_ngram_fraction")
+    assert(plan.contains("partial_"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q84: rate dim broadcasts; the corpus is never sort-merge joined") {
+    val plan = planOf("q84_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q85: keeper window partitions by cluster (no global window)") {
+    val plan = planOf("q85_keep_best")
+    assert(plan.contains("windowspecdefinition(cluster_id"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
