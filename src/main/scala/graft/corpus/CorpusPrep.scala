@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *   decontaminate → mix → split → pack
   *
   * Every stage is the same dataflow its registry query runs (q72, q30,
-  * q33, q36+q70, q50, q73, q45, q74), so each is value-verified by the
-  * DuckDB gate in isolation; CorpusPrepSpec verifies the composition
+  * q33, q36+q85 keep-best, q50, q73, q45, q74), so each is
+  * value-verified by the DuckDB gate in isolation; CorpusPrepSpec
+  * verifies the composition
   * (stage accounting, end-state invariants). Scale posture per stage is
   * documented in SCALING.md — nothing here shuffles more than its
   * registry twin.
@@ -91,12 +92,25 @@ object CorpusPrep {
     val exact = stage("exact_dedup", gated.join(exactKeep, Seq("doc_id")))
 
     // 4. near-dup resolution: LSH candidates → verified Jaccard edges →
-    // connected components → keep the canonical doc per cluster
+    // connected components → keep the BEST copy per cluster (q85's
+    // semantics: argmax quality score, tie → lower doc_id). Near-dup
+    // members differ in small ways — truncation, boilerplate, junk —
+    // so the survivor should be the highest-quality copy, not an
+    // arbitrary id. Scoring is row-local; the window groups are
+    // near-dup clusters, bounded by construction.
     val edges = DedupQueries.lshVerifiedPairs(exact)
       .filter(col("jaccard") >= cfg.nearDupJaccard)
+    val scored = exact.select(col("doc_id"),
+      TextFunctions.qualityScoreFused(col("text"),
+        TextFunctions.textStats(col("text"))).as("q"))
+    val keepW = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("q").desc, col("doc_id"))
     val losers = DedupCluster.resolve(edges)
-      .filter(col("id") =!= col("canonical_id"))
-      .select(col("id").as("doc_id"))
+      .select(col("id").as("doc_id"), col("canonical_id"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"))
     val nearDeduped = stage("near_dedup",
       exact.join(losers, Seq("doc_id"), "left_anti"))
 

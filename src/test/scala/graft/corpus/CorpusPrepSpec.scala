@@ -86,6 +86,26 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.columns.contains("chunk_id") && out.columns.contains("split"))
   }
 
+  test("near-dedup keeps the higher-quality copy, not the lower id") {
+    // two near-dups (3-shingle jaccard ≈ 0.86): the junk-decorated copy
+    // has the LOWER id, so min-id resolution would keep the wrong one —
+    // keep-best must retain the clean higher-id copy
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val junky = clean + " #### $$$$"
+    val docs = Seq(
+      (5L, junky, "web"),
+      (10L, clean, "web"),
+      (20L, "completely unrelated filler text about mountains rivers weather and stars", "web")
+    ).toDF("doc_id", "text", "source")
+    val (out, counts) = CorpusPrep.run(docs, None,
+      CorpusPrepConfig(minQuality = 0.0))
+    val byStage = counts.map(c => c.stage -> c.rows).toMap
+    assert(byStage("near_dedup") == 2, counts.mkString(", "))
+    val survivors = out.select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(10L, 20L),
+      s"expected the clean copy (10) to survive, got $survivors")
+  }
+
   test("packing matches an independent sequential re-implementation") {
     // packing windows by (source, split) — re-implement per that key
     val got = prepared
