@@ -42,7 +42,10 @@ object Serve {
     "public_corpus_langs" -> "q29_lang_stats",
     "public_corpus_quality" -> "q30_quality_gate",
     "public_corpus_dedup" -> "q70_dedup_resolve",
+    "public_corpus_keep_best" -> "q85_keep_best",
     "public_corpus_mix" -> "q73_corpus_mix",
+    "public_corpus_temp_mix" -> "q84_temperature_mix",
+    "public_corpus_dup_ngrams" -> "q83_dup_ngram_fraction",
     "public_funnel" -> "q78_funnel",
     "public_retention" -> "q79_retention")
 

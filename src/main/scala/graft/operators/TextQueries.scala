@@ -471,6 +471,48 @@ object TextQueries {
                CAST(count(CASE WHEN dfs.df >= 2 THEN 1 END) AS DOUBLE)
                  / count(*) AS dup_frac
         FROM sh s JOIN dfs ON s.sh = dfs.sh
-        GROUP BY s.doc_id ORDER BY s.doc_id"""))
+        GROUP BY s.doc_id ORDER BY s.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q86: TWO-PASS HEAVY HITTERS — global top words WITHOUT a
+    // corpus-sized shuffle. Pass 1: the mergeable Misra-Gries sketch
+    // ([[graft.functions.FreqSketch]], k=64) folds each partition into
+    // one ≤64-entry map; only those maps cross the shuffle, and the MG
+    // merge guarantee says every word with true count > n/(k+1) is in
+    // the result. Pass 2: recount ONLY the ≤64 candidates exactly
+    // (broadcast semi-join + a 64-group agg) and apply the exact
+    // threshold cnt·(k+1) > n in integer arithmetic. The sketch's
+    // merge-order-dependent counts never reach the output — the final
+    // set and counts are exact and deterministic, which is what lets a
+    // sketch-based operator sit under the hash gate at all. q54 is the
+    // exact-shuffle form this replaces at scale.
+    Q("q86_heavy_hitters",
+      (s, dir) => {
+        val k = 64
+        val words = t(s, dir, "documents")
+          .select(explode(split(lower(trim(col("text"))), "\\s+"))
+            .as("word"))
+        val cand = words
+          .agg(graft.functions.FreqSketch.freqSketch(col("word"), k)
+            .as("mg"))
+          .select(explode(map_keys(col("mg"))).as("word"))
+        val totals = words.agg(count(lit(1)).as("n_words"))
+        words.join(broadcast(cand), Seq("word"), "left_semi")
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(totals))
+          .filter(col("cnt") * (k + 1) > col("n_words"))
+          .select(col("word"), col("cnt"), col("n_words"))
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""WITH w AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        tot AS (SELECT count(*) AS n_words FROM w)
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(n_words AS BIGINT) AS n_words
+        FROM w CROSS JOIN tot
+        GROUP BY word, n_words
+        HAVING count(*) * 65 > n_words
+        ORDER BY cnt DESC, word"""))
   )
 }
