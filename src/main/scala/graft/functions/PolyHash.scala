@@ -112,3 +112,32 @@ object PolyHashLongs {
   def polyHashLongs(c: Column): Column =
     ColumnInterop.column(PolyHashLongs(ColumnInterop.expression(c)))
 }
+
+/** [[MulMod61.polyHash61]] as a codegen expression: the 61-bit rolling
+  * byte hash of a string, into [0, 2^61−1). The string-side entry into
+  * the MulMod61 family for per-VALUE hashing (KMV distinct sketches,
+  * q88) — compose with [[Affine61]] for an independent permutation.
+  * DuckDB replays it as `MulMod61.sqlPh61`.
+  */
+case class PolyHash61Str(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash61"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MulMod61.polyHash61(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MulMod61.polyHash61($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PolyHash61Str = copy(child = newChild)
+}
+
+object PolyHash61Str {
+  def polyHash61Str(c: Column): Column =
+    ColumnInterop.column(PolyHash61Str(ColumnInterop.expression(c)))
+}

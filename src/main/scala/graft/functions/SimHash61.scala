@@ -79,3 +79,73 @@ object SimHash61 {
   def simhash(c: Column): Column =
     ColumnInterop.column(SimHash61(ColumnInterop.expression(c)))
 }
+
+/** SimHash over an explicit feature array (e.g. the distinct k-shingles
+  * from [[Shingles]]) instead of [[SimHash61]]'s built-in unigram
+  * tokenization. Same hash family (`(tokA·polyHash61(f) + tokB) mod
+  * (2^61−1)`), same per-bit majority vote with ties rounding up, so the
+  * DuckDB oracle replays signatures bit-for-bit from the same constants.
+  *
+  * Shingle features (not unigrams) are what make SimHash usable for
+  * near-dup DETECTION: on a corpus with a small shared vocabulary,
+  * unigram token SETS collide for unrelated documents, while k-shingle
+  * sets keep word order and separate them (q87 vs the q37 signature
+  * query). Feature arrays are assumed pre-distinct ([[Shingles]] dedups).
+  *
+  * An EMPTY feature array yields the all-ones signature (every majority
+  * vote ties at 0 and rounds up) — callers must filter empty feature
+  * sets before Hamming-banding, exactly like the MinHash sentinel rule
+  * (DedupQueries q34/q36).
+  */
+case class SimHashFeatures(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_features"
+
+  val Bits = 61
+
+  def compute(input: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counts = new Array[Int](Bits)
+    val n = input.numElements()
+    var j = 0
+    while (j < n) {
+      val h = MulMod61.affine(MulMod61.tokA, MulMod61.tokB,
+        MulMod61.polyHash61(input.getUTF8String(j)))
+      var bit = 0
+      while (bit < Bits) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < Bits) {
+      if (counts(bit) >= 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhashFeatures", this,
+        classOf[SimHashFeatures].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFeatures =
+    copy(child = newChild)
+}
+
+object SimHashFeatures {
+  def simhashFeatures(c: Column): Column =
+    ColumnInterop.column(SimHashFeatures(ColumnInterop.expression(c)))
+}

@@ -39,6 +39,12 @@ object DedupQueries {
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
 
+  /** q87 SimHash Hamming radius: pairs within distance 3 are near-dups;
+    * pigeonhole over MaxHamming+1 = 4 signature blocks guarantees every
+    * such pair collides in at least one block.
+    */
+  val MaxHamming = 3
+
   /** MinHash signature: the single-pass custom Expression
     * ([[graft.functions.MinHashSig]]) — one byte hash + k affine
     * permutations per shingle in a tight JVM loop, no per-element lambda
@@ -556,6 +562,99 @@ object DedupQueries {
                CAST(sum(CASE WHEN v >= 0
                              THEN (1::BIGINT << CAST(b AS INTEGER))
                              ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+        FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // q87: SIMHASH NEAR-DUP PAIRS — the banded Hamming-radius scale path
+    // for the SimHash family (q37 computes signatures; this finds the
+    // near-duplicates). Signature features are the distinct 3-shingles
+    // (SimHashFeatures ∘ Shingles): on a small shared vocabulary,
+    // unigram token sets collide for unrelated docs, shingle sets don't.
+    // Pigeonhole banding (Manku/Jain/Das Sarma, WWW'07 "Detecting
+    // Near-Duplicates for Web Crawling"): split the 61-bit signature
+    // into MaxHamming+1 = 4 blocks (16+16+16+13 bits) — any pair within
+    // Hamming distance 3 agrees EXACTLY on at least one block, so
+    // candidates come from 4 equi-joins on (band, 16-bit key), never an
+    // all-pairs scan; verification is one row-local bit_count(XOR).
+    // Random 16-bit collisions add ~n²/2^16 candidate pairs per band —
+    // at larger corpora widen the blocks (64-bit simhash, 4×16 needs
+    // radius-3; more bands for larger radii) to hold that product down.
+    // Shingle-less docs (the all-ones sentinel signature) are filtered
+    // before banding, same rule as the MinHash path above.
+    Q("q87_simhash_neardup",
+      (s, dir) => {
+        val sigs = t(s, dir, "documents")
+          .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"),
+            graft.functions.SimHashFeatures.simhashFeatures(col("sh"))
+              .as("sig"))
+        val blocks = Seq((0, 0, 0xFFFFL), (1, 16, 0xFFFFL),
+          (2, 32, 0xFFFFL), (3, 48, 0x1FFFL))
+        val banded = sigs
+          .select(col("doc_id"), col("sig"),
+            explode(array(blocks.map { case (b, lo, mask) =>
+              struct(lit(b).as("band"),
+                shiftrightunsigned(col("sig"), lo)
+                  .bitwiseAND(lit(mask)).as("key"))
+            }: _*)).as("bk"))
+          .select(col("doc_id"), col("sig"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        banded
+          .select(col("band"), col("key"),
+            col("doc_id").as("a_id"), col("sig").as("a_sig"))
+          .join(banded.select(col("band"), col("key"),
+            col("doc_id").as("b_id"), col("sig").as("b_sig")),
+            Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+          .distinct()
+          .select(col("a_id"), col("b_id"),
+            bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+          .filter(col("hamming") <= MaxHamming)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 1, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+          FROM tk),
+        fh AS (
+          SELECT doc_id,
+                 CAST((${MulMod61.tokA}::HUGEINT * ${MulMod61.sqlPh61("x")}
+                       + ${MulMod61.tokB}) % $P AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(s) AS x FROM shl WHERE len(s) > 0)),
+        votes AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN ((h >> CAST(u.b AS INTEGER)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS v
+          FROM fh, (SELECT unnest(range(0, 61)) AS b) u
+          GROUP BY doc_id, u.b),
+        sg AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v >= 0
+                               THEN (1::BIGINT << CAST(b AS INTEGER))
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM votes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, sig, u.b AS band,
+                 (sig >> CAST(CASE u.b WHEN 0 THEN 0 WHEN 1 THEN 16
+                                       WHEN 2 THEN 32 ELSE 48 END AS INTEGER))
+                   & (CASE u.b WHEN 3 THEN 8191 ELSE 65535 END) AS key
+          FROM sg, (SELECT unnest(range(0, 4)) AS b) u),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                 a.sig AS a_sig, b.sig AS b_sig
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= $MaxHamming
+        ORDER BY a_id, b_id"""),
+      doc = "Banded SimHash near-dup detection; signatures oracle'd in q37.")
   )
 }

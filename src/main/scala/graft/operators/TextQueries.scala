@@ -513,6 +513,120 @@ object TextQueries {
         FROM w CROSS JOIN tot
         GROUP BY word, n_words
         HAVING count(*) * 65 > n_words
-        ORDER BY cnt DESC, word"""))
+        ORDER BY cnt DESC, word""")),
+
+    // ------------------------------------------------------------------
+    // q88: KMV DISTINCT-COUNT SKETCH — per-source vocabulary estimation
+    // in O(k) state ([[graft.functions.KmvSketch]], k=32): hash each
+    // token with an independent MulMod61 permutation, keep the k
+    // smallest distinct hashes per group, estimate distinct-count as
+    // (k−1)·p / h_(k) (Beyer et al. SIGMOD'07). The sketch state is a
+    // pure function of the token SET — order/partition/merge-tree
+    // independent — so DuckDB recomputes the identical k minima
+    // relationally and the estimate hash-matches. Map-side combine
+    // sends one ≤32-long array per partition per group across the
+    // shuffle; the `exact_vocab` column is the verification fixture
+    // (at 100 TB the production path is the sketch alone — the exact
+    // COUNT(DISTINCT) is the corpus-sized shuffle this replaces).
+    Q("q88_kmv_distinct",
+      (s, dir) => {
+        import graft.functions.{Affine61, KmvSketch, PolyHash61Str}
+        val k = 32
+        val p = graft.functions.MulMod61.P
+        val words = t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        val hashed = words.select(col("source"),
+          Affine61.affine61(PolyHash61Str.polyHash61Str(col("word")),
+            KmvSketch.kmvA, KmvSketch.kmvB).as("h"))
+        hashed.groupBy(col("source"))
+          .agg(KmvSketch.kmvSketch(col("h"), k).as("kmv"),
+            countDistinct(col("h")).as("exact_vocab"))
+          .select(col("source"),
+            when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(p.toDouble)
+                / element_at(col("kmv"), k).cast("double"))
+              .as("est_vocab"),
+            col("exact_vocab"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents),
+        h AS (
+          SELECT DISTINCT source,
+                 CAST((${graft.functions.KmvSketch.kmvA}::HUGEINT
+                       * ${graft.functions.MulMod61.sqlPh61("word")}
+                       + ${graft.functions.KmvSketch.kmvB})
+                      % ${graft.functions.MulMod61.P} AS BIGINT) AS h
+          FROM w),
+        r AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY source) AS nd
+          FROM h)
+        SELECT source,
+               CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
+                    ELSE 31::DOUBLE * ${graft.functions.MulMod61.P}::DOUBLE
+                         / CAST(max(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+               END AS est_vocab,
+               CAST(max(nd) AS BIGINT) AS exact_vocab
+        FROM r GROUP BY source ORDER BY source"""),
+      doc = "Mergeable KMV distinct sketch; exact_vocab column is the fixture."),
+
+    // ------------------------------------------------------------------
+    // q89: CORPUS UNIGRAM LOG-PROB — the CCNet/KenLM-style fluency
+    // signal: train a unigram LM on the corpus itself (word → count /
+    // total), score each document by its mean token log-probability.
+    // Boilerplate and keyboard-mash score low; template-heavy docs score
+    // suspiciously high — both tails get gated. Per-token log-probs are
+    // QUANTIZED to integer micro-nats before the per-doc fold so the sum
+    // is order-independent (double addition isn't associative; the q73
+    // integer-ppm rule) — and ln goes through MathLn (Math.log) for
+    // libm/DuckDB parity, not Spark's 1-ulp-off StrictMath log().
+    // Dataflow: one word-keyed count shuffle (map-side combinable, the
+    // LM "training"), the vocabulary-sized count dim broadcast back onto
+    // the token stream, one doc-keyed fold — no corpus-sized
+    // intermediate anywhere.
+    Q("q89_unigram_logprob",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        val lm = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val total = words.agg(count(lit(1)).as("n_total"))
+        val scored = words
+          .join(broadcast(lm), Seq("word"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            floor(graft.functions.MathLn.ln(
+              col("cnt").cast("double") / col("n_total").cast("double"))
+              * 1e6).as("lp_micro"))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp_micro")).as("sum_lp_micro"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_lp_micro"),
+            (col("sum_lp_micro").cast("double")
+              / col("n_tokens").cast("double") / 1e6).as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        lm AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        tot AS (SELECT count(*) AS n_total FROM w),
+        scored AS (
+          SELECT doc_id,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                            * 1e6) AS BIGINT) AS lp_micro
+          FROM w JOIN lm USING (word) CROSS JOIN tot)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+               CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                 AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Unigram-LM fluency scoring (CCNet-style), integer micro-nat fold.")
   )
 }

@@ -164,6 +164,24 @@ class FunctionsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("SimHashFeatures over distinct tokens equals SimHash61 on the text") {
+    // SimHash61 tokenizes + dedups internally; feeding the same distinct
+    // token array through the feature-generic form must reproduce every
+    // signature bit (same hash constants, same tie rule)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      SimHashFeatures.simhashFeatures(
+        array_distinct(split(lower(trim($"text")), "\\s+"))).as("feat"),
+      SimHash61.simhash($"text").as("tok"))
+    assert(both.filter($"feat" =!= $"tok").count() == 0)
+  }
+
+  test("SimHashFeatures: empty feature array yields the all-ones sentinel") {
+    val got = Seq(Seq.empty[String]).toDF("f")
+      .select(SimHashFeatures.simhashFeatures($"f")).as[Long].head()
+    assert(got == MulMod61.P) // 61 tie-votes, all round up
+  }
+
   test("fused WinnowFingerprints equals the declarative HOF chain") {
     import org.apache.spark.sql.functions._
     val k = 3; val w = 4

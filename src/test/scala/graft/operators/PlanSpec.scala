@@ -124,6 +124,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q87: simhash banding joins on (band, key); no cartesian") {
+    val plan = planOf("q87_simhash_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q88: KMV sketch aggregates partially before the shuffle") {
+    val plan = planOf("q88_kmv_distinct")
+    // the UDAF must get map-side combine: only ≤k-long arrays may cross
+    assert(plan.contains("partial_"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q89: the vocabulary LM dim broadcasts onto the token stream") {
+    val plan = planOf("q89_unigram_logprob")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
