@@ -20,6 +20,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark frees broadcast/shuffle/RDD state via ContextCleaner, which
+      // only learns a reference is dead from a JVM GC. The default
+      // periodic-GC interval (30min) never fires inside a multi-query
+      // batch session, so ~90 sequential queries pile their broadcasts
+      // and shuffle registrations into the old gen until the heap is
+      // nearly full and every allocation-heavy operator (window sorts
+      // especially) thrashes in GC — measured 60× slowdowns on the last
+      // queries of a full Bench run at the default 8g heap, gone at 20g
+      // or with this interval. 1min keeps the cleaner fed at a cost of
+      // one minor-looking full GC per minute — negligible against any
+      // query, and exactly what long-lived Spark services configure.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: benign planner warnings (e.g. WindowExec's
