@@ -78,6 +78,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("math_ln"),
       new ExpressionInfo(classOf[graft.functions.MathLn].getName, "math_ln"),
       exprs => graft.functions.MathLn(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_features"),
+      new ExpressionInfo(classOf[graft.functions.SimHashFeatures].getName,
+        "simhash_features"),
+      exprs => graft.functions.SimHashFeatures(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("poly_hash61"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash61Str].getName,
+        "poly_hash61"),
+      exprs => graft.functions.PolyHash61Str(exprs.head)))
   }
 
   private def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =

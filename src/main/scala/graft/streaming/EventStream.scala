@@ -213,6 +213,50 @@ object EventStream {
         col("click_id"), col("click_ts"))
   }
 
+  /** Windowed SKETCH aggregation: the mergeable UDAFs
+    * ([[graft.functions.KmvSketch]] distinct users,
+    * [[graft.functions.FreqSketch]] heavy event types) dropped into a
+    * watermarked tumbling-window `agg` UNCHANGED — Structured Streaming
+    * keeps each window's O(k) sketch buffer in the state store and
+    * merges micro-batch partials with the same `merge` the batch path
+    * uses, so stream state per window is k longs + a ≤k-entry map
+    * regardless of traffic.
+    *
+    * KMV state is a pure function of the window's input SET, so the
+    * streamed result is bit-identical to a batch replay of the same
+    * rows under ANY trigger schedule (EventStreamSpec asserts equality;
+    * `est_users` inherits the guarantee). The MG map is merge-order-
+    * dependent internally but its GUARANTEE is schedule-independent:
+    * every type with true count > n/(k+1) is present — downstream
+    * exact recount (the q86 second pass) stays deterministic.
+    */
+  def windowedSketches(events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes",
+      k: Int = 16): DataFrame = {
+    import graft.functions.{Affine61, FreqSketch, KmvSketch, MulMod61}
+    val kmv = KmvSketch.kmvSketch(
+      Affine61.affine61(col("user_id"), KmvSketch.kmvA, KmvSketch.kmvB), k)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(
+        count(lit(1)).as("n_events"),
+        kmv.as("kmv_users"),
+        FreqSketch.freqSketch(col("event_type"), 8).as("mg_types"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"),
+        when(size(col("kmv_users")) < k,
+          size(col("kmv_users")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(MulMod61.P.toDouble)
+            / element_at(col("kmv_users"), k).cast("double"))
+          .as("est_users"),
+        col("kmv_users"),
+        map_keys(col("mg_types")).as("heavy_type_candidates"))
+  }
+
   /** Run a streaming query over `srcDir` into an in-memory table and
     * block until the source is drained (the local test/verify harness;
     * a production run would use runToParquet).

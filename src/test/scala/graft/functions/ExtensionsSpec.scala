@@ -82,6 +82,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
   }
 
+  test("round-6 functions are callable from SQL and match the API") {
+    docs
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             simhash_features(shingles(text, 3)) AS shf,
+             poly_hash61(text) AS ph61
+      FROM ext_docs ORDER BY doc_id""").collect()
+    val viaApi = docs.select($"doc_id",
+      SimHashFeatures.simhashFeatures(Shingles.shingles($"text", 3)).as("shf"),
+      PolyHash61Str.polyHash61Str($"text").as("ph61"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+  }
+
   test("cosine_sim rejects non-float arrays at analysis instead of misreading them") {
     // array(1.0, 2.0) is array<double>; getFloat over 8-byte slots would
     // silently return garbage without the ExpectsInputTypes guard

@@ -69,6 +69,42 @@ class EventStreamSpec extends AnyFunSuite {
       s"stateful emitted sessions not in batch oracle: ${(sRows -- bRows).take(3)}")
   }
 
+  test("windowed sketches: streamed KMV state is bit-identical to a batch replay") {
+    val streamed = EventStream.runToMemory(spark, srcDir, "win_sketch",
+      df => EventStream.windowedSketches(df))
+    val batch = EventStream.windowedSketches(
+      spark.read.schema(EventStream.schema).parquet(srcDir))
+    assert(streamed.count() > 0)
+    val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
+    val sRows = streamed
+      .select($"window_start", $"n_events", $"est_users", $"kmv_users")
+      .collect().map(_.toSeq).toSet
+    val bRows = batch.filter($"window_start" <= maxEmitted)
+      .select($"window_start", $"n_events", $"est_users", $"kmv_users")
+      .collect().map(_.toSeq).toSet
+    // KMV state is a pure function of each window's input set: the
+    // incrementally-built sketches (state-store merges across
+    // micro-batches) must EQUAL the one-shot batch sketches, estimate
+    // included — not just approximate them
+    assert(sRows == bRows,
+      s"stream/batch sketch divergence: ${(sRows -- bRows).take(2)} vs ${(bRows -- sRows).take(2)}")
+    // MG guarantee per emitted window: every event type with true count
+    // > n/(k+1) (k=8) appears among the candidates
+    val cand = streamed.select($"window_start", $"heavy_type_candidates")
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[String](1).toSet).toMap
+    val truth = spark.read.schema(EventStream.schema).parquet(srcDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type").count()
+      .select($"window.start".as("ws"), $"event_type", $"count")
+      .collect().groupBy(_.getTimestamp(0))
+    cand.foreach { case (ws, types) =>
+      val rows = truth.getOrElse(ws, Array.empty)
+      val n = rows.map(_.getLong(2)).sum
+      val heavy = rows.filter(_.getLong(2) * 9 > n).map(_.getString(1)).toSet
+      assert(heavy.subsetOf(types),
+        s"window $ws: heavy types ${heavy -- types} missing from candidates")
+    }
+  }
+
   test("foreachBatch parquet sink: checkpointed write lands every closed window") {
     val out = Files.createTempDirectory("graft_fes").toString
     EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt",
