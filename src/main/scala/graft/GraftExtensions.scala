@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.PolyHash61Str].getName,
         "poly_hash61"),
       exprs => graft.functions.PolyHash61Str(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("byte_entropy"),
+      new ExpressionInfo(classOf[graft.functions.ByteEntropy].getName,
+        "byte_entropy"),
+      exprs => graft.functions.ByteEntropy(exprs.head)))
   }
 
   private def longArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =

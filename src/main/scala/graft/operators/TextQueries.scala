@@ -627,6 +627,46 @@ object TextQueries {
                CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
                  AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "Unigram-LM fluency scoring (CCNet-style), integer micro-nat fold.")
+      doc = "Unigram-LM fluency scoring (CCNet-style), integer micro-nat fold."),
+
+    // ------------------------------------------------------------------
+    // q90: CHARACTER-ENTROPY QUALITY SIGNAL — Shannon entropy of each
+    // document's byte distribution ([[graft.functions.ByteEntropy]]),
+    // the compressibility filter of the Gopher/Dolma family: mash and
+    // repeated-char runs score near 0, natural prose ~2.5-3.1 nats.
+    // Row-local fused expression (256 counters, one pass) — scales as a
+    // map. The entropy fold runs in ascending byte order with libm ln,
+    // so the oracle's ordered list_reduce over the same per-byte terms
+    // reproduces the double bit-for-bit: an ordered fold is the
+    // floating-point analogue of the q73/q89 integer rule — when a
+    // double SUM must cross engines, fix the association order instead
+    // of hoping addition commutes.
+    Q("q90_char_entropy",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            graft.functions.ByteEntropy.byteEntropy(col("text"))
+              .as("entropy"))
+          .orderBy(col("doc_id")),
+      Some("""WITH ch AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, length(text) + 1),
+                   j -> ord(substr(text, j, 1)))) AS b
+          FROM documents),
+        hist AS (
+          SELECT doc_id, b, count(*) AS c FROM ch GROUP BY doc_id, b),
+        tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+        folded AS (
+          SELECT h.doc_id,
+                 list_reduce(
+                   list_prepend(0.0, list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY b)),
+                   (x, y) -> x + y) AS s
+          FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id, n)
+        SELECT d.doc_id, d.n_chars,
+               CASE WHEN f.s = 0 THEN 0.0 ELSE -f.s END AS entropy
+        FROM documents d JOIN folded f USING (doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "Byte-distribution entropy (compressibility gate), ordered-fold parity.")
   )
 }

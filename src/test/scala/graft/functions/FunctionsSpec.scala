@@ -164,6 +164,41 @@ class FunctionsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("ByteEntropy matches the reference fold; bounds and edge cases hold") {
+    def ref(t: String): Double = {
+      val bytes = t.getBytes("UTF-8")
+      if (bytes.isEmpty) 0.0
+      else {
+        val counts = new Array[Int](256)
+        bytes.foreach(b => counts(b & 0xff) += 1)
+        val n = bytes.length.toDouble
+        var s = 0.0
+        for (b <- 0 until 256 if counts(b) > 0) {
+          val p = counts(b) / n
+          s += p * Math.log(p)
+        }
+        if (s == 0.0) 0.0 else -s
+      }
+    }
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = docs.select($"text",
+      ByteEntropy.byteEntropy($"text").as("e")).collect()
+    got.foreach { r =>
+      val e = r.getDouble(1)
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(ref(r.getString(0))))
+      assert(e > 0 && e <= Math.log(256.0))
+    }
+    // all-one-symbol input: exactly +0.0, never -0.0 (repr-compare trap)
+    val zero = Seq("aaaaaa").toDF("t")
+      .select(ByteEntropy.byteEntropy($"t")).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(zero) == 0L)
+    // two equiprobable symbols: exactly ln(2) up to the fold's rounding
+    val ab = Seq("abab").toDF("t")
+      .select(ByteEntropy.byteEntropy($"t")).as[Double].head()
+    assert(math.abs(ab - Math.log(2.0)) < 1e-15)
+  }
+
   test("SimHashFeatures over distinct tokens equals SimHash61 on the text") {
     // SimHash61 tokenizes + dedups internally; feeding the same distinct
     // token array through the feature-generic form must reproduce every

@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q39: per-key top-k runs under WindowGroupLimit (partial group limits, no full per-key sort retained)") {
+    // Spark 3.5+ rewrites rank()/row_number() <= k filters into
+    // WindowGroupLimitExec (per-partition group-limit BEFORE the
+    // exchange + final limit after): each key keeps a k-row heap
+    // instead of materializing every candidate for the window sort.
+    // The rewrite only fires while the filter sits directly on the
+    // rank column — a refactor that obscures it (e.g. casting before
+    // filtering) silently reverts to full window sorts at corpus scale.
+    val plan = planOf("q39_cosine_topk")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q41: bucketed ANN joins on the bucket key (hash join, no cartesian)") {
     val plan = planOf("q41_lsh_ann")
     assert(!plan.contains("CartesianProduct"))
