@@ -96,6 +96,107 @@ object TextQueries {
         SELECT doc_id, rank, term, tf, df, tfidf
         FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""")
 
+  /** q76's BM25 scoring of every document against the fixed query
+    * (`dup spark vector`; Robertson k1=1.2, b=0.75, +1 idf form),
+    * UNORDERED and unfiltered: (doc_id, dl, tf_*, bm25). Shared by q76
+    * (top-50 by score) and q91 (hybrid RRF fusion with the vector
+    * ranking). Per-term contributions are summed in FIXED order (three
+    * explicit columns, left to right) — never a groupBy sum over
+    * doubles, whose accumulation order would vary with partitioning.
+    * Corpus stats (N, avgdl) and per-term dfs ride as 1-row broadcast
+    * dims: the scoring pass is a single map over documents.
+    */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("dup", "spark", "vector")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tfq = toks.groupBy(col("doc_id"))
+      .agg(qterms.map(tm =>
+        count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).head,
+        qterms.map(tm =>
+          count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).tail: _*)
+    val dfs = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy()
+      .agg(qterms.map(tm =>
+        count(when(col("term") === tm, lit(1))).as(s"df_$tm")).head,
+        qterms.map(tm =>
+          count(when(col("term") === tm, lit(1))).as(s"df_$tm")).tail: _*)
+    val stats = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl"), col("doc_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val dl = size(tokens(col("text"))).cast("long")
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    def part(tm: String) = {
+      val tf = col(s"tf_$tm").cast("double")
+      val df = col(s"df_$tm").cast("double")
+      val idf = graft.functions.MathLn.ln(lit(1.0) +
+        (col("n_docs").cast("double") - df + 0.5) / (df + 0.5))
+      // IEEE multiply is commutative, so Column*scalar == the
+      // oracle's scalar*Column bit-for-bit; addition order matches.
+      val denom = tf +
+        (lit(1.0 - b) + (col("dl").cast("double") / avgdl) * b) * k1
+      when(col(s"tf_$tm") > 0, idf * (tf * (k1 + 1.0)) / denom)
+        .otherwise(lit(0.0))
+    }
+    docs.select(col("doc_id"), dl.as("dl"))
+      .join(tfq, "doc_id")
+      .crossJoin(broadcast(dfs))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        col("tf_dup"), col("tf_spark"), col("tf_vector"),
+        (part("dup") + part("spark") + part("vector")).as("bm25"))
+  }
+
+  /** The oracle-side CTE chain ending in `scored` (doc_id, dl, tf_*,
+    * bm25) — the relational replay of [[bm25Scored]], shared by the q76
+    * and q91 oracles. Use as `WITH $Bm25ScoredCtes SELECT ... FROM
+    * scored`.
+    */
+  private[operators] val Bm25ScoredCtes: String =
+    """toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        tfq AS (
+          SELECT doc_id,
+                 CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS tf_dup,
+                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS tf_spark,
+                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS tf_vector
+          FROM toks GROUP BY doc_id),
+        dfs AS (
+          SELECT CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS df_dup,
+                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS df_spark,
+                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS df_vector
+          FROM (SELECT DISTINCT doc_id, term FROM toks)),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_dl
+          FROM documents),
+        dls AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
+          FROM documents),
+        scored AS (
+          SELECT d.doc_id, d.dl, t.tf_dup, t.tf_spark, t.tf_vector,
+            (CASE WHEN t.tf_dup > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_dup AS DOUBLE) + 0.5) / (CAST(f.df_dup AS DOUBLE) + 0.5))
+                * (CAST(t.tf_dup AS DOUBLE) * 2.2)
+                / (CAST(t.tf_dup AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END
+             + CASE WHEN t.tf_spark > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_spark AS DOUBLE) + 0.5) / (CAST(f.df_spark AS DOUBLE) + 0.5))
+                * (CAST(t.tf_spark AS DOUBLE) * 2.2)
+                / (CAST(t.tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END
+             + CASE WHEN t.tf_vector > 0 THEN
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_vector AS DOUBLE) + 0.5) / (CAST(f.df_vector AS DOUBLE) + 0.5))
+                * (CAST(t.tf_vector AS DOUBLE) * 2.2)
+                / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             ELSE 0.0 END) AS bm25
+          FROM dls d JOIN tfq t USING (doc_id) CROSS JOIN dfs f CROSS JOIN stats s)"""
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q28: token counting + quality metrics, row-level. Token/stopword
@@ -318,92 +419,12 @@ object TextQueries {
     // (N, avgdl) and per-term dfs ride as 1-row broadcast dims: the
     // scoring pass is a single map over documents.
     Q("q76_bm25",
-      (s, dir) => {
-        val qterms = Seq("dup", "spark", "vector")
-        val k1 = 1.2
-        val b = 0.75
-        val docs = t(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          explode(tokens(col("text"))).as("term"))
-        val tfq = toks.groupBy(col("doc_id"))
-          .agg(qterms.map(tm =>
-            count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).head,
-            qterms.map(tm =>
-              count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).tail: _*)
-        val dfs = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy()
-          .agg(qterms.map(tm =>
-            count(when(col("term") === tm, lit(1))).as(s"df_$tm")).head,
-            qterms.map(tm =>
-              count(when(col("term") === tm, lit(1))).as(s"df_$tm")).tail: _*)
-        val stats = docs
-          .select(size(tokens(col("text"))).cast("long").as("dl"), col("doc_id"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-        val dl = size(tokens(col("text"))).cast("long")
-        val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
-        def part(tm: String) = {
-          val tf = col(s"tf_$tm").cast("double")
-          val df = col(s"df_$tm").cast("double")
-          val idf = graft.functions.MathLn.ln(lit(1.0) +
-            (col("n_docs").cast("double") - df + 0.5) / (df + 0.5))
-          // IEEE multiply is commutative, so Column*scalar == the
-          // oracle's scalar*Column bit-for-bit; addition order matches.
-          val denom = tf +
-            (lit(1.0 - b) + (col("dl").cast("double") / avgdl) * b) * k1
-          when(col(s"tf_$tm") > 0, idf * (tf * (k1 + 1.0)) / denom)
-            .otherwise(lit(0.0))
-        }
-        docs.select(col("doc_id"), dl.as("dl"))
-          .join(tfq, "doc_id")
-          .crossJoin(broadcast(dfs))
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), col("dl"),
-            col("tf_dup"), col("tf_spark"), col("tf_vector"),
-            (part("dup") + part("spark") + part("vector")).as("bm25"))
+      (s, dir) =>
+        bm25Scored(s, dir)
           .filter(col("bm25") > 0.0)
           .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(50)
-      },
-      Some("""WITH toks AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-          FROM documents),
-        tfq AS (
-          SELECT doc_id,
-                 CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS tf_dup,
-                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS tf_spark,
-                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS tf_vector
-          FROM toks GROUP BY doc_id),
-        dfs AS (
-          SELECT CAST(count(CASE WHEN term = 'dup' THEN 1 END) AS BIGINT) AS df_dup,
-                 CAST(count(CASE WHEN term = 'spark' THEN 1 END) AS BIGINT) AS df_spark,
-                 CAST(count(CASE WHEN term = 'vector' THEN 1 END) AS BIGINT) AS df_vector
-          FROM (SELECT DISTINCT doc_id, term FROM toks)),
-        stats AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS total_dl
-          FROM documents),
-        dls AS (
-          SELECT doc_id,
-                 CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS dl
-          FROM documents),
-        scored AS (
-          SELECT d.doc_id, d.dl, t.tf_dup, t.tf_spark, t.tf_vector,
-            (CASE WHEN t.tf_dup > 0 THEN
-              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_dup AS DOUBLE) + 0.5) / (CAST(f.df_dup AS DOUBLE) + 0.5))
-                * (CAST(t.tf_dup AS DOUBLE) * 2.2)
-                / (CAST(t.tf_dup AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
-             ELSE 0.0 END
-             + CASE WHEN t.tf_spark > 0 THEN
-              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_spark AS DOUBLE) + 0.5) / (CAST(f.df_spark AS DOUBLE) + 0.5))
-                * (CAST(t.tf_spark AS DOUBLE) * 2.2)
-                / (CAST(t.tf_spark AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
-             ELSE 0.0 END
-             + CASE WHEN t.tf_vector > 0 THEN
-              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df_vector AS DOUBLE) + 0.5) / (CAST(f.df_vector AS DOUBLE) + 0.5))
-                * (CAST(t.tf_vector AS DOUBLE) * 2.2)
-                / (CAST(t.tf_vector AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
-             ELSE 0.0 END) AS bm25
-          FROM dls d JOIN tfq t USING (doc_id) CROSS JOIN dfs f CROSS JOIN stats s)
+          .limit(50),
+      Some(s"""WITH $Bm25ScoredCtes
         SELECT doc_id, dl, tf_dup, tf_spark, tf_vector, bm25
         FROM scored WHERE bm25 > 0.0
         ORDER BY bm25 DESC, doc_id LIMIT 50""")),

@@ -429,7 +429,81 @@ object VectorQueries {
                     ORDER BY ${duckDot("q_vec", "embedding")}
                       / (${duckNorm("q_vec")} * ${duckNorm("embedding")}) DESC,
                     vec_id) AS BIGINT) AS rnk
-        FROM top WHERE arn <= 5 ORDER BY q_id, rnk"""))
+        FROM top WHERE arn <= 5 ORDER BY q_id, rnk""")),
+
+    // ------------------------------------------------------------------
+    // q91: HYBRID RETRIEVAL (RRF) — the RAG-serving fusion step:
+    // reciprocal-rank-fuse the LEXICAL ranking (q76's BM25 against the
+    // fixed query, via TextQueries.bm25Scored — single source of truth)
+    // with the VECTOR ranking (cosine against the query embedding,
+    // vec_id 0), rrf = Σ 1/(60 + rank) over the lists a doc appears in
+    // (Cormack/Clarke/Büttcher SIGIR'09; k=60 standard). Fusion
+    // consumes only the top-50 of each list, ranks are INTEGERS, and
+    // the two reciprocal terms add in fixed order — so the doubles are
+    // engine-portable even though the underlying scores differ in kind.
+    // Scale: each list is a per-key top-k (WindowGroupLimit shape); the
+    // fusion join is 50×50 rows. rank=0 encodes "not in that list"
+    // (nulls would round-trip as NaN through the gate's pandas compare).
+    Q("q91_hybrid_rrf",
+      (s, dir) => {
+        val topK = 50
+        val lex = TextQueries.bm25Scored(s, dir)
+          .filter(col("bm25") > 0.0)
+          .select(col("doc_id"), col("bm25"))
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .filter(col("lex_rank") <= topK)
+          .select(col("doc_id"), col("lex_rank"))
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_vec"))
+        val vec = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("vec_rank", row_number().over(
+            Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+          .filter(col("vec_rank") <= topK)
+          .select(col("doc_id"), col("vec_rank"))
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+            (when(col("lex_rank").isNotNull,
+              lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")))
+              .otherwise(lit(0.0)) +
+              when(col("vec_rank").isNotNull,
+                lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")))
+                .otherwise(lit(0.0))).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH ${TextQueries.Bm25ScoredCtes},
+        lex AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+          FROM scored WHERE bm25 > 0.0
+          QUALIFY lex_rank <= 50),
+        qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        vecscore AS (
+          SELECT e.vec_id AS doc_id,
+                 ${duckDot("q.q_vec", "e.embedding")}
+                   / (${duckNorm("q.q_vec")} * ${duckNorm("e.embedding")}) AS cos_sim
+          FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+        vec AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS vec_rank
+          FROM vecscore QUALIFY vec_rank <= 50)
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               COALESCE(l.lex_rank, 0) AS lex_rank,
+               COALESCE(v.vec_rank, 0) AS vec_rank,
+               (CASE WHEN l.lex_rank IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN v.vec_rank IS NOT NULL
+                       THEN 1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)) ELSE 0.0 END) AS rrf
+        FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20"""),
+      doc = "Hybrid BM25+vector retrieval via reciprocal-rank fusion (k=60).")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

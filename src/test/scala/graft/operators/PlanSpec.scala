@@ -156,6 +156,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("q91: both retrieval top-50s become pushed-down limits, not full sorts") {
+    // for a GLOBAL-order row_number()<=k, Catalyst goes one better than
+    // WindowGroupLimit: LimitPushDownThroughWindow turns the rank filter
+    // into TakeOrderedAndProject(limit=50) BELOW the window, so each
+    // retrieval list is per-partition heaps + a 50-row window — assert
+    // that shape (or the group-limit form, if a partition key is added)
+    val plan = planOf("q91_hybrid_rrf")
+    val limits = "TakeOrderedAndProject\\(limit=50".r.findAllIn(plan).size
+    assert(limits >= 2 || plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
