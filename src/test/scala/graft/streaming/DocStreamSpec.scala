@@ -61,4 +61,55 @@ class DocStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
     docs.unpersist()
   }
+
+  test("restart: a new query on the same checkpoint resumes without re-admitting") {
+    // SCALING.md claims "a restart resumes from durable state" — prove
+    // it: process drop 1, STOP the query, start a FRESH query on the
+    // same checkpoint, process drop 2. The second query must continue
+    // the batch numbering (no replay of the committed batch), admit
+    // each document exactly once, and produce drop 2's matches against
+    // the drop-1 corpus exactly as an uninterrupted run would.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    val base = Files.createTempDirectory("graft_docstream_restart").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val st = DocStream.DedupState(
+      indexTable = "docstream_restart_idx",
+      docsPath = s"$base/admitted",
+      matchesPath = s"$base/matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+
+    val q1 = DocStream.dedupStream(DocStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      docs.filter($"doc_id" % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(dropDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val admittedAfterFirst = spark.read.parquet(st.docsPath).count()
+
+    val q2 = DocStream.dedupStream(DocStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      docs.filter($"doc_id" % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(dropDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // no replay of the committed first batch: admits strictly added
+    val admitted = spark.read.parquet(st.docsPath)
+    assert(admitted.count() == docs.count(),
+      s"expected ${docs.count()} admitted once, got ${admitted.count()}")
+    assert(admitted.groupBy($"doc_id").count().filter($"count" > 1).count() == 0)
+    // batch numbering continued across the restart
+    val emitted = spark.read.parquet(st.matchesPath)
+    assert(emitted.filter($"batch" === 1).count() > 0)
+    // drop-2 matches: new side only odd ids, corpus side only even ids
+    val second = emitted.filter($"batch" === 1)
+    assert(second.filter($"new_id" % 2 =!= 1).count() == 0)
+    assert(second.filter($"corpus_id" % 2 =!= 0).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    docs.unpersist()
+  }
 }
