@@ -46,6 +46,12 @@ object Serve {
     "public_corpus_mix" -> "q73_corpus_mix",
     "public_corpus_temp_mix" -> "q84_temperature_mix",
     "public_corpus_dup_ngrams" -> "q83_dup_ngram_fraction",
+    "public_corpus_heavy_words" -> "q86_heavy_hitters",
+    "public_corpus_neardups_simhash" -> "q87_simhash_neardup",
+    "public_corpus_vocab" -> "q88_kmv_distinct",
+    "public_corpus_fluency" -> "q89_unigram_logprob",
+    "public_corpus_entropy" -> "q90_char_entropy",
+    "public_search_hybrid" -> "q91_hybrid_rrf",
     "public_funnel" -> "q78_funnel",
     "public_retention" -> "q79_retention")
 
