@@ -12,12 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * keyboard mash and single-char runs score near 0, natural prose
   * ~2.5-3.1, uniform random bytes toward ln(256). One fused pass per
   * row: a 256-counter histogram, then Σ −p·ln p folded in ASCENDING
-  * BYTE ORDER with libm `Math.log` — the fixed fold order and MathLn
-  * parity rule are what let the DuckDB oracle (an ordered `list_reduce`
-  * over the same per-byte terms) reproduce the double bit-for-bit
-  * (q90). All-one-symbol inputs return +0.0 from both engines (the
-  * `-0.0` IEEE negation artifact is normalized away; repr-compare
-  * would flag it).
+  * BYTE ORDER with `Math.log`. The fixed fold order makes the
+  * ASSOCIATION replayable by the DuckDB oracle's ordered
+  * `list_reduce`, but ln itself is only 1-ulp portable across libms
+  * (one doc in 5000 differed in the last bit at sf0.1) — so q90
+  * quantizes the row output to integer micro-nats rather than claiming
+  * bit-exact doubles. All-one-symbol inputs return +0.0 from both
+  * engines (the `-0.0` IEEE negation artifact is normalized away;
+  * repr-compare would flag it).
   *
   * Byte (not codepoint) distribution: locale- and decode-free, and at
   * 100 TB the scan never allocates beyond the 256 counters. TESTDATA

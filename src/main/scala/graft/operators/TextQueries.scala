@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.PolyHash.polyHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -51,7 +52,6 @@ object TextQueries {
     */
   private def tfidfTop5(s: SparkSession, dir: String,
       joinTfDf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))
@@ -656,18 +656,19 @@ object TextQueries {
     // the compressibility filter of the Gopher/Dolma family: mash and
     // repeated-char runs score near 0, natural prose ~2.5-3.1 nats.
     // Row-local fused expression (256 counters, one pass) — scales as a
-    // map. The entropy fold runs in ascending byte order with libm ln,
-    // so the oracle's ordered list_reduce over the same per-byte terms
-    // reproduces the double bit-for-bit: an ordered fold is the
-    // floating-point analogue of the q73/q89 integer rule — when a
-    // double SUM must cross engines, fix the association order instead
-    // of hoping addition commutes.
+    // map. The entropy fold runs in ascending byte order, so the
+    // oracle's ordered list_reduce replays the same ASSOCIATION — but
+    // ln itself is only 1-ulp portable across libms (measured: one doc
+    // in 5000 differed in the last bit at sf0.1), so the row output is
+    // quantized to integer MICRO-NATS (the q89 rule): fix the fold
+    // order AND quantize at the output boundary whenever transcendental
+    // doubles must cross engines.
     Q("q90_char_entropy",
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
-            graft.functions.ByteEntropy.byteEntropy(col("text"))
-              .as("entropy"))
+            floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
+              * 1e6).as("entropy_unat"))
           .orderBy(col("doc_id")),
       Some("""WITH ch AS (
           SELECT doc_id,
@@ -685,9 +686,57 @@ object TextQueries {
                    (x, y) -> x + y) AS s
           FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id, n)
         SELECT d.doc_id, d.n_chars,
-               CASE WHEN f.s = 0 THEN 0.0 ELSE -f.s END AS entropy
+               CAST(floor((CASE WHEN f.s = 0 THEN 0.0 ELSE -f.s END) * 1e6)
+                    AS BIGINT) AS entropy_unat
         FROM documents d JOIN folded f USING (doc_id)
         ORDER BY d.doc_id"""),
-      doc = "Byte-distribution entropy (compressibility gate), ordered-fold parity.")
+      doc = "Byte-distribution entropy (compressibility gate), micro-nat quantized."),
+
+    // ------------------------------------------------------------------
+    // q92: TOKEN-BUDGET SELECTION — data-constrained curation: within
+    // each source, keep the highest-quality documents until a fixed
+    // token budget (1000 tokens/source here) is exhausted. The greedy
+    // quality-ranked prefix is the standard budgeted-subset heuristic
+    // (SlimPajama-style curation with token, not row, quotas — the
+    // token-denominated complement of q73's ppm row quotas). Dataflow:
+    // one window partitioned by source (the shard key — q74's packing
+    // rule: NEVER a global cumsum) computing the running token total in
+    // quality order; the cumulative sum is over LONGS along a
+    // UNIQUELY-ordered frame (quality desc, doc_id), so it is
+    // deterministic and engine-portable; quality doubles reuse q30's
+    // proven-parity expression.
+    Q("q92_token_budget_select",
+      (s, dir) => {
+        val budget = 1000L
+        val scored = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            tokenCount(col("text")).cast("long").as("n_tokens"),
+            qualityScoreFused(col("text"), textStats(col("text"))).as("q"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("cum_tokens"), col("q"))
+          .orderBy(col("source"), col("cum_tokens"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+                 $qualitySqlExpr AS q
+          FROM documents),
+        cum AS (
+          SELECT source, doc_id, n_tokens, q,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY q DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+          FROM scored)
+        SELECT source, doc_id, n_tokens, cum_tokens, q
+        FROM cum WHERE cum_tokens <= 1000
+        ORDER BY source, cum_tokens"""),
+      doc = "Per-source greedy quality prefix under a token budget.")
   )
 }
