@@ -168,6 +168,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q92: budget cumsum windows by source (the shard key), never globally") {
+    val plan = planOf("q92_token_budget_select")
+    assert(plan.contains("windowspecdefinition(source"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
