@@ -503,7 +503,56 @@ object VectorQueries {
                        THEN 1.0 / (60.0 + CAST(v.vec_rank AS DOUBLE)) ELSE 0.0 END) AS rrf
         FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
         ORDER BY rrf DESC, doc_id LIMIT 20"""),
-      doc = "Hybrid BM25+vector retrieval via reciprocal-rank fusion (k=60).")
+      doc = "Hybrid BM25+vector retrieval via reciprocal-rank fusion (k=60)."),
+
+    // ------------------------------------------------------------------
+    // q93: FILTERED ANN — metadata-constrained vector search ("similar
+    // items WITHIN my category"), the standard vector-DB requirement.
+    // The label predicate is PRE-filtering, pushed into the candidate
+    // join KEY: candidates come from an equi-join on (bucket, label),
+    // so non-matching vectors never reach scoring (or the shuffle) —
+    // the composite-key form of q41, vs post-filtering top-k and
+    // losing recall. 4 hyperplanes (16 buckets) instead of q41's 8:
+    // with the label split multiplying selectivity ×10, 16×10
+    // composite cells keep a few same-cell candidates per query at
+    // test scale — the bucket/filter granularity trade every filtered
+    // ANN deployment tunes.
+    Q("q93_filtered_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("bucket",
+            hyperplaneBucketFused(col("embedding"), 4, seed = 42))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        emb.join(broadcast(queries), Seq("bucket", "label"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("label"),
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH emb AS (
+          SELECT vec_id, label, embedding,
+                 ${duckBucket("embedding", 4, 42)} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, label, bucket
+              FROM emb WHERE vec_id < 10),
+        scored AS (
+          SELECT q.q_id, e.vec_id, e.label,
+                 ${duckDot("q.q_vec", "e.embedding")}
+                   / (${duckNorm("q.q_vec")} * ${duckNorm("e.embedding")}) AS cos_sim
+          FROM emb e JOIN q
+            ON e.bucket = q.bucket AND e.label = q.label
+               AND e.vec_id <> q.q_id)
+        SELECT q_id, vec_id, label, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk"""),
+      doc = "Pre-filtered ANN: label predicate composed into the bucket join key.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

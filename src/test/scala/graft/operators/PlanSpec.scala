@@ -168,6 +168,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q93: filtered ANN joins on the composite (bucket, label) key") {
+    // PRE-filtering: the label predicate must sit in the join key (non-
+    // matching vectors never reach scoring), not as a post-join filter
+    val plan = planOf("q93_filtered_ann")
+    assert(plan.contains("Join") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+    assert(plan.contains("label"), plan.take(2000))
+    // scoring (cosine) must not appear below/inside the join condition —
+    // it runs only on composite-key survivors
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(!joinLine.contains("cosine"), joinLine)
+  }
+
   test("q92: budget cumsum windows by source (the shard key), never globally") {
     val plan = planOf("q92_token_budget_select")
     assert(plan.contains("windowspecdefinition(source"), plan.take(3000))
