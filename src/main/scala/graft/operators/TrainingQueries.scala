@@ -628,6 +628,48 @@ object TrainingQueries {
                              THEN CAST(power(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_hi
         FROM votes GROUP BY doc_id ORDER BY doc_id"""),
       doc = "Declarative md5 twin of q37; production path = q37 (fused SimHash61).",
-      verificationOnly = true)
+      verificationOnly = true),
+
+    // ------------------------------------------------------------------
+    // q95: EVENT TRANSITION MATRIX — first-order Markov counts over each
+    // user's event sequence (lag per user, ordered by (ts, event_id) —
+    // the unique-order rule), aggregated corpus-wide with per-prev-type
+    // transition probabilities. The sequence-modeling prep next to q78's
+    // funnel and q59's sessions: "what follows what" for journey
+    // analysis and next-event baselines. Per-user windows partition by
+    // the shard key; counts are map-side-combinable longs; the only
+    // double is one final division of longs — deterministic, and the
+    // per-prev normalizing sum is an integer window over a tiny
+    // (types × types) frame.
+    Q("q95_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wprev = Window.partitionBy(col("prev_type"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prob", col("cnt").cast("double")
+            / sum(col("cnt")).over(wprev).cast("double"))
+          .orderBy(col("prev_type"), col("event_type"))
+      },
+      Some("""WITH tr AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type,
+                 event_type
+          FROM events),
+        c AS (
+          SELECT prev_type, event_type, count(*) AS cnt
+          FROM tr WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+        SELECT prev_type, event_type, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt AS DOUBLE)
+                 / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+        FROM c ORDER BY prev_type, event_type"""),
+      doc = "First-order Markov transition counts/probabilities over user event sequences.")
   )
 }
