@@ -35,6 +35,11 @@ object KmvSketch {
     override def zero: Array[Long] = Array.emptyLongArray
 
     override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+      // hashes live in [0, 2^61−1): any negative input is the caller's
+      // null sentinel (a nullable key coalesced to -1) — skipped, so
+      // NULL keys don't crash the non-nullable UDAF input path and
+      // don't count as a distinct value (COUNT(DISTINCT col) semantics)
+      if (x < 0) return buf
       val pos = java.util.Arrays.binarySearch(buf, x)
       if (pos >= 0) buf // already present
       else {
@@ -79,9 +84,25 @@ object KmvSketch {
 
   /** Column function: `kmvSketch(hashCol, k)` usable in `agg(...)` —
     * yields the sorted `array<long>` of the k smallest distinct hashes.
+    * For a nullable hash, pass `coalesce(hashCol, lit(-1L))` — negative
+    * inputs are skipped (see [[Agg.reduce]]).
     */
   def kmvSketch(hash: Column, k: Int): Column =
     udaf(new Agg(k), Encoders.scalaLong).apply(hash)
+
+  /** The (k−1)·p/h₍ₖ₎ distinct-count estimate from a sketch column,
+    * falling back to the exact size while the sketch is unsaturated —
+    * ONE definition shared by the batch (q88) and streaming
+    * (EventStream.windowedSketches) paths so the estimator can never
+    * fork between them. Engine-portable: one compare, one constant-
+    * folded product, one IEEE division.
+    */
+  def estimate(kmv: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, size, when}
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(MulMod61.P.toDouble)
+        / element_at(kmv, k).cast("double"))
+  }
 
   /** Constants for the KMV value-hash permutation (independent of the
     * MinHash/SimHash/mix families so distinct-count buckets never

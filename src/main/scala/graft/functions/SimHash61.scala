@@ -113,12 +113,17 @@ case class SimHashFeatures(child: Expression)
     val n = input.numElements()
     var j = 0
     while (j < n) {
-      val h = MulMod61.affine(MulMod61.tokA, MulMod61.tokB,
-        MulMod61.polyHash61(input.getUTF8String(j)))
-      var bit = 0
-      while (bit < Bits) {
-        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
-        bit += 1
+      // ArrayType(StringType) admits containsNull arrays (SQL callers
+      // can build one); a null feature is no feature, not a crash
+      val s = input.getUTF8String(j)
+      if (s != null) {
+        val h = MulMod61.affine(MulMod61.tokA, MulMod61.tokB,
+          MulMod61.polyHash61(s))
+        var bit = 0
+        while (bit < Bits) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
       }
       j += 1
     }

@@ -553,21 +553,19 @@ object TextQueries {
       (s, dir) => {
         import graft.functions.{Affine61, KmvSketch, PolyHash61Str}
         val k = 32
-        val p = graft.functions.MulMod61.P
         val words = t(s, dir, "documents")
-          .select(col("source"),
-            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        val hashed = words.select(col("source"),
-          Affine61.affine61(PolyHash61Str.polyHash61Str(col("word")),
-            KmvSketch.kmvA, KmvSketch.kmvB).as("h"))
-        hashed.groupBy(col("source"))
+          .select(col("source"), explode(tokens(col("text"))).as("word"))
+        words
+          .select(col("source"), col("word"),
+            Affine61.affine61(PolyHash61Str.polyHash61Str(col("word")),
+              KmvSketch.kmvA, KmvSketch.kmvB).as("h"))
+          .groupBy(col("source"))
           .agg(KmvSketch.kmvSketch(col("h"), k).as("kmv"),
-            countDistinct(col("h")).as("exact_vocab"))
+            // exact distinct WORDS (not hashes): the fixture must be
+            // able to catch a collision-induced estimator error
+            countDistinct(col("word")).as("exact_vocab"))
           .select(col("source"),
-            when(size(col("kmv")) < k, size(col("kmv")).cast("double"))
-              .otherwise(lit((k - 1).toDouble) * lit(p.toDouble)
-                / element_at(col("kmv"), k).cast("double"))
-              .as("est_vocab"),
+            KmvSketch.estimate(col("kmv"), k).as("est_vocab"),
             col("exact_vocab"))
           .orderBy(col("source"))
       },
@@ -576,24 +574,27 @@ object TextQueries {
                  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
           FROM documents),
         h AS (
-          SELECT DISTINCT source,
+          SELECT DISTINCT source, word,
                  CAST((${graft.functions.KmvSketch.kmvA}::HUGEINT
                        * ${graft.functions.MulMod61.sqlPh61("word")}
                        + ${graft.functions.KmvSketch.kmvB})
                       % ${graft.functions.MulMod61.P} AS BIGINT) AS h
           FROM w),
+        hh AS (SELECT DISTINCT source, h FROM h),
         r AS (
-          SELECT source, h,
-                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
-                 count(*) OVER (PARTITION BY source) AS nd
-          FROM h)
-        SELECT source,
-               CASE WHEN max(nd) < 32 THEN CAST(max(nd) AS DOUBLE)
-                    ELSE 31::DOUBLE * ${graft.functions.MulMod61.P}::DOUBLE
-                         / CAST(max(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
-               END AS est_vocab,
-               CAST(max(nd) AS BIGINT) AS exact_vocab
-        FROM r GROUP BY source ORDER BY source"""),
+          SELECT source,
+                 CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 31::DOUBLE * ${graft.functions.MulMod61.P}::DOUBLE
+                           / CAST(max(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+                 END AS est_vocab
+          FROM (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM hh)
+          GROUP BY source),
+        x AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact_vocab
+              FROM h GROUP BY source)
+        SELECT source, est_vocab, exact_vocab
+        FROM r JOIN x USING (source) ORDER BY source"""),
       doc = "Mergeable KMV distinct sketch; exact_vocab column is the fixture."),
 
     // ------------------------------------------------------------------
@@ -613,8 +614,7 @@ object TextQueries {
     Q("q89_unigram_logprob",
       (s, dir) => {
         val words = t(s, dir, "documents")
-          .select(col("doc_id"),
-            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         val lm = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         val total = words.agg(count(lit(1)).as("n_total"))
         val scored = words
@@ -686,9 +686,10 @@ object TextQueries {
                    (x, y) -> x + y) AS s
           FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id, n)
         SELECT d.doc_id, d.n_chars,
-               CAST(floor((CASE WHEN f.s = 0 THEN 0.0 ELSE -f.s END) * 1e6)
+               CAST(floor((CASE WHEN f.s = 0 OR f.s IS NULL THEN 0.0
+                                ELSE -f.s END) * 1e6)
                     AS BIGINT) AS entropy_unat
-        FROM documents d JOIN folded f USING (doc_id)
+        FROM documents d LEFT JOIN folded f USING (doc_id)
         ORDER BY d.doc_id"""),
       doc = "Byte-distribution entropy (compressibility gate), micro-nat quantized."),
 

@@ -447,8 +447,12 @@ object VectorQueries {
     Q("q91_hybrid_rrf",
       (s, dir) => {
         val topK = 50
+        // doc 0 IS the query (its embedding drives the vector side), so
+        // it is excluded from BOTH lists — asymmetric exclusion would
+        // let the query document surface as its own retrieval result
+        // with a structurally missing vector term
         val lex = TextQueries.bm25Scored(s, dir)
-          .filter(col("bm25") > 0.0)
+          .filter(col("bm25") > 0.0 && col("doc_id") =!= 0)
           .select(col("doc_id"), col("bm25"))
           .withColumn("lex_rank", row_number().over(
             Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
@@ -482,7 +486,7 @@ object VectorQueries {
         lex AS (
           SELECT doc_id,
                  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
-          FROM scored WHERE bm25 > 0.0
+          FROM scored WHERE bm25 > 0.0 AND doc_id <> 0
           QUALIFY lex_rank <= 50),
         qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
         vecscore AS (

@@ -234,9 +234,14 @@ object EventStream {
       window: String = "1 hour",
       watermark: String = "10 minutes",
       k: Int = 16): DataFrame = {
-    import graft.functions.{Affine61, FreqSketch, KmvSketch, MulMod61}
+    import graft.functions.{Affine61, FreqSketch, KmvSketch}
+    // events.user_id is nullable (anonymous traffic): the UDAF input is
+    // a primitive Long, so a NULL would abort the stream — coalesce to
+    // the negative skip-sentinel the sketch ignores (distinct NON-NULL
+    // users, COUNT(DISTINCT) semantics)
     val kmv = KmvSketch.kmvSketch(
-      Affine61.affine61(col("user_id"), KmvSketch.kmvA, KmvSketch.kmvB), k)
+      coalesce(Affine61.affine61(col("user_id"),
+        KmvSketch.kmvA, KmvSketch.kmvB), lit(-1L)), k)
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
@@ -248,11 +253,7 @@ object EventStream {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_events"),
-        when(size(col("kmv_users")) < k,
-          size(col("kmv_users")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(MulMod61.P.toDouble)
-            / element_at(col("kmv_users"), k).cast("double"))
-          .as("est_users"),
+        KmvSketch.estimate(col("kmv_users"), k).as("est_users"),
         col("kmv_users"),
         map_keys(col("mg_types")).as("heavy_type_candidates"))
   }

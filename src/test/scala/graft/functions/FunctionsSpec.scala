@@ -217,6 +217,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == MulMod61.P) // 61 tie-votes, all round up
   }
 
+  test("SimHashFeatures: null array elements are skipped, not a crash") {
+    // SQL callers can build containsNull arrays; a null feature is no
+    // feature — the signature must equal the null-free array's
+    val rows = spark.sql(
+      """SELECT simhash_features(array('a b c', CAST(NULL AS STRING), 'd e')) AS withNull,
+                simhash_features(array('a b c', 'd e')) AS without""")
+      .collect()(0)
+    assert(rows.getLong(0) == rows.getLong(1))
+  }
+
   test("fused WinnowFingerprints equals the declarative HOF chain") {
     import org.apache.spark.sql.functions._
     val k = 3; val w = 4

@@ -48,6 +48,19 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(relErr < 4.0 / math.sqrt(k - 2.0), s"est=$est relErr=$relErr")
   }
 
+  test("negative inputs (the null sentinel) are skipped, not counted") {
+    val data = hashes(40) ++ Seq(-1L, -1L, -1L)
+    val got = data.toDF("h").repartition(5)
+      .agg(KmvSketch.kmvSketch($"h", 16).as("kmv"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == hashes(40).distinct.sorted.take(16))
+    // a sketch fed ONLY sentinels is empty (distinct non-null = 0)
+    val empty = Seq(-1L).toDF("h")
+      .agg(KmvSketch.kmvSketch($"h", 16).as("kmv"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("reduce keeps the buffer sorted, distinct, and capped at k") {
     val agg = new KmvSketch.Agg(4)
     val rnd = new scala.util.Random(11)
