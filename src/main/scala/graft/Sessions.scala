@@ -27,10 +27,16 @@ object Sessions {
       // and shuffle registrations into the old gen until the heap is
       // nearly full and every allocation-heavy operator (window sorts
       // especially) thrashes in GC — measured 60× slowdowns on the last
-      // queries of a full Bench run at the default 8g heap, gone at 20g
-      // or with this interval. 1min keeps the cleaner fed at a cost of
-      // one minor-looking full GC per minute — negligible against any
-      // query, and exactly what long-lived Spark services configure.
+      // queries of a full Bench run at the default 8g heap; 1min keeps
+      // the cleaner fed at a cost of one full GC per minute, and cut the
+      // builder's runs from 387s to ~73s. It REDUCES the failure mode
+      // but has not been proven to eliminate it: the round-6 official
+      // bench still stalled 10-58× on four row-local queries with this
+      // conf in place (host noise vs residual session state was
+      // indistinguishable from that artifact). Bench therefore carries
+      // its own instrumentation — gc_sec/heap_peak_mb, forced-GC outlier
+      // re-timing, and an end-of-run tail-health probe — so any future
+      // stall is attributable from the artifact alone.
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

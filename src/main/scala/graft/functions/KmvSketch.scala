@@ -45,18 +45,24 @@ object KmvSketch {
       else {
         val ins = -pos - 1
         if (buf.length < k) {
+          // growth phase: at most k allocations per partial, ever
           val out = new Array[Long](buf.length + 1)
           System.arraycopy(buf, 0, out, 0, ins)
           out(ins) = x
           System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
           out
         } else if (ins < k) {
-          // displaces the current maximum
-          val out = new Array[Long](k)
-          System.arraycopy(buf, 0, out, 0, ins)
-          out(ins) = x
-          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
-          out
+          // displaces the current maximum — the steady-state path once
+          // the sketch saturates, so shift IN PLACE (overlapping
+          // arraycopy is defined-safe): zero allocation per accepted
+          // hash instead of an O(k) copy, which at corpus scale was
+          // measurable GC churn in the hottest aggregation loop. Safe
+          // to mutate: reduce owns its buffer (Aggregator contract),
+          // and the growth path above never returns the shared
+          // `Array.emptyLongArray` zero once non-empty.
+          System.arraycopy(buf, ins, buf, ins + 1, k - ins - 1)
+          buf(ins) = x
+          buf
         } else buf
       }
     }

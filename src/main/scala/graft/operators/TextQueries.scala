@@ -607,10 +607,18 @@ object TextQueries {
     // is order-independent (double addition isn't associative; the q73
     // integer-ppm rule) — and ln goes through MathLn (Math.log) for
     // libm/DuckDB parity, not Spark's 1-ulp-off StrictMath log().
+    // Quantum is 100 µnat (floor(x·1e4)·100): ln is only 1-ulp portable
+    // across libms (~1 in 150k calls), and a product within 1 ulp of a
+    // bucket boundary would still flip a 1-µnat floor — the coarser
+    // bucket shrinks that flaky-gate tail 100× while keeping micro-nat
+    // output units.
     // Dataflow: one word-keyed count shuffle (map-side combinable, the
-    // LM "training"), the vocabulary-sized count dim broadcast back onto
-    // the token stream, one doc-keyed fold — no corpus-sized
-    // intermediate anywhere.
+    // LM "training"), an EQUI-join of the count dim back onto the token
+    // stream — deliberately NOT broadcast-hinted: the vocabulary of a
+    // web corpus is unbounded (typos/mash ⇒ 10⁸⁺ rows at 100 TB, past
+    // Spark's 8 GB broadcast hard limit), so the planner/AQE must stay
+    // free to pick shuffle-hash when the dim outgrows the threshold —
+    // then one doc-keyed fold. No corpus-sized intermediate anywhere.
     Q("q89_unigram_logprob",
       (s, dir) => {
         val words = t(s, dir, "documents")
@@ -618,12 +626,12 @@ object TextQueries {
         val lm = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
         val total = words.agg(count(lit(1)).as("n_total"))
         val scored = words
-          .join(broadcast(lm), Seq("word"))
+          .join(lm, Seq("word"))
           .crossJoin(broadcast(total))
           .select(col("doc_id"),
-            floor(graft.functions.MathLn.ln(
+            (floor(graft.functions.MathLn.ln(
               col("cnt").cast("double") / col("n_total").cast("double"))
-              * 1e6).as("lp_micro"))
+              * 1e4) * 100).as("lp_micro"))
         scored.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
             sum(col("lp_micro")).as("sum_lp_micro"))
@@ -641,7 +649,7 @@ object TextQueries {
         scored AS (
           SELECT doc_id,
                  CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
-                            * 1e6) AS BIGINT) AS lp_micro
+                            * 1e4) AS BIGINT) * 100 AS lp_micro
           FROM w JOIN lm USING (word) CROSS JOIN tot)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
@@ -662,13 +670,16 @@ object TextQueries {
     // in 5000 differed in the last bit at sf0.1), so the row output is
     // quantized to integer MICRO-NATS (the q89 rule): fix the fold
     // order AND quantize at the output boundary whenever transcendental
-    // doubles must cross engines.
+    // doubles must cross engines. Quantum is 100 µnat (floor(x·1e4)·100,
+    // the q89 rule's round-7 tightening): a fold landing within 1 ulp of
+    // a 1-µnat boundary would still flip — the coarser bucket shrinks
+    // the residual flaky-gate tail 100×.
     Q("q90_char_entropy",
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"),
-            floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
-              * 1e6).as("entropy_unat"))
+            (floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
+              * 1e4) * 100).as("entropy_unat"))
           .orderBy(col("doc_id")),
       Some("""WITH ch AS (
           SELECT doc_id,
@@ -687,8 +698,8 @@ object TextQueries {
           FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id, n)
         SELECT d.doc_id, d.n_chars,
                CAST(floor((CASE WHEN f.s = 0 OR f.s IS NULL THEN 0.0
-                                ELSE -f.s END) * 1e6)
-                    AS BIGINT) AS entropy_unat
+                                ELSE -f.s END) * 1e4)
+                    AS BIGINT) * 100 AS entropy_unat
         FROM documents d LEFT JOIN folded f USING (doc_id)
         ORDER BY d.doc_id"""),
       doc = "Byte-distribution entropy (compressibility gate), micro-nat quantized."),

@@ -649,6 +649,10 @@ object TrainingQueries {
         t(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"),
             col("event_type"))
+          // anonymous traffic (NULL user_id) would collapse into ONE
+          // pseudo-user whose lag window stitches unrelated visitors
+          // into fake transitions — only real identified journeys count
+          .filter(col("user_id").isNotNull)
           .withColumn("prev_type", lag(col("event_type"), 1).over(w))
           .filter(col("prev_type").isNotNull)
           .groupBy(col("prev_type"), col("event_type"))
@@ -661,7 +665,7 @@ object TrainingQueries {
           SELECT lag(event_type) OVER (PARTITION BY user_id
                    ORDER BY ts, event_id) AS prev_type,
                  event_type
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         c AS (
           SELECT prev_type, event_type, count(*) AS cnt
           FROM tr WHERE prev_type IS NOT NULL

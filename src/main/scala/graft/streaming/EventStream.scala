@@ -255,7 +255,10 @@ object EventStream {
         col("n_events"),
         KmvSketch.estimate(col("kmv_users"), k).as("est_users"),
         col("kmv_users"),
-        map_keys(col("mg_types")).as("heavy_type_candidates"))
+        // array_sort: the MG map's key ORDER is merge-order-dependent
+        // (schedule-varying) even though the key SET is guaranteed —
+        // sort so the emitted column is deterministic across runs
+        array_sort(map_keys(col("mg_types"))).as("heavy_type_candidates"))
   }
 
   /** Run a streaming query over `srcDir` into an in-memory table and
