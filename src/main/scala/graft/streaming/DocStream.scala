@@ -13,24 +13,27 @@ import graft.operators.{DedupIndex, DedupQueries}
   * The design choice that matters at 100 TB: dedup state does NOT live
   * in executor state-store memory (a `flatMapGroupsWithState` over
   * (band, bucket) groups would grow state with the corpus forever — the
-  * unbounded-state anti-pattern). It lives in the same two persisted,
-  * restart-safe artifacts the batch pipeline uses:
+  * unbounded-state anti-pattern). It lives in persisted, restart-safe
+  * artifacts, and — since round 7 — every per-batch write is KEYED BY
+  * BATCH ID and written with overwrite, so an at-least-once foreachBatch
+  * replay rewrites its own partition instead of duplicating rows:
   *
-  *   - the LSH band index, a parquet table BUCKETED on the probe join
-  *     key (band, bucket), so each micro-batch probe shuffles only the
-  *     batch ([[DedupIndex]]; exchange-free plan proven in
-  *     DedupIndexSpec), and
-  *   - the admitted-docs store (doc_id, text), read only for the
-  *     candidate rows the probe surfaces.
+  *   - matches land under `matches/batch=<id>` (overwrite);
+  *   - admitted docs land under `docs/batch=<id>` (overwrite);
+  *   - the batch's LSH band keys land under `index_delta/batch=<id>`
+  *     (overwrite). The corpus-scale BUCKETED band index ([[DedupIndex]],
+  *     hash-clustered on the probe join key so probes shuffle only the
+  *     batch) is created EMPTY up front and populated only by
+  *     [[compact]], which folds the accumulated deltas in — an LSM
+  *     shape: writes go to small idempotent deltas, reads probe
+  *     base ∪ deltas, a periodic compaction keeps the base carrying
+  *     ~all rows so the probe stays effectively exchange-free.
   *
-  * Each micro-batch runs exactly the q71 dataflow: probe → exact-Jaccard
-  * verify → emit matches → admit the batch (append its band keys and
-  * docs). Matches land under `matches/batch=<id>` with overwrite, so a
-  * replayed micro-batch (foreachBatch is at-least-once) rewrites its own
-  * partition instead of duplicating rows. The index/docs admits are
-  * plain appends — a replayed admit would double rows there; production
-  * hardening is a transactional table format or an idempotent
-  * batch-keyed layout, orthogonal to the dataflow shown here.
+  * Candidate pairs are `distinct()`, so even a crash *inside* compaction
+  * (deltas folded into the base but not yet deleted) only duplicates
+  * index rows, never match rows; the next compaction restores counts —
+  * the same idempotence argument transactional formats make, built from
+  * plain parquet.
   */
 object DocStream {
 
@@ -58,6 +61,13 @@ object DocStream {
       verifyThreshold: Double = 0.5,
       dupThreshold: Double = 0.8)
 
+  /** Batch-keyed band-key deltas awaiting compaction into the bucketed
+    * base table (sibling of the docs store, so all durable state shares
+    * one root).
+    */
+  private[streaming] def deltaDir(st: DedupState): String =
+    s"${st.docsPath}_index_delta"
+
   /** The streaming incremental dedup: every micro-batch of documents is
     * checked against everything admitted before it (q71's new-vs-corpus
     * semantics — batch-internal pairs are the full pipeline's job, run
@@ -70,36 +80,81 @@ object DocStream {
         processBatch(batch, batchId, state))
 
   /** One micro-batch of the q71 dataflow against the persisted state.
-    * Probe + verify run BEFORE the admit appends, so a document never
+    * Probe + verify run BEFORE the admit writes, so a document never
     * matches itself; candidates join the docs store only for the rows
-    * the index probe surfaced.
+    * the index probe surfaced. Every write is batch-keyed overwrite —
+    * re-running the same (batch, batchId) leaves all state row counts
+    * unchanged (DocStreamSpec replays a batch to pin exactly that).
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       st: DedupState): Unit = {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text")).persist()
     try {
-      val hasIndex = spark.catalog.tableExists(st.indexTable)
-      if (hasIndex) {
-        val cand = DedupIndex.probeCandidates(spark, st.indexTable, b)
+      if (!spark.catalog.tableExists(st.indexTable))
+        DedupIndex.write(b.limit(0), st.indexTable, st.nBuckets)
+      val cand = probeAll(spark, st, b)
+      if (cand.nonEmpty) {
         val corpus = spark.read.parquet(st.docsPath)
-        val matches = DedupQueries.verifyCandidates(cand, b, corpus)
+        val matches = DedupQueries.verifyCandidates(cand.get, b, corpus)
           .filter(col("jaccard") >= st.verifyThreshold)
           .withColumn("is_dup",
             (col("jaccard") >= st.dupThreshold).cast("int"))
         matches.write.mode("overwrite")
           .parquet(s"${st.matchesPath}/batch=$batchId")
       }
-      // admit: append band keys (same bucket spec as the initial write,
-      // so the probe's exchange-free layout survives appends) + docs
-      if (hasIndex)
-        DedupQueries.bandIndex(b).write.format("parquet")
-          .bucketBy(st.nBuckets, "band", "bucket")
-          .sortBy("band", "bucket")
-          .mode("append").saveAsTable(st.indexTable)
-      else
-        DedupIndex.write(b, st.indexTable, st.nBuckets)
-      b.write.mode("append").parquet(st.docsPath)
+      // admit: band keys to this batch's delta partition, docs to this
+      // batch's docs partition — both full-partition overwrites
+      DedupQueries.bandIndex(b).write.mode("overwrite")
+        .parquet(s"${deltaDir(st)}/batch=$batchId")
+      b.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
     } finally b.unpersist()
+  }
+
+  /** Candidate (new_id, corpus_id) pairs for `b` against base ∪ deltas;
+    * None when nothing has been admitted yet (first batch).
+    */
+  private def probeAll(spark: SparkSession, st: DedupState,
+      b: DataFrame): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(st.docsPath))) return None
+    val base = DedupIndex.probeCandidates(spark, st.indexTable, b)
+    val dd = deltaDir(st)
+    val withDelta =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dd))) base
+      else {
+        val fresh = DedupQueries.bandIndex(b)
+          .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+        val deltaCand = spark.read.parquet(dd)
+          .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
+          .join(fresh, Seq("band", "bucket"))
+          .select(col("new_id"), col("corpus_id"))
+        base.unionByName(deltaCand)
+      }
+    // exclude the batch's own documents from the corpus side: on the
+    // normal path the probe runs before the admit so this is a no-op,
+    // but a REPLAYED batch probes state that already contains itself —
+    // without this, every replayed document matches its own admitted
+    // copy (and q71 semantics exclude batch-internal pairs anyway)
+    Some(withDelta.distinct()
+      .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
+        "left_anti"))
+  }
+
+  /** Fold the accumulated delta partitions into the bucketed base table
+    * and drop them, restoring the fully exchange-free probe. Rebuilds
+    * the base from the admitted-docs store (the source of truth), so it
+    * is safe to run at any time, including after a crash that left the
+    * base and deltas overlapping.
+    */
+  def compact(spark: SparkSession, st: DedupState): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(st.docsPath))) return
+    val docs = spark.read.parquet(st.docsPath)
+      .select(col("doc_id"), col("text"))
+    DedupIndex.write(docs, st.indexTable, st.nBuckets)
+    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(st)), true)
   }
 }

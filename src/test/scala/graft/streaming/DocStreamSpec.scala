@@ -112,4 +112,53 @@ class DocStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
     docs.unpersist()
   }
+
+  test("replayed micro-batch leaves index/docs/matches row counts unchanged") {
+    // foreachBatch is at-least-once: the same (data, batchId) can be
+    // re-delivered after a crash. Every admit is a batch-keyed
+    // overwrite, so a replay must rewrite its own partitions in place —
+    // no doubled index rows, no doubled docs, identical matches.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").cache()
+    val base = Files.createTempDirectory("graft_docstream_replay").toString
+    val st = DocStream.DedupState(
+      indexTable = "docstream_replay_idx",
+      docsPath = s"$base/admitted",
+      matchesPath = s"$base/matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+
+    val b0 = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 2 === 1)
+    DocStream.processBatch(b0, 0L, st)
+    DocStream.processBatch(b1, 1L, st)
+
+    def stateCounts(): (Long, Long, Long) = (
+      spark.read.parquet(st.docsPath).count(),
+      spark.table(st.indexTable).count() +
+        spark.read.parquet(DocStream.deltaDir(st)).count(),
+      spark.read.parquet(st.matchesPath).count())
+    val before = stateCounts()
+    val matchesBefore = spark.read.parquet(st.matchesPath)
+      .select($"new_id", $"corpus_id", $"jaccard", $"is_dup")
+      .collect().map(_.toSeq).toSet
+
+    DocStream.processBatch(b1, 1L, st) // replay the committed batch
+    assert(stateCounts() == before,
+      s"replay changed state counts: $before -> ${stateCounts()}")
+    val matchesAfter = spark.read.parquet(st.matchesPath)
+      .select($"new_id", $"corpus_id", $"jaccard", $"is_dup")
+      .collect().map(_.toSeq).toSet
+    assert(matchesAfter == matchesBefore)
+
+    // compaction folds deltas into the bucketed base and is itself
+    // idempotent; probes after compaction see the same corpus
+    DocStream.compact(spark, st)
+    assert(spark.table(st.indexTable).count() == before._2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(DocStream.deltaDir(st))))
+    DocStream.processBatch(docs.limit(20), 2L, st)
+    assert(spark.read.parquet(st.matchesPath).where($"batch" === 2).count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    docs.unpersist()
+  }
 }
