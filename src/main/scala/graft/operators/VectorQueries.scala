@@ -108,6 +108,111 @@ object VectorQueries {
   private def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)))
 
+  /** (vec_id, embedding, qv) — the quantized working frame every IVF
+    * stage runs on.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      quantize(col("embedding")).as("qv"))
+
+  /** Stride-sample init: every (n/NCells)-th vec_id. The stride comes
+    * from a pre-counted n so the collect is ~NCells rows REGARDLESS of
+    * corpus size — never the linear fraction a fixed stride would ship
+    * to the driver. The count is memoized per (session, table).
+    */
+  private def strideInit(s: SparkSession, dir: String,
+      qemb: DataFrame): Seq[(Long, Array[Long])] = {
+    val stride = math.max(1L, Tables.rowCount(s, dir, "embeddings") / NCells)
+    qemb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
+  }
+
+  /** Candidate pool for the farthest-first init: an `InitOversample`×
+    * denser stride sample, still O(NCells) rows at any corpus size.
+    */
+  private[operators] val InitOversample = 4
+
+  /** Deterministic "k-means++-style" init: farthest-first traversal
+    * (Gonzalez) over the oversampled stride pool — start from the
+    * lowest vec_id, then repeatedly take the candidate with the largest
+    * squared euclidean distance (exact integer arithmetic on the
+    * quantized vectors, ties → lowest vec_id) to the chosen set. This is
+    * the derandomized form of k-means++'s D²-weighted seeding (the
+    * argmax instead of a D²-proportional draw), chosen because the
+    * whole build must stay engine-replayable: no RNG, and every pick is
+    * a pure argmax the oracle SQL can re-run. Driver cost: one
+    * O(NCells·InitOversample)-row collect + an O(k²·oversample·dims)
+    * local loop.
+    */
+  private def farthestFirstInit(s: SparkSession, dir: String,
+      qemb: DataFrame): Seq[(Long, Array[Long])] = {
+    val stride = math.max(1L,
+      Tables.rowCount(s, dir, "embeddings") / (NCells * InitOversample))
+    val cand = qemb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    val minD2 = scala.collection.mutable.Map.empty[Long, Long]
+    cand.foreach(c => minD2(c._1) = d2(c._2, cand.head._2))
+    while (chosen.size < NCells && chosen.size < cand.length) {
+      val pick = cand.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy(c => (minD2(c._1), -c._1))
+      chosen += pick
+      cand.foreach(c => minD2(c._1) = math.min(minD2(c._1), d2(c._2, pick._2)))
+    }
+    chosen.sortBy(_._1).toSeq
+  }
+
+  /** The converged coarse-quantizer cells: init (stride or
+    * farthest-first) + [[KMeansIters]] Lloyd updates.
+    */
+  private[operators] def ivfCells(s: SparkSession, dir: String,
+      plusPlus: Boolean): Seq[(Long, Array[Long])] = {
+    val qemb = quantized(s, dir)
+    var cells =
+      if (plusPlus) farthestFirstInit(s, dir, qemb)
+      else strideInit(s, dir, qemb)
+    for (_ <- 1 to KMeansIters)
+      cells = updateCells(assignCells(s, qemb, cells))
+    cells
+  }
+
+  /** IVF query path against pre-built cells: final assignment, probe
+    * the nProbe best cells per query, exact re-rank within them.
+    * Parameterized so VectorSpec can sweep the recall-vs-nProbe curve
+    * on one build.
+    */
+  private[operators] def ivfTopKWith(s: SparkSession, dir: String,
+      cells: Seq[(Long, Array[Long])], nProbe: Int): DataFrame = {
+    val qemb = quantized(s, dir)
+    val assigned = assignCells(s, qemb, cells)
+    val qwin = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("cell"))
+    val probes = qemb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("qv").as("q_qv"))
+      .crossJoin(broadcast(cellsDf(s, cells)))
+      .withColumn("score", intScore(col("q_qv"), col("cs"), col("n2")))
+      .withColumn("rn", row_number().over(qwin))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Integer cosine-argmax score against a cell's sum vector. */
   private def intScore(qv: Column, cs: Column, n2: Column): Column =
     intDot(qv, cs).cast("double") / sqrt(n2.cast("double"))
@@ -233,46 +338,8 @@ object VectorQueries {
     // stage-for-stage by the oracle SQL below, so the approximate
     // operator is value-checked end to end, not just recall-bounded.
     Q("q43_ivf_ann",
-      (s, dir) => {
-        val spark = s
-        val emb = t(s, dir, "embeddings")
-        val qemb = emb.select(col("vec_id"), col("embedding"),
-          quantize(col("embedding")).as("qv"))
-        // k-means build (driver holds only k×dims integer sums). The
-        // init stride comes from a pre-counted n so the collect below is
-        // ~NCells rows REGARDLESS of corpus size — never the linear
-        // fraction a fixed stride would ship to the driver. The count is
-        // memoized per (session, table): metadata-only for parquet, but
-        // still a job, so it runs once, not once per query invocation.
-        val stride = math.max(1L, Tables.rowCount(s, dir, "embeddings") / NCells)
-        val init = qemb.filter(col("vec_id") % stride === 0)
-          .select(col("vec_id"), col("qv")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
-        var cells = init
-        for (_ <- 1 to KMeansIters)
-          cells = updateCells(assignCells(spark, qemb, cells))
-        // final assignment + probes against the converged cells
-        val assigned = assignCells(spark, qemb, cells)
-        val qwin = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("cell"))
-        val probes = qemb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("qv").as("q_qv"))
-          .crossJoin(broadcast(cellsDf(spark, cells)))
-          .withColumn("score", intScore(col("q_qv"), col("cs"), col("n2")))
-          .withColumn("rn", row_number().over(qwin))
-          .filter(col("rn") <= NProbe)
-          .select(col("q_id"), col("q_vec"), col("cell"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .orderBy(col("q_id"), col("rnk"))
-      },
+      (s, dir) => ivfTopKWith(s, dir, ivfCells(s, dir, plusPlus = false),
+        NProbe),
       {
         val score =
           """CAST(list_sum(list_transform(list_zip(e.qv, c.s), p -> p[1]*p[2])) AS DOUBLE)

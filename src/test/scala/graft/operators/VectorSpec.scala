@@ -99,6 +99,38 @@ class VectorSpec extends AnyFunSuite {
     assert(multi > 0.0, s"multi-probe recall@5 $multi — no overlap at all")
   }
 
+  test("IVF recall curve: nProbe sweep for stride vs farthest-first init") {
+    // The round-6 verdict asked for the measured dial: recall@5 against
+    // the q39 ground truth, per init strategy, as nProbe grows. Prints
+    // the full table (captured in NOTES.md); pins the two structural
+    // guarantees — recall is monotone nondecreasing in nProbe (probe
+    // sets are nested), and at full probe (nProbe = the ACTUAL cell
+    // count — the stride can land NCells+1 init points, e.g. 12 at
+    // sf0.1, and Lloyd can drop emptied cells) the IVF result IS the
+    // exact result (every cell probed ⇒ every candidate scored).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val exact = VectorQueries.all.find(_.name == "q39_cosine_topk").get
+        .run(spark, dir)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      for (pp <- Seq(false, true)) {
+        val cells = VectorQueries.ivfCells(spark, dir, plusPlus = pp)
+        val curve = (Seq(1, 2, 3, 5, 8) :+ cells.size).map { nProbe =>
+          val got = VectorQueries.ivfTopKWith(spark, dir, cells, nProbe)
+            .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+          nProbe -> (exact & got).size.toDouble / exact.size
+        }
+        info(s"$sf init=${if (pp) "farthest-first" else "stride"} " +
+          curve.map { case (p, r) => f"p$p=$r%.2f" }.mkString(" "))
+        curve.zip(curve.tail).foreach { case ((_, a), (p, b)) =>
+          assert(b >= a, s"recall not monotone at nProbe=$p ($a -> $b)")
+        }
+        assert(curve.last._2 == 1.0,
+          s"full probe must equal exact top-5, got ${curve.last._2}")
+      }
+    }
+  }
+
   test("brute-force top-k is exact: k results per query, descending") {
     val got = VectorQueries.all.find(_.name == "q39_cosine_topk").get
       .run(spark, sfDir)
