@@ -674,6 +674,103 @@ object TrainingQueries {
                CAST(cnt AS DOUBLE)
                  / CAST(sum(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
         FROM c ORDER BY prev_type, event_type"""),
-      doc = "First-order Markov transition counts/probabilities over user event sequences.")
+      doc = "First-order Markov transition counts/probabilities over user event sequences."),
+
+    // ------------------------------------------------------------------
+    // q96: SLIDING-WINDOW CHUNKING — split each document into
+    // overlapping token windows (W=32, stride S=24 ⇒ 8-token overlap),
+    // the RAG-ingest / context-window prep that complements q74's
+    // packing (packing CONCATENATES docs into budget-sized sequences;
+    // chunking SPLITS one doc into retrieval units that preserve
+    // cross-boundary context via the overlap). Chunk count per doc is
+    // 1 + ceil((n−W)/S) for n>W else 1 — the standard chunker rule: the
+    // last window is allowed to run short, but no window starts inside
+    // the previous window's un-overlapped span, so no chunk is a subset
+    // of another. All-integer index arithmetic (exact in both engines);
+    // the explode is row-local — a pure map stage, scales trivially.
+    Q("q96_chunk_overlap",
+      (s, dir) => {
+        val W = 32
+        val S = 24
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), toks(col("text")).as("w"))
+          .withColumn("n", size(col("w")))
+        val lastK = when(col("n") > W,
+          floor((col("n") - W + (S - 1)).cast("double") / S).cast("int"))
+          .otherwise(0)
+        base
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0), lastK)).as("k"))
+          .select(col("doc_id"), col("k").as("chunk_idx"),
+            (col("k") * S).as("start_tok"),
+            least(lit(W), col("n") - col("k") * S).as("n_tok_chunk"),
+            concat_ws(" ",
+              slice(col("w"), col("k") * S + 1,
+                least(lit(W), col("n") - col("k") * S))).as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS n FROM tk),
+        k AS (SELECT doc_id, w, n,
+                     unnest(range(0, (CASE WHEN n > 32
+                       THEN (n - 32 + 23) // 24 ELSE 0 END) + 1)) AS k
+              FROM n)
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               CAST(k * 24 AS INTEGER) AS start_tok,
+               CAST(least(32, n - k * 24) AS INTEGER) AS n_tok_chunk,
+               array_to_string(list_slice(w, k * 24 + 1,
+                 least(k * 24 + 32, n)), ' ') AS chunk_text
+        FROM k ORDER BY doc_id, chunk_idx"""),
+      doc = "Overlapping token-window chunking (W=32, S=24) — RAG ingest units."),
+
+    // ------------------------------------------------------------------
+    // q99: PER-SOURCE BOILERPLATE N-GRAM INVENTORY — the CCNet-style
+    // "find the template" pass: distinct word-5-grams per document,
+    // document-frequency per (source, shingle), keep shingles recurring
+    // across ≥2 documents of the same source, top-10 per source. This
+    // is the inventory a boilerplate-removal pass consumes (q83 scores
+    // how duplicated each DOC is; this names WHAT is duplicated, per
+    // provenance). Dataflow: one (source, shingle)-keyed count shuffle
+    // (map-side combinable) + a per-source top-k window on the shard
+    // key — never a global sort. At 100 TB the (source, shingle) key
+    // space is corpus-sized but the aggregation is the same shape as
+    // q75's df side; the top-k window input is only the ≥2-df
+    // survivors.
+    Q("q99_boilerplate_ngrams",
+      (s, dir) => {
+        val sh = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            explode(graft.functions.TextFunctions.shingleSet(col("text"), 5))
+              .as("shingle"))
+        val dfreq = sh.groupBy(col("source"), col("shingle"))
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_docs").desc, col("shingle"))
+        dfreq.filter(col("n_docs") >= 2)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS shingle
+          FROM tk),
+        dfreq AS (
+          SELECT source, shingle, count(*) AS n_docs
+          FROM sh GROUP BY source, shingle)
+        SELECT source, shingle, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_docs DESC, shingle) AS BIGINT) AS rnk
+        FROM dfreq WHERE n_docs >= 2
+        QUALIFY rnk <= 10 ORDER BY source, rnk"""),
+      doc = "Per-source recurring-5-gram inventory (boilerplate/template detection).")
   )
 }

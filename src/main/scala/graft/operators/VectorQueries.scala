@@ -681,7 +681,82 @@ object VectorQueries {
                CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
         FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk"""),
-      doc = "Multi-probe LSH: 9 probe buckets per query, recall ≥ q41 by construction.")
+      doc = "Multi-probe LSH: 9 probe buckets per query, recall ≥ q41 by construction."),
+
+    // ------------------------------------------------------------------
+    // q97: HARD-NEGATIVE MINING — for each query vector, the top-5 most
+    // similar vectors with a DIFFERENT label: the contrastive-training
+    // prep (the most confusable cross-class examples are the negatives
+    // that teach the margin). Same shape as q39 with the join predicate
+    // inverted from q93's composed equality to a label INEQUALITY —
+    // still a broadcast of the tiny query side over one corpus scan,
+    // and the per-query top-k stays in the WindowGroupLimit shape (≤5
+    // rows per key cross the exchange). At scale the label filter is a
+    // scan-side predicate; candidate pruning composes with q41/q43
+    // bucketing exactly as q93 does for the equality case.
+    Q("q97_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_vec"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        emb.join(broadcast(queries), col("label") =!= col("q_label"))
+          .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+            cosineFused(col("q_vec"), col("embedding")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                 embedding AS q_vec
+                 FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.q_id, q.q_label, e.vec_id, e.label,
+                 ${duckDot("q.q_vec", "e.embedding")}
+                   / (${duckNorm("q.q_vec")} * ${duckNorm("e.embedding")}) AS cos_sim
+          FROM embeddings e JOIN q ON e.label <> q.q_label)
+        SELECT q_id, q_label, vec_id, label, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 5 ORDER BY q_id, rnk"""),
+      doc = "Hard-negative mining: per query, top-5 nearest vectors of a different label."),
+
+    // ------------------------------------------------------------------
+    // q98: LABEL CENTROIDS (mean-pooling) — the per-class mean embedding
+    // in long (label, dim) form: classifier prototypes, cluster
+    // summaries, or the coarse level of a two-tier ANN. Means of floats
+    // are NOT order-independent (double addition doesn't associate), so
+    // the sum runs over the q43 quantization (`floor(x·1000+0.5)`
+    // integers): any partitioning/merge-tree yields the same exact
+    // integer sum, and the only doubles are two final IEEE divisions.
+    // One (label, dim)-keyed map-side-combinable shuffle of longs —
+    // the canonical 100 TB aggregation shape.
+    Q("q98_label_centroids",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"),
+            posexplode(quantize(col("embedding"))).as(Seq("dim", "qx")))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sum_q"))
+          .select(col("label"), col("dim"), col("n"), col("sum_q"),
+            (col("sum_q").cast("double") / col("n").cast("double") / 1000.0)
+              .as("centroid"))
+          .orderBy(col("label"), col("dim")),
+      Some("""WITH q AS (
+          SELECT label,
+                 unnest(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT))) AS qx,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+        SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qx) AS BIGINT) AS sum_q,
+               CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
+                 AS centroid
+        FROM q GROUP BY label, dim ORDER BY label, dim"""),
+      doc = "Per-label mean embedding via order-independent quantized integer sums.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

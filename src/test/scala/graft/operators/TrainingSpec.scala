@@ -195,4 +195,49 @@ class TrainingSpec extends AnyFunSuite {
       assert(hi >= 0L && hi <= 0xffffffffL)
     }
   }
+
+  test("chunking: stride, window-fill, coverage, and text/count parity per doc") {
+    val r = q("q96_chunk_overlap").cache()
+    assert(r.count() > 0)
+    // every chunk starts exactly on its stride boundary
+    assert(r.filter($"start_tok" =!= $"chunk_idx" * 24).count() == 0)
+    // non-empty, never wider than the window
+    assert(r.filter($"n_tok_chunk" < 1 || $"n_tok_chunk" > 32).count() == 0)
+    // all chunks except each doc's last are full windows
+    val lastK = r.groupBy($"doc_id").agg(max($"chunk_idx").as("last_k"))
+    assert(r.join(lastK, "doc_id")
+      .filter($"chunk_idx" < $"last_k" && $"n_tok_chunk" =!= 32).count() == 0)
+    // coverage: the last chunk ends exactly at the doc's token count, so
+    // the union of windows is the whole document (stride < window ⇒ no gaps)
+    val docToks = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n"))
+    val ends = r.groupBy($"doc_id")
+      .agg(max($"start_tok" + $"n_tok_chunk").as("covered"))
+    assert(ends.join(docToks, "doc_id").filter($"covered" =!= $"n").count() == 0)
+    // chunk_text really contains n_tok_chunk tokens
+    assert(r.filter(size(split($"chunk_text", " ")) =!= $"n_tok_chunk")
+      .count() == 0)
+    r.unpersist()
+  }
+
+  test("boilerplate inventory: recurring cross-doc 5-grams, counts recheck exactly") {
+    val r = q("q99_boilerplate_ngrams").cache()
+    assert(r.count() > 0)
+    assert(r.filter($"n_docs" < 2).count() == 0)
+    assert(r.filter($"rnk" < 1 || $"rnk" > 10).count() == 0)
+    // a shingle is exactly 5 tokens
+    assert(r.filter(size(split($"shingle", " ")) =!= 5).count() == 0)
+    // independent recount: n_docs = #distinct docs of that source
+    // containing the shingle (shingleSet is per-doc distinct)
+    val sh = graft.Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id",
+        explode(graft.functions.TextFunctions.shingleSet($"text", 5))
+          .as("shingle"))
+    val recount = sh.groupBy($"source", $"shingle")
+      .agg(countDistinct($"doc_id").as("m"))
+    assert(r.join(recount, Seq("source", "shingle"))
+      .filter($"n_docs" =!= $"m").count() == 0)
+    r.unpersist()
+  }
 }

@@ -172,4 +172,71 @@ class VectorSpec extends AnyFunSuite {
       exactSet.size
     assert(recall >= 0.9, s"int8 recall@5 $recall below 0.9")
   }
+
+  test("hard negatives: cross-label only, and truly the closest cross-label vectors") {
+    import org.apache.spark.sql.functions._
+    val r = VectorQueries.all.find(_.name == "q97_hard_negatives").get
+      .run(spark, sfDir).cache()
+    // 10 probe queries x top-5 each, never the query's own label
+    assert(r.count() == 50)
+    assert(r.filter($"label" === $"q_label").count() == 0)
+    assert(r.filter($"rnk" < 1 || $"rnk" > 5).count() == 0)
+    assert(r.filter(abs($"cos_sim") > 1.0 + 1e-9).count() == 0)
+    // optimality against a driver-side brute force: no cross-label
+    // vector outside the returned set scores above the kept minimum
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val kept = r.select($"q_id", $"vec_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> (rows.map(_._2).toSet, rows.map(_._3).min)
+      }
+    emb.filter(_._1 < 10).foreach { case (qid, qLabel, qVec) =>
+      val (keptIds, keptMin) = kept(qid)
+      emb.foreach { case (vid, vLabel, vec) =>
+        if (vLabel != qLabel && !keptIds.contains(vid))
+          assert(cos(qVec, vec) <= keptMin + 1e-9,
+            s"query $qid: excluded $vid beats kept minimum $keptMin")
+      }
+    }
+    r.unpersist()
+  }
+
+  test("label centroids: full dim coverage, uniform n, exact quantized mean") {
+    import org.apache.spark.sql.functions._
+    val r = VectorQueries.all.find(_.name == "q98_label_centroids").get
+      .run(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // per label: dims are exactly 0..63, and n is one constant (every
+    // vector of the label contributes to every dim)
+    val shape = r.groupBy($"label").agg(
+      countDistinct($"dim").as("d"), min($"dim").as("lo"),
+      max($"dim").as("hi"), countDistinct($"n").as("nn"))
+    assert(shape.filter($"lo" =!= 0 || $"d" =!= $"hi" + 1 || $"nn" =!= 1)
+      .count() == 0)
+    // centroid is exactly the two final IEEE divisions of the integer sum
+    assert(r.filter(
+      abs($"centroid" - $"sum_q".cast("double") / $"n".cast("double") / 1000.0)
+        > 0.0).count() == 0)
+    // the ns across labels partition the table
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(r.filter($"dim" === 0).agg(sum($"n")).as[Long].head() == total)
+    // quantization keeps the centroid within half a quantum of the true
+    // float mean, per (label, dim)
+    val trueMean = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x".cast("double")).as("mu"))
+    assert(r.join(trueMean, Seq("label", "dim"))
+      .filter(abs($"centroid" - $"mu") > 0.0005).count() == 0)
+    r.unpersist()
+  }
 }
