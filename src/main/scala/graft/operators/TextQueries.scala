@@ -749,6 +749,88 @@ object TextQueries {
         SELECT source, doc_id, n_tokens, cum_tokens, q
         FROM cum WHERE cum_tokens <= 1000
         ORDER BY source, cum_tokens"""),
-      doc = "Per-source greedy quality prefix under a token budget.")
+      doc = "Per-source greedy quality prefix under a token budget."),
+
+    // ------------------------------------------------------------------
+    // q101: PERPLEXITY-BUCKETED CORPUS PARTITION — the CCNet
+    // head/middle/tail split: rank every document by its unigram-LM
+    // fluency (q89's integer micro-nat fold) WITHIN its source and cut
+    // each source into fluency tertiles (bucket 1 = head = most
+    // fluent). CCNet partitions per language/domain, never globally —
+    // which is also exactly the scale-correct plan: the ntile window
+    // partitions on the shard key (source), so there is no global sort;
+    // its input is the narrow per-doc score frame (the corpus text
+    // never enters the window). Bucket aggregates stay engine-exact:
+    // token counts and micro-nat sums are integers, and each reported
+    // double is a division of two of them (per-doc avg_logprob ordering
+    // is a deterministic IEEE division, ties broken by doc_id; ntile's
+    // smaller-trailing-bucket rule is the same in Spark and DuckDB).
+    Q("q101_perplexity_buckets",
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(tokens(col("text"))).as("word"))
+        val lm = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val total = words.agg(count(lit(1)).as("n_total"))
+        val scored = words
+          .join(lm, Seq("word"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("source"),
+            (floor(graft.functions.MathLn.ln(
+              col("cnt").cast("double") / col("n_total").cast("double"))
+              * 1e4) * 100).as("lp_micro"))
+        val perDoc = scored.groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp_micro")).as("sum_lp_micro"))
+          .withColumn("avg_logprob",
+            col("sum_lp_micro").cast("double")
+              / col("n_tokens").cast("double") / 1e6)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("avg_logprob").desc, col("doc_id"))
+        perDoc.withColumn("bucket", ntile(3).over(w))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("sum_lp_micro")).as("sum_lp_micro"),
+            min(col("avg_logprob")).as("min_avg_logprob"),
+            max(col("avg_logprob")).as("max_avg_logprob"))
+          .select(col("source"), col("bucket"), col("n_docs"),
+            col("n_tokens"),
+            (col("sum_lp_micro").cast("double")
+              / col("n_tokens").cast("double") / 1e6)
+              .as("bucket_avg_logprob"),
+            col("min_avg_logprob"), col("max_avg_logprob"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        lm AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        tot AS (SELECT count(*) AS n_total FROM w),
+        scored AS (
+          SELECT doc_id, source,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                            * 1e4) AS BIGINT) * 100 AS lp_micro
+          FROM w JOIN lm USING (word) CROSS JOIN tot),
+        per_doc AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+                 CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                   AS avg_logprob
+          FROM scored GROUP BY doc_id, source),
+        bucketed AS (
+          SELECT *, CAST(ntile(3) OVER (PARTITION BY source
+                     ORDER BY avg_logprob DESC, doc_id) AS INTEGER) AS bucket
+          FROM per_doc)
+        SELECT source, bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(sum_lp_micro) AS DOUBLE)
+                 / CAST(sum(n_tokens) AS DOUBLE) / 1e6 AS bucket_avg_logprob,
+               min(avg_logprob) AS min_avg_logprob,
+               max(avg_logprob) AS max_avg_logprob
+        FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""),
+      doc = "CCNet-style per-source fluency tertiles (head/middle/tail).")
   )
 }

@@ -756,7 +756,106 @@ object VectorQueries {
                CAST(sum(qx) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0
                  AS centroid
         FROM q GROUP BY label, dim ORDER BY label, dim"""),
-      doc = "Per-label mean embedding via order-independent quantized integer sums.")
+      doc = "Per-label mean embedding via order-independent quantized integer sums."),
+
+    // ------------------------------------------------------------------
+    // q102: APPROXIMATE k-NN GRAPH — every vector's top-3 nearest
+    // neighbors among its LSH-bucket mates: the all-corpus
+    // generalization of q41 (which probes for 10 queries) and the
+    // candidate structure SemDeDup-style semantic dedup (q103) and
+    // graph-based diversity sampling consume. Dataflow: one bucket-key
+    // SELF equi-join (both sides shuffle on bucket — the query side is
+    // the corpus now, so no broadcast), exact cosine inside the bucket,
+    // per-vector WindowGroupLimit top-k on the join key. Never O(n²):
+    // candidate count is Σ_b n_b², bounded by the 2^8 bucketing; at
+    // 100 TB you add planes (more, smaller buckets) and the q94
+    // multi-probe trick for recall — same plan shape. A hot bucket is
+    // the q75_salted skew case; AQE skew-join handles it.
+    Q("q102_knn_graph",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("bucket",
+            hyperplaneBucketFused(col("embedding"), 8, seed = 42))
+        val a = emb.select(col("bucket"), col("vec_id").as("src_id"),
+          col("embedding").as("src_vec"))
+        val b = emb.select(col("bucket"), col("vec_id").as("dst_id"),
+          col("embedding").as("dst_vec"))
+        val w = Window.partitionBy(col("src_id"))
+          .orderBy(col("cos_sim").desc, col("dst_id"))
+        a.join(b, Seq("bucket"))
+          .filter(col("src_id") =!= col("dst_id"))
+          .select(col("src_id"), col("dst_id"),
+            cosineFused(col("src_vec"), col("dst_vec")).as("cos_sim"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("src_id"), col("rnk"))
+      },
+      Some(s"""WITH emb AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding", 8, 42)} AS bucket
+          FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                 ${duckDot("a.embedding", "b.embedding")}
+                   / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) AS cos_sim
+          FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT src_id, dst_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY src_id
+                    ORDER BY cos_sim DESC, dst_id) AS BIGINT) AS rnk
+        FROM scored QUALIFY rnk <= 3 ORDER BY src_id, rnk"""),
+      doc = "All-corpus approximate k-NN graph via LSH bucket self-join."),
+
+    // ------------------------------------------------------------------
+    // q103: SEMANTIC DEDUP (SemDeDup-shaped) — embedding-space
+    // near-duplicate CLUSTERS: bucket-mate pairs above a cosine
+    // threshold (q40's semantics restricted to q102's LSH candidates —
+    // the scale path; exact all-pairs is the oracle-checked q40) fed
+    // through the same min-label propagation as q70
+    // ([[DedupCluster.resolve]]: per-iteration edge-scaled shuffle
+    // join + min agg, localCheckpoint handoff, no driver state beyond
+    // a convergence scalar). Output is the canonical mapping a dedup
+    // pass consumes: every clustered vector, its cluster's min id, and
+    // a keeper flag. The oracle replays candidates relationally and
+    // closes the components with a recursive CTE (q70's pattern).
+    Q("q103_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .withColumn("bucket",
+            hyperplaneBucketFused(col("embedding"), 8, seed = 42))
+        val a = emb.select(col("bucket"), col("vec_id").as("a_id"),
+          col("embedding").as("a_vec"))
+        val b = emb.select(col("bucket"), col("vec_id").as("b_id"),
+          col("embedding").as("b_vec"))
+        val pairs = a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            cosineFused(col("a_vec"), col("b_vec")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+        DedupCluster.resolve(pairs.select(col("a_id"), col("b_id")))
+          .select(col("id").as("vec_id"), col("canonical_id"),
+            (col("id") === col("canonical_id")).cast("int").as("is_keeper"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE emb AS (
+          SELECT vec_id, embedding, ${duckBucket("embedding", 8, 42)} AS bucket
+          FROM embeddings),
+        verif AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")}
+                  / (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.4),
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM verif
+          UNION
+          SELECT b_id, a_id FROM verif),
+        nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+        reach(vec_id, comp) AS (
+          SELECT vec_id, vec_id FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.vec_id)
+        SELECT vec_id, CAST(min(comp) AS BIGINT) AS canonical_id,
+               CAST(vec_id = min(comp) AS INTEGER) AS is_keeper
+        FROM reach GROUP BY vec_id ORDER BY vec_id"""),
+      doc = "Embedding near-dup clusters: LSH candidates + label propagation.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

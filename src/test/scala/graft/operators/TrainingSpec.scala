@@ -240,4 +240,35 @@ class TrainingSpec extends AnyFunSuite {
       .filter($"n_docs" =!= $"m").count() == 0)
     r.unpersist()
   }
+
+  test("perplexity buckets: tertiles partition each source, fluency-ordered") {
+    val r = q("q101_perplexity_buckets").cache()
+    // every source has exactly buckets 1..3
+    val shape = r.groupBy($"source").agg(
+      countDistinct($"bucket").as("nb"),
+      min($"bucket").as("lo"), max($"bucket").as("hi"))
+    assert(shape.filter($"nb" =!= 3 || $"lo" =!= 1 || $"hi" =!= 3).count() == 0)
+    // bucket doc counts partition the source's documents, sizes within 1
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_total"))
+    val sums = r.groupBy($"source").agg(
+      sum($"n_docs").as("n_sum"),
+      (max($"n_docs") - min($"n_docs")).as("spread"))
+    assert(sums.join(docs, "source")
+      .filter($"n_sum" =!= $"n_total" || $"spread" > 1).count() == 0)
+    // fluency ordering: head's worst doc is at least the middle's best,
+    // middle's worst at least the tail's best (ties may touch, not cross)
+    val b = r.select($"source", $"bucket", $"min_avg_logprob",
+      $"max_avg_logprob").collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> (x.getDouble(2), x.getDouble(3)))
+      .toMap
+    b.keys.map(_._1).toSet.foreach { (src: String) =>
+      assert(b((src, 1))._1 >= b((src, 2))._2, s"$src: head/middle overlap")
+      assert(b((src, 2))._1 >= b((src, 3))._2, s"$src: middle/tail overlap")
+    }
+    // bucket average sits between the bucket's min and max
+    assert(r.filter($"bucket_avg_logprob" < $"min_avg_logprob" - 1e-9 ||
+      $"bucket_avg_logprob" > $"max_avg_logprob" + 1e-9).count() == 0)
+    r.unpersist()
+  }
 }

@@ -239,4 +239,83 @@ class VectorSpec extends AnyFunSuite {
       .filter(abs($"centroid" - $"mu") > 0.0005).count() == 0)
     r.unpersist()
   }
+
+  test("knn graph: edges stay in-bucket, scores exact, k bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HyperplaneBucket.hyperplaneBucketFused
+    val r = VectorQueries.all.find(_.name == "q102_knn_graph").get
+      .run(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter($"src_id" === $"dst_id").count() == 0)
+    assert(r.filter($"rnk" < 1 || $"rnk" > 3).count() == 0)
+    // per-src rnk is dense from 1 (window row_number)
+    val perSrc = r.groupBy($"src_id")
+      .agg(count(lit(1)).as("k"), max($"rnk").as("mx"))
+    assert(perSrc.filter($"k" =!= $"mx").count() == 0)
+    // every edge joins two vectors of the SAME LSH bucket
+    val bk = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", hyperplaneBucketFused($"embedding", 8, 42).as("bkt"))
+    val withB = r
+      .join(bk.withColumnRenamed("vec_id", "src_id")
+        .withColumnRenamed("bkt", "src_b"), "src_id")
+      .join(bk.withColumnRenamed("vec_id", "dst_id")
+        .withColumnRenamed("bkt", "dst_b"), "dst_id")
+    assert(withB.filter($"src_b" =!= $"dst_b").count() == 0)
+    // the graph contains q41's probe answers: for the 10 query vectors,
+    // q41's top-3 (same buckets, same scores) must appear identically
+    val q41 = VectorQueries.all.find(_.name == "q41_lsh_ann").get
+      .run(spark, sfDir)
+      .filter($"rnk" <= 3)
+      .select($"q_id".as("src_id"), $"vec_id".as("dst_id"),
+        $"cos_sim".as("expect"), $"rnk".as("expect_rnk"))
+    val joined = q41.join(r, Seq("src_id", "dst_id"))
+    assert(joined.count() == q41.count(), "q41 top-3 missing from knn graph")
+    assert(joined.filter(abs($"cos_sim" - $"expect") > 1e-15 ||
+      $"rnk" =!= $"expect_rnk").count() == 0)
+    r.unpersist()
+  }
+
+  test("semantic dedup: clusters are min-canonical and match brute-force pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HyperplaneBucket.hyperplaneBucketFused
+    val r = VectorQueries.all.find(_.name == "q103_semantic_dedup").get
+      .run(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // canonical is the component minimum: never above the member, and
+    // itself a clustered member flagged keeper
+    assert(r.filter($"canonical_id" > $"vec_id").count() == 0)
+    val canon = r.groupBy($"canonical_id").agg(min($"vec_id").as("mn"))
+    assert(canon.filter($"canonical_id" =!= $"mn").count() == 0)
+    assert(r.filter($"vec_id" === $"canonical_id" && $"is_keeper" =!= 1)
+      .count() == 0)
+    // driver-side brute force of the SAME candidate rule (bucket mates
+    // with cosine >= 0.4): every pair must land in one cluster, and
+    // every clustered vector must appear in some pair
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", hyperplaneBucketFused($"embedding", 8, 42).as("bkt"),
+        $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = for {
+      (aId, aB, aV) <- emb; (bId, bB, bV) <- emb
+      if aId < bId && aB == bB && cos(aV, bV) >= 0.4
+    } yield (aId, bId)
+    val cluster = r.select($"vec_id", $"canonical_id")
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { case (aId, bId) =>
+      assert(cluster.get(aId).exists(c => cluster.get(bId).contains(c)),
+        s"pair ($aId,$bId) not co-clustered")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(cluster.keySet == paired,
+      "clustered vectors differ from pair-participating vectors")
+    r.unpersist()
+  }
 }
