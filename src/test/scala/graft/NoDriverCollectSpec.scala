@@ -22,9 +22,11 @@ class NoDriverCollectSpec extends AnyFunSuite {
 
   /** file-name suffix -> (max occurrences, why each is bounded) */
   private val allowlist: Map[String, (Int, String)] = Map(
-    "operators/VectorQueries.scala" -> (2,
-      "k-means coarse-quantizer state: init collect is ~NCells rows via a " +
-        "pre-counted stride; per-iteration collect is k*dims integer sums"),
+    "operators/VectorQueries.scala" -> (5,
+      "quantizer PARAMETER state only: IVF init collect is ~NCells rows via " +
+        "a pre-counted stride and its Lloyd update is k*dims integer sums; " +
+        "PQ's three (seed init, Lloyd update, and the q100 codebook seed) " +
+        "are each O(PqM*PqK*PqSubDim) longs — codebooks, never data"),
     "Serve.scala" -> (1,
       "catalog metadata listing (table names), not data")
   )
