@@ -831,6 +831,73 @@ object TextQueries {
                min(avg_logprob) AS min_avg_logprob,
                max(avg_logprob) AS max_avg_logprob
         FROM bucketed GROUP BY source, bucket ORDER BY source, bucket"""),
-      doc = "CCNet-style per-source fluency tertiles (head/middle/tail).")
+      doc = "CCNet-style per-source fluency tertiles (head/middle/tail)."),
+
+    // ------------------------------------------------------------------
+    // q104: BIGRAM-LM FLUENCY — q89's scoring with first-order context:
+    // P(w|prev) = cnt(prev,w) / cnt(prev,·), the conditional the
+    // unigram model ignores (it scores "the the the" as highly fluent;
+    // the bigram model does not). Dataflow: token positions are
+    // row-local; the bigram pairing is ONE lag window on the doc_id
+    // shard key; model "training" is a (prev,word)-keyed count shuffle
+    // (map-side combinable) with the prev-marginal folded from the
+    // bigram counts (no second pass over tokens); scoring joins the
+    // model back on (prev,word) — UNHINTED, the q89 lesson: a bigram
+    // vocabulary is unbounded squared, so the optimizer must be free
+    // to pick shuffle-hash. Per-token log-probs quantize to 100-µnat
+    // integers before the per-doc fold (the q89/q90 rule), so sums are
+    // partition-order-independent and engine-portable.
+    Q("q104_bigram_logprob",
+      (s, dir) => {
+        val toksPos = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = toksPos
+          .withColumn("prev", lag(col("word"), 1).over(wl))
+          .filter(col("prev").isNotNull)
+          .select(col("doc_id"), col("prev"), col("word"))
+        val bi = bg.groupBy(col("prev"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        val pv = bi.groupBy(col("prev")).agg(sum(col("cnt")).as("prev_cnt"))
+        bg.join(bi, Seq("prev", "word"))
+          .join(pv, Seq("prev"))
+          .select(col("doc_id"),
+            (floor(graft.functions.MathLn.ln(
+              col("cnt").cast("double") / col("prev_cnt").cast("double"))
+              * 1e4) * 100).as("lp_micro"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp_micro")).as("sum_lp_micro"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+            (col("sum_lp_micro").cast("double")
+              / col("n_bigrams").cast("double") / 1e6).as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        tp AS (
+          SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+          FROM tk),
+        bg AS (
+          SELECT doc_id,
+                 lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+                 word
+          FROM tp QUALIFY prev IS NOT NULL),
+        bi AS (SELECT prev, word, count(*) AS cnt FROM bg GROUP BY prev, word),
+        pv AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS prev_cnt
+               FROM bi GROUP BY prev),
+        scored AS (
+          SELECT g.doc_id,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE))
+                            * 1e4) AS BIGINT) * 100 AS lp_micro
+          FROM bg g JOIN bi USING (prev, word) JOIN pv USING (prev))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp_micro) AS BIGINT) AS sum_lp_micro,
+               CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                 AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Bigram-LM fluency scoring: P(w|prev), integer micro-nat fold.")
   )
 }

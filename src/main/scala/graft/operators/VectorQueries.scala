@@ -1075,7 +1075,62 @@ object VectorQueries {
                       JOIN embeddings e ON e.vec_id = t.vec_id
           ORDER BY t.q_id, t.rnk""")
       },
-      doc = "Product-quantization ANN: 4 subspace codebooks, integer ADC scoring.")
+      doc = "Product-quantization ANN: 4 subspace codebooks, integer ADC scoring."),
+
+    // ------------------------------------------------------------------
+    // q105: EMBEDDING COVARIANCE MATRIX (upper triangle) — the Gram
+    // accumulation distributed PCA / whitening / spectral diagnostics
+    // start from. Each vector contributes its quantized outer product;
+    // cov(i,j) = E[xy] − E[x]E[y] falls out of three integer sums per
+    // (i,j) cell. Plan: two chained generators (no self-join — the
+    // oracle needs one, Spark does not), then ONE (i,j)-keyed
+    // map-side-combinable aggregation: n·d²/2 generated rows collapse
+    // to d(d+1)/2 = 2080 groups before the exchange — the canonical
+    // 100 TB matrix-accumulation shape (row outer products, partial
+    // sums, one tiny result). All sums are exact longs on the q43
+    // quantization; the three closing ops (two divisions, one
+    // subtraction, ×1e-6 rescale) are fixed-order IEEE.
+    Q("q105_covariance",
+      (s, dir) => {
+        val d = lit(1e6)
+        t(s, dir, "embeddings")
+          .select(quantize(col("embedding")).as("qv"))
+          .select(posexplode(col("qv")).as(Seq("i", "qx")), col("qv"))
+          .select(col("i"), col("qx"),
+            posexplode(col("qv")).as(Seq("j", "qy")))
+          .filter(col("i") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"),
+            sum(col("qy")).as("sy"),
+            sum(col("qx") * col("qy")).as("sxy"))
+          .select(col("i"), col("j"), col("n"), col("sx"), col("sy"),
+            col("sxy"),
+            ((col("sxy").cast("double") / col("n").cast("double")
+              - (col("sx") * col("sy")).cast("double")
+                / (col("n") * col("n")).cast("double")) / d).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        a AS (SELECT vec_id, unnest(qv) AS qx, generate_subscripts(qv, 1) AS i
+              FROM q),
+        b AS (SELECT vec_id, unnest(qv) AS qy, generate_subscripts(qv, 1) AS j
+              FROM q),
+        p AS (SELECT a.i, a.qx, b.j, b.qy
+              FROM a JOIN b ON a.vec_id = b.vec_id AND a.i <= b.j)
+        SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qx) AS BIGINT) AS sx,
+               CAST(sum(qy) AS BIGINT) AS sy,
+               CAST(sum(qx * qy) AS BIGINT) AS sxy,
+               (CAST(sum(qx * qy) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                - CAST(sum(qx) * sum(qy) AS DOUBLE)
+                  / CAST(count(*) * count(*) AS DOUBLE)) / 1e6 AS cov
+        FROM p GROUP BY i, j ORDER BY i, j"""),
+      doc = "Quantized-integer covariance accumulation (distributed PCA prep).")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

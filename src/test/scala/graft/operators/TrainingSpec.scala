@@ -271,4 +271,23 @@ class TrainingSpec extends AnyFunSuite {
       $"bucket_avg_logprob" > $"max_avg_logprob" + 1e-9).count() == 0)
     r.unpersist()
   }
+
+  test("bigram LM: every doc scored, n_bigrams = tokens - 1, log-probs negative") {
+    val r = q("q104_bigram_logprob").cache()
+    val docToks = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).as("n_tok"))
+    // every document appears (all test docs have >= 2 tokens) with
+    // exactly tokens-1 bigrams
+    assert(r.count() == docToks.count())
+    assert(r.join(docToks, "doc_id")
+      .filter($"n_bigrams" =!= $"n_tok" - 1).count() == 0)
+    // probabilities are <= 1, so the micro-nat sums and averages are <= 0
+    assert(r.filter($"sum_lp_micro" > 0 || $"avg_logprob" > 0).count() == 0)
+    // the reported average is exactly the two closing divisions
+    assert(r.filter(
+      abs($"avg_logprob" - $"sum_lp_micro".cast("double")
+        / $"n_bigrams".cast("double") / 1e6) > 0.0).count() == 0)
+    r.unpersist()
+  }
 }

@@ -354,4 +354,45 @@ class VectorSpec extends AnyFunSuite {
     info(f"PQ-ADC recall@5 vs exact: $recall%.2f")
     assert(recall >= 0.15, s"PQ recall@5 $recall below floor")
   }
+
+  test("covariance: full upper triangle, PSD invariants, tracks float covariance") {
+    import org.apache.spark.sql.functions._
+    val r = VectorQueries.all.find(_.name == "q105_covariance").get
+      .run(spark, sfDir).cache()
+    val total = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // 64*65/2 cells, each accumulating every vector
+    assert(r.count() == 64 * 65 / 2)
+    assert(r.filter($"n" =!= total).count() == 0)
+    assert(r.filter($"i" > $"j" || $"i" < 0 || $"j" > 63).count() == 0)
+    // diagonal variances are non-negative; off-diagonals obey
+    // Cauchy-Schwarz against them
+    val diag = r.filter($"i" === $"j")
+      .select($"i".as("d"), $"cov".as("var")).collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(diag.values.forall(_ >= -1e-12))
+    r.filter($"i" =!= $"j").select($"i", $"j", $"cov").collect()
+      .foreach { row =>
+        val (i, j, c) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+        assert(c * c <= diag(i) * diag(j) + 1e-9, s"($i,$j) violates C-S")
+      }
+    // quantization keeps each cell within ~1e-3 of the true float
+    // covariance (driver-side recompute, no quantization)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"embedding").as[Array[Float]].collect()
+    val n = emb.length.toDouble
+    def trueCov(i: Int, j: Int): Double = {
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0
+      emb.foreach { v =>
+        sx += v(i); sy += v(j); sxy += v(i).toDouble * v(j)
+      }
+      sxy / n - (sx / n) * (sy / n)
+    }
+    Seq((0, 0), (0, 1), (7, 42), (63, 63), (31, 32)).foreach { case (i, j) =>
+      val got = r.filter($"i" === i && $"j" === j)
+        .select($"cov").as[Double].head()
+      assert(math.abs(got - trueCov(i, j)) < 2e-3,
+        s"cov($i,$j): $got vs ${trueCov(i, j)}")
+    }
+    r.unpersist()
+  }
 }
