@@ -898,6 +898,85 @@ object TextQueries {
                CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
                  AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id"""),
-      doc = "Bigram-LM fluency scoring: P(w|prev), integer micro-nat fold.")
+      doc = "Bigram-LM fluency scoring: P(w|prev), integer micro-nat fold."),
+
+    // ------------------------------------------------------------------
+    // q107: ZIPF RANK-FREQUENCY SLOPE — per-source OLS fit of
+    // ln(freq) ~ ln(rank); natural text sits near −1 (Zipf's law), so
+    // the slope is a corpus-health diagnostic (template/boilerplate
+    // sources flatten it, spam steepens it). Dataflow: token explode →
+    // (source, word) count (map-side combinable) → per-source
+    // row_number on the shard key (cnt DESC, word tiebreak) → ln's
+    // quantized to 0.1-millinat integers (the q104 quantum, coarse
+    // enough that the 1-ulp cross-libm ln tail cannot flip a floor) →
+    // per-source exact long sums (n, Σx, Σy, Σx², Σxy) → slope and
+    // intercept as fixed-order IEEE expressions of those five exact
+    // integers. Nothing order-dependent ever hits a double sum.
+    Q("q107_zipf_slope",
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("word").asc)
+        val qz = freq
+          .withColumn("rnk", row_number().over(w))
+          .select(col("source"),
+            floor(graft.functions.MathLn.ln(col("rnk").cast("double"))
+              * lit(1e4)).as("lx"),
+            floor(graft.functions.MathLn.ln(col("cnt").cast("double"))
+              * lit(1e4)).as("ly"))
+        val agg = qz.groupBy(col("source")).agg(
+          count(lit(1)).as("n_words"),
+          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(col("lx") * col("lx")).as("sxx"),
+          sum(col("lx") * col("ly")).as("sxy"))
+        val nD = col("n_words").cast("double")
+        val slope =
+          (nD * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+            (nD * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+        agg.select(col("source"), col("n_words"),
+          slope.as("zipf_slope"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / nD / lit(1e4)).as("intercept_nat"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        fr AS (SELECT source, word, count(*) AS cnt
+               FROM tk GROUP BY source, word),
+        qz AS (
+          SELECT source,
+                 CAST(floor(ln(CAST(row_number() OVER
+                     (PARTITION BY source ORDER BY cnt DESC, word)
+                   AS DOUBLE)) * 1e4) AS BIGINT) AS lx,
+                 CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e4) AS BIGINT) AS ly
+          FROM fr),
+        ag AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(lx) AS BIGINT) AS sx,
+                 CAST(sum(ly) AS BIGINT) AS sy,
+                 CAST(sum(lx * lx) AS BIGINT) AS sxx,
+                 CAST(sum(lx * ly) AS BIGINT) AS sxy
+          FROM qz GROUP BY source)
+        SELECT source, n_words,
+               (CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_words AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n_words AS DOUBLE) / 1e4 AS intercept_nat
+        FROM ag ORDER BY source"""),
+      doc = "Per-source Zipf slope: OLS on quantized-integer ln sums.")
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.CosineSim.cosineFused
@@ -335,6 +336,119 @@ object VectorQueries {
       rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
       (cell, arr)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // q106 support: the ±1 JL projection matrix, a deterministic function
+  // of (JlSeed, out-dim, in-dim) through the same XXH64 chain as
+  // [[planeWeightsSql]]. Computed ONCE at class-init and inlined as
+  // literals on both engines, so there is nothing to keep in sync
+  // beyond these constants. (Declared BEFORE `all`: the oracle string
+  // evaluates eagerly while `all` is constructed.)
+  private val JlK = 16
+  private val JlSeed = 7
+
+  private[graft] val jlSigns: Array[Array[Int]] =
+    Array.tabulate(JlK) { p =>
+      var hp = XXH64.hashInt(JlSeed, 42L)
+      hp = XXH64.hashInt(p, hp)
+      Array.tabulate(Dims) { i =>
+        if ((XXH64.hashInt(i, hp) & 1L) == 0L) 1 else -1
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // q105/q108 support: the upper-triangle covariance frame
+  // (i, j, n, sx, sy, sxy, cov) from ONE scan — chained posexplode
+  // outer products collapsing to d(d+1)/2 groups map-side. `cov` is a
+  // fixed-order IEEE expression of the four exact integer sums, so it
+  // is bit-identical on any engine computing the same sums.
+  private def covUpper(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(quantize(col("embedding")).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("i", "qx")), col("qv"))
+      .select(col("i"), col("qx"),
+        posexplode(col("qv")).as(Seq("j", "qy")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"),
+        sum(col("qy")).as("sy"),
+        sum(col("qx") * col("qy")).as("sxy"))
+      .select(col("i"), col("j"), col("n"), col("sx"), col("sy"),
+        col("sxy"),
+        ((col("sxy").cast("double") / col("n").cast("double")
+          - (col("sx") * col("sy")).cast("double")
+            / (col("n") * col("n")).cast("double")) / lit(1e6)).as("cov"))
+
+  /** The q105 covariance CTE chain as DuckDB SQL (CTE names q/a/b/p/cell),
+    * ending in `cell(i, j, cov)` with 0-based dims — shared by the q105
+    * oracle's final SELECT and q108's power-iteration replay.
+    */
+  private val covCellSql: String =
+    """WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        a AS (SELECT vec_id, unnest(qv) AS qx, generate_subscripts(qv, 1) AS i
+              FROM q),
+        b AS (SELECT vec_id, unnest(qv) AS qy, generate_subscripts(qv, 1) AS j
+              FROM q),
+        p AS (SELECT a.i, a.qx, b.j, b.qy
+              FROM a JOIN b ON a.vec_id = b.vec_id AND a.i <= b.j),
+        cell AS (
+          SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qx) AS BIGINT) AS sx,
+                 CAST(sum(qy) AS BIGINT) AS sy,
+                 CAST(sum(qx * qy) AS BIGINT) AS sxy,
+                 (CAST(sum(qx * qy) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  - CAST(sum(qx) * sum(qy) AS DOUBLE)
+                    / CAST(count(*) * count(*) AS DOUBLE)) / 1e6 AS cov
+          FROM p GROUP BY i, j)"""
+
+  /** Power-iteration step count for q108 — fixed, replayed CTE-for-CTE
+    * by the oracle.
+    */
+  private val PowerIters = 6
+
+  /** q108's oracle: the covariance cells, the mirrored nano-unit integer
+    * matrix, then `PowerIters` unrolled (matvec → norm → requantize)
+    * CTE triples, closing with the Rayleigh-quotient eigenvalue.
+    */
+  private def pcaOracleSql: String = {
+    val sb = new StringBuilder(covCellSql)
+    sb ++= """,
+        m AS (SELECT i, j, CAST(floor(cov * 1e9) AS BIGINT) AS mq FROM cell
+              UNION ALL
+              SELECT j, i, CAST(floor(cov * 1e9) AS BIGINT)
+              FROM cell WHERE i <> j),
+        v0 AS (SELECT CAST(r.range AS INTEGER) AS j,
+                      CAST(1000000 AS BIGINT) AS vq
+               FROM range(64) r)"""
+    for (k <- 1 to PowerIters) {
+      sb ++= s""",
+        w$k AS (SELECT m.i, CAST(sum(m.mq * v.vq) AS BIGINT) AS w
+                FROM m JOIN v${k - 1} v ON m.j = v.j GROUP BY m.i),
+        n$k AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+                                 AS DOUBLE)) AS nrm FROM w$k),
+        v$k AS (SELECT w$k.i AS j,
+                       CAST(floor(CAST(w AS DOUBLE) / nrm * 1e6 + 0.5)
+                            AS BIGINT) AS vq
+                FROM w$k, n$k)"""
+    }
+    val vf = s"v$PowerIters"
+    sb ++= s""",
+        wf AS (SELECT m.i, CAST(sum(m.mq * v.vq) AS BIGINT) AS w
+               FROM m JOIN $vf v ON m.j = v.j GROUP BY m.i),
+        nm AS (SELECT CAST(sum(CAST(v.vq AS HUGEINT) * CAST(w.w AS HUGEINT))
+                           AS DOUBLE) AS nm
+               FROM $vf v JOIN wf w ON v.j = w.i),
+        dn AS (SELECT CAST(sum(vq * vq) AS DOUBLE) AS dn FROM $vf)
+        SELECT v.j AS i, CAST(v.vq AS DOUBLE) / 1e6 AS evec,
+               nm.nm / dn.dn / 1e9 AS eigval
+        FROM $vf v, nm, dn ORDER BY i"""
+    sb.toString
   }
 
   val all: Seq[Q] = Seq(
@@ -1091,46 +1205,111 @@ object VectorQueries {
     // quantization; the three closing ops (two divisions, one
     // subtraction, ×1e-6 rescale) are fixed-order IEEE.
     Q("q105_covariance",
+      (s, dir) => covUpper(s, dir).orderBy(col("i"), col("j")),
+      Some(covCellSql + """
+        SELECT i, j, n, sx, sy, sxy, cov FROM cell ORDER BY i, j"""),
+      doc = "Quantized-integer covariance accumulation (distributed PCA prep)."),
+
+    // ------------------------------------------------------------------
+    // q106: RANDOM-PROJECTION (Johnson-Lindenstrauss) DIMENSIONALITY
+    // REDUCTION — 64 → 16 dims through a dense ±1 sign matrix
+    // (Achlioptas '01: ±1 entries satisfy the JL lemma with the same
+    // k = O(ln n / ε²) as Gaussians, and the projection becomes pure
+    // integer add/subtract). The matrix is a compile-time constant
+    // derived from the XXH64 chain (same family as q41's hyperplanes),
+    // inlined into BOTH the Spark plan and the oracle as literals — no
+    // runtime hashing at all. On the q43 ×1000 quantization every
+    // component is an exact 64-term long sum; the ONLY double op is the
+    // final ÷(1000·√16) rescale, an exact-by-4000 IEEE division. Plan:
+    // row-local projection in the scan — no shuffle, no join; at 100 TB
+    // this is a map stage that cuts every downstream ANN/cluster
+    // shuffle's payload 4×.
+    Q("q106_random_projection",
       (s, dir) => {
-        val d = lit(1e6)
-        t(s, dir, "embeddings")
-          .select(quantize(col("embedding")).as("qv"))
-          .select(posexplode(col("qv")).as(Seq("i", "qx")), col("qv"))
-          .select(col("i"), col("qx"),
-            posexplode(col("qv")).as(Seq("j", "qy")))
-          .filter(col("i") <= col("j"))
-          .groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("n"), sum(col("qx")).as("sx"),
-            sum(col("qy")).as("sy"),
-            sum(col("qx") * col("qy")).as("sxy"))
-          .select(col("i"), col("j"), col("n"), col("sx"), col("sy"),
-            col("sxy"),
-            ((col("sxy").cast("double") / col("n").cast("double")
-              - (col("sx") * col("sy")).cast("double")
-                / (col("n") * col("n")).cast("double")) / d).as("cov"))
-          .orderBy(col("i"), col("j"))
+        val qv = quantized(s, dir)
+        val comps = (0 until JlK).map { p =>
+          (0 until Dims).map(i => col("qv")(i) * lit(jlSigns(p)(i).toLong))
+            .reduce(_ + _)
+        }
+        qv.select(col("vec_id") +: comps.zipWithIndex.map { case (c, p) =>
+          (c.cast("double") / lit(4000.0)).as(f"p$p%02d")
+        }: _*).orderBy(col("vec_id"))
       },
-      Some("""WITH q AS (
+      Some {
+        val cols = (0 until JlK).map { p =>
+          val terms = (0 until Dims).map { i =>
+            val sg = if (jlSigns(p)(i) > 0) "+" else "-"
+            s"$sg qv[${i + 1}]"
+          }.mkString(" ")
+          f"CAST(($terms) AS DOUBLE) / 4000.0 AS p$p%02d"
+        }.mkString(",\n               ")
+        s"""WITH q AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
-          FROM embeddings),
-        a AS (SELECT vec_id, unnest(qv) AS qx, generate_subscripts(qv, 1) AS i
-              FROM q),
-        b AS (SELECT vec_id, unnest(qv) AS qy, generate_subscripts(qv, 1) AS j
-              FROM q),
-        p AS (SELECT a.i, a.qx, b.j, b.qy
-              FROM a JOIN b ON a.vec_id = b.vec_id AND a.i <= b.j)
-        SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(qx) AS BIGINT) AS sx,
-               CAST(sum(qy) AS BIGINT) AS sy,
-               CAST(sum(qx * qy) AS BIGINT) AS sxy,
-               (CAST(sum(qx * qy) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                - CAST(sum(qx) * sum(qy) AS DOUBLE)
-                  / CAST(count(*) * count(*) AS DOUBLE)) / 1e6 AS cov
-        FROM p GROUP BY i, j ORDER BY i, j"""),
-      doc = "Quantized-integer covariance accumulation (distributed PCA prep).")
+          FROM embeddings)
+        SELECT vec_id,
+               $cols
+        FROM q ORDER BY vec_id"""
+      },
+      doc = "JL ±1 random projection 64→16: exact integer sums, row-local."),
+
+    // ------------------------------------------------------------------
+    // q108: PCA TOP COMPONENT — power iteration on q105's covariance,
+    // the first step of distributed PCA/whitening. The heavy part (the
+    // covariance accumulation over every vector) is ONE map-combine
+    // scan; the iteration then runs on the d×d matrix — 4096 rows —
+    // which at ANY corpus size is a constant-size frame, so the 100 TB
+    // cost is exactly one q105 pass. Determinism without a libm: the
+    // matrix quantizes to nano-unit integers (floor of a double that is
+    // itself a fixed-order function of exact sums), each matvec is an
+    // exact integer join+sum, the norm is sqrt of an exact decimal sum
+    // (sqrt is IEEE-correctly-rounded — portable, unlike ln/exp), and
+    // the iterate re-quantizes to ×1e6 integers each step. Six fixed
+    // iterations; the oracle replays them CTE-for-CTE. Eigenvalue = the
+    // Rayleigh quotient of the final iterate in the same integer units.
+    // Convergence honesty: six steps pinpoint the eigenVECTOR only when
+    // the spectrum has a gap; on near-isotropic data (the testdata:
+    // λ2/λ1 ≈ 0.93) the iterate is "a direction with near-maximal
+    // Rayleigh quotient" — which is what downstream whitening/diagnostic
+    // uses anyway, and VectorSpec pins exactly that property.
+    Q("q108_pca_power",
+      (s, dir) => {
+        val cv = covUpper(s, dir).select(col("i"), col("j"),
+          floor(col("cov") * lit(1e9)).as("mq"))
+        // mirror the upper triangle to the full symmetric matrix; the
+        // localCheckpoint materializes the one corpus-wide pass so the
+        // six iterations reuse it instead of rescanning
+        val m = cv.unionAll(cv.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("mq")))
+          .localCheckpoint()
+        val dec = DecimalType(38, 0)
+        var v = s.range(Dims).select(col("id").cast("int").as("j"),
+          lit(1000000L).as("vq"))
+        for (_ <- 1 to PowerIters) {
+          val w = m.join(v, Seq("j")).groupBy(col("i"))
+            .agg(sum(col("mq") * col("vq")).as("w"))
+          val nrm = w.agg(sqrt(sum(col("w").cast(dec) * col("w").cast(dec))
+            .cast("double")).as("nrm"))
+          v = w.crossJoin(broadcast(nrm))
+            .select(col("i").as("j"),
+              floor(col("w").cast("double") / col("nrm") * lit(1e6)
+                + lit(0.5)).as("vq"))
+        }
+        val wf = m.join(v, Seq("j")).groupBy(col("i"))
+          .agg(sum(col("mq") * col("vq")).as("w"))
+        val num = v.join(wf, v("j") === wf("i"))
+          .agg(sum(col("vq").cast(dec) * col("w").cast(dec))
+            .cast("double").as("nm"))
+        val den = v.agg(sum(col("vq") * col("vq")).cast("double").as("dn"))
+        v.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+          .select(col("j").as("i"),
+            (col("vq").cast("double") / lit(1e6)).as("evec"),
+            (col("nm") / col("dn") / lit(1e9)).as("eigval"))
+          .orderBy(col("i"))
+      },
+      Some(pcaOracleSql),
+      doc = "PCA dominant eigenvector: quantized power iteration on q105.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

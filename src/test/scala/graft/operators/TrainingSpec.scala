@@ -290,4 +290,26 @@ class TrainingSpec extends AnyFunSuite {
         / $"n_bigrams".cast("double") / 1e6) > 0.0).count() == 0)
     r.unpersist()
   }
+
+  test("zipf slope: negative power-law fit per source, exact vocab count") {
+    val r = q("q107_zipf_slope").cache()
+    val vocab = graft.Tables.load(spark, dir, "documents")
+      .select($"source",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("word"))
+      .groupBy($"source").agg(countDistinct($"word").as("v"))
+    // one row per source; n_words is exactly the source vocabulary size
+    assert(r.count() == vocab.count())
+    assert(r.join(vocab, "source").filter($"n_words" =!= $"v").count() == 0)
+    // Rank-frequency is monotone-decreasing by construction, so every
+    // fitted slope is strictly negative; the band is loose because tiny
+    // sf0.001 sources are only weakly Zipfian (measured −0.15 on the
+    // smallest source). The intercept (ln-freq at rank 1) stays ≥ 0.
+    r.collect().foreach { row =>
+      val (slope, icpt) = (row.getAs[Double]("zipf_slope"),
+        row.getAs[Double]("intercept_nat"))
+      assert(slope < 0.0 && slope > -3.0, s"${row.getString(0)}: $slope")
+      assert(icpt >= 0.0, s"${row.getString(0)}: intercept $icpt")
+    }
+    r.unpersist()
+  }
 }
