@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.CosineSim.cosineFused
@@ -1258,16 +1257,23 @@ object VectorQueries {
     // q108: PCA TOP COMPONENT — power iteration on q105's covariance,
     // the first step of distributed PCA/whitening. The heavy part (the
     // covariance accumulation over every vector) is ONE map-combine
-    // scan; the iteration then runs on the d×d matrix — 4096 rows —
-    // which at ANY corpus size is a constant-size frame, so the 100 TB
-    // cost is exactly one q105 pass. Determinism without a libm: the
-    // matrix quantizes to nano-unit integers (floor of a double that is
-    // itself a fixed-order function of exact sums), each matvec is an
-    // exact integer join+sum, the norm is sqrt of an exact decimal sum
-    // (sqrt is IEEE-correctly-rounded — portable, unlike ln/exp), and
-    // the iterate re-quantizes to ×1e6 integers each step. Six fixed
-    // iterations; the oracle replays them CTE-for-CTE. Eigenvalue = the
-    // Rayleigh quotient of the final iterate in the same integer units.
+    // scan; the iteration then runs on the d×d matrix — 2080 upper-
+    // triangle cells, CONSTANT-size model state at any corpus scale —
+    // so it is collected and iterated on the DRIVER, the same division
+    // of labor as MLlib's RowMatrix (which collects the Gramian for
+    // PCA/SVD): distribute the O(corpus) pass, do the O(d²) eigensolve
+    // locally. (A first cut iterated via six chained join+agg
+    // DataFrames; each step used `w` twice — norm and projection — so
+    // the unfused lineage re-evaluated the subtree ~2^iters times,
+    // 10.6s at sf0.1 for 4096 rows of math. Driver math on collected
+    // model state is the honest plan.) Determinism without a libm: the
+    // matrix quantizes to nano-unit integers, each matvec is an exact
+    // long sum, the norm is sqrt of an exact BigInt sum converted once
+    // to double (both conversions correctly rounded; sqrt is
+    // IEEE-correctly-rounded — portable, unlike ln/exp), and the
+    // iterate re-quantizes to ×1e6 integers each step. Six fixed
+    // iterations; the oracle replays them CTE-for-CTE in pure SQL.
+    // Eigenvalue = the Rayleigh quotient of the final iterate.
     // Convergence honesty: six steps pinpoint the eigenVECTOR only when
     // the spectrum has a gap; on near-isotropic data (the testdata:
     // λ2/λ1 ≈ 0.93) the iterate is "a direction with near-maximal
@@ -1275,37 +1281,38 @@ object VectorQueries {
     // uses anyway, and VectorSpec pins exactly that property.
     Q("q108_pca_power",
       (s, dir) => {
-        val cv = covUpper(s, dir).select(col("i"), col("j"),
+        val cells = covUpper(s, dir).select(col("i"), col("j"),
           floor(col("cov") * lit(1e9)).as("mq"))
-        // mirror the upper triangle to the full symmetric matrix; the
-        // localCheckpoint materializes the one corpus-wide pass so the
-        // six iterations reuse it instead of rescanning
-        val m = cv.unionAll(cv.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("mq")))
-          .localCheckpoint()
-        val dec = DecimalType(38, 0)
-        var v = s.range(Dims).select(col("id").cast("int").as("j"),
-          lit(1000000L).as("vq"))
-        for (_ <- 1 to PowerIters) {
-          val w = m.join(v, Seq("j")).groupBy(col("i"))
-            .agg(sum(col("mq") * col("vq")).as("w"))
-          val nrm = w.agg(sqrt(sum(col("w").cast(dec) * col("w").cast(dec))
-            .cast("double")).as("nrm"))
-          v = w.crossJoin(broadcast(nrm))
-            .select(col("i").as("j"),
-              floor(col("w").cast("double") / col("nrm") * lit(1e6)
-                + lit(0.5)).as("vq"))
+          .collect() // d(d+1)/2 = 2080 rows of model state, never data
+        val m = Array.ofDim[Long](Dims, Dims)
+        cells.foreach { r =>
+          val (i, j, q) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          m(i)(j) = q
+          m(j)(i) = q
         }
-        val wf = m.join(v, Seq("j")).groupBy(col("i"))
-          .agg(sum(col("mq") * col("vq")).as("w"))
-        val num = v.join(wf, v("j") === wf("i"))
-          .agg(sum(col("vq").cast(dec) * col("w").cast(dec))
-            .cast("double").as("nm"))
-        val den = v.agg(sum(col("vq") * col("vq")).cast("double").as("dn"))
-        v.crossJoin(broadcast(num)).crossJoin(broadcast(den))
-          .select(col("j").as("i"),
-            (col("vq").cast("double") / lit(1e6)).as("evec"),
-            (col("nm") / col("dn") / lit(1e9)).as("eigval"))
+        var vq = Array.fill(Dims)(1000000L)
+        def matvec(x: Array[Long]): Array[Long] =
+          Array.tabulate(Dims) { i =>
+            var acc = 0L
+            var j = 0
+            while (j < Dims) { acc += m(i)(j) * x(j); j += 1 }
+            acc
+          }
+        for (_ <- 1 to PowerIters) {
+          val w = matvec(vq)
+          // w² overflows Long — exact BigInt sum, one correctly-rounded
+          // double conversion (= the oracle's HUGEINT → DOUBLE cast and
+          // the Decimal(38,0) cast a distributed form would use)
+          val nrm = math.sqrt(w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+          vq = w.map(x => math.floor(x.toDouble / nrm * 1e6 + 0.5).toLong)
+        }
+        val wf = matvec(vq)
+        val nm = vq.zip(wf).map { case (a, b) => BigInt(a) * BigInt(b) }
+          .sum.toDouble
+        val dn = vq.map(x => x * x).sum.toDouble
+        val rows = (0 until Dims).map(i =>
+          (i, vq(i).toDouble / 1e6, nm / dn / 1e9))
+        s.createDataFrame(rows).toDF("i", "evec", "eigval")
           .orderBy(col("i"))
       },
       Some(pcaOracleSql),
