@@ -977,6 +977,115 @@ object TextQueries {
                   * CAST(sx AS DOUBLE))
                / CAST(n_words AS DOUBLE) / 1e4 AS intercept_nat
         FROM ag ORDER BY source"""),
-      doc = "Per-source Zipf slope: OLS on quantized-integer ln sums.")
+      doc = "Per-source Zipf slope: OLS on quantized-integer ln sums."),
+
+    // ------------------------------------------------------------------
+    // q109: BPE MERGE STATISTICS — the first step of byte-pair-encoding
+    // tokenizer training (Sennrich ACL'16): corpus-weighted counts of
+    // adjacent symbol pairs, top candidates first. The classic BPE trick
+    // is the scale story: aggregate to the WORD-FREQUENCY table first
+    // (vocabulary-sized, not corpus-sized — map-side-combinable count),
+    // then generate pairs row-locally over the vocab and weight by word
+    // count. The corpus is touched once; the pair shuffle carries
+    // O(vocab · avg_word_len) rows regardless of corpus row count. Top-50
+    // via TakeOrderedAndProject (total order: cnt DESC, a, b — no ties
+    // at the cut can flip membership). All-integer — exact on both
+    // engines.
+    Q("q109_bpe_pairs",
+      (s, dir) => {
+        val wc = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+        wc.select(col("wcnt"), col("word"),
+            explode(expr("sequence(1, length(word) - 1)")).as("i"))
+          .select(col("word").substr(col("i"), lit(1)).as("a"),
+            col("word").substr(col("i") + lit(1), lit(1)).as("b"),
+            col("wcnt"))
+          .groupBy(col("a"), col("b")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some("""WITH tk AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        wc AS (SELECT word, count(*) AS wcnt FROM tk
+               WHERE length(word) >= 2 GROUP BY word),
+        ix AS (SELECT word, wcnt,
+                      unnest(generate_series(1, length(word) - 1)) AS i
+               FROM wc),
+        pr AS (SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+                      substring(word, CAST(i AS INTEGER) + 1, 1) AS b,
+                      wcnt
+               FROM ix)
+        SELECT a, b, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM pr GROUP BY a, b
+        ORDER BY cnt DESC, a, b LIMIT 50"""),
+      doc = "BPE tokenizer-training pair counts over the word-frequency table."),
+
+    // ------------------------------------------------------------------
+    // q111: CROSS-SOURCE SHINGLE-OVERLAP MATRIX — for every source pair,
+    // the number of shared distinct 5-gram shingles and the Jaccard
+    // similarity of their shingle sets: the corpus-level contamination /
+    // provenance-overlap diagnostic (q50 asks "is this doc contaminated";
+    // this asks "how much do these SOURCES overlap"). Dataflow: distinct
+    // (source, shingle) — map-side-combinable dedup, vocabulary-sized —
+    // then a self-equi-join ON THE SHINGLE: per-key fanout is bounded by
+    // #sources² (a constant), never doc×doc. Per-source set sizes ride
+    // back on a broadcast of #sources rows. Pairs sharing zero shingles
+    // are absent (inner-join semantics) — same on both engines. Jaccard
+    // = inter/(na+nb−inter), one fixed-order IEEE expression of three
+    // exact longs.
+    Q("q111_source_overlap",
+      (s, dir) => {
+        val ss = t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.Shingles.shingles(col("text"), 5)).as("sh"))
+          .distinct()
+        val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
+        val inter = ss.as("x").join(ss.as("y"),
+            col("x.sh") === col("y.sh")
+              && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("nsh").as("na"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("nsh").as("nb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("na"), col("nb"),
+            (col("n_shared").cast("double")
+              / (col("na") + col("nb") - col("n_shared")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH tk AS (
+          SELECT source, doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source, sh FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                     range(1, greatest(len(w) - 3, 1)),
+                     i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS sh
+            FROM tk)),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
+               FROM sh GROUP BY source),
+        iv AS (SELECT x.source AS source_a, y.source AS source_b,
+                      CAST(count(*) AS BIGINT) AS n_shared
+               FROM sh x JOIN sh y
+                 ON x.sh = y.sh AND x.source < y.source
+               GROUP BY x.source, y.source)
+        SELECT source_a, source_b, n_shared,
+               a.nsh AS na, b.nsh AS nb,
+               CAST(n_shared AS DOUBLE)
+                 / CAST(a.nsh + b.nsh - n_shared AS DOUBLE) AS jaccard
+        FROM iv
+        JOIN sz a ON iv.source_a = a.source
+        JOIN sz b ON iv.source_b = b.source
+        ORDER BY source_a, source_b"""),
+      doc = "Source-pair distinct-shingle overlap + Jaccard (provenance diagnostic).")
   )
 }

@@ -1316,7 +1316,57 @@ object VectorQueries {
           .orderBy(col("i"))
       },
       Some(pcaOracleSql),
-      doc = "PCA dominant eigenvector: quantized power iteration on q105.")
+      doc = "PCA dominant eigenvector: quantized power iteration on q105."),
+
+    // ------------------------------------------------------------------
+    // q110: PER-DIMENSION Z-SCORE STANDARDIZATION — classic feature
+    // scaling at corpus scale: one map-side-combinable stats pass (d=64
+    // groups of exact integer sums n/Σx/Σx², regardless of corpus size),
+    // then a row-local transform with the tiny stats frame joined back
+    // via broadcast — bounded by d, NOT by the corpus, so the broadcast
+    // is legitimate at any scale (contrast q89's vocabulary-sized dim).
+    // Determinism: qx/n/sx/sxx are exact longs on both engines; mean,
+    // variance, sqrt, and z are one fixed-order IEEE expression of them
+    // (+ − × ÷ √ are all correctly rounded — no libm). The ×1000
+    // quantization scale cancels in (qx − μ)/σ, so z is in natural
+    // units. n·Σx² stays in the double domain (no long product), so
+    // nothing overflows at web-scale n.
+    Q("q110_zscore",
+      (s, dir) => {
+        val ex = t(s, dir, "embeddings").select(col("vec_id"),
+          posexplode(quantize(col("embedding"))).as(Seq("i", "qx")))
+        val stats = ex.groupBy(col("i")).agg(
+          count(lit(1)).as("n"), sum(col("qx")).as("sx"),
+          sum(col("qx") * col("qx")).as("sxx"))
+        val nD = col("n").cast("double")
+        val mu = col("sx").cast("double") / nD
+        val sd = sqrt(col("sxx").cast("double") / nD - mu * mu)
+        ex.join(broadcast(stats), Seq("i"))
+          .select(col("vec_id"), col("i"),
+            ((col("qx").cast("double") - mu) / sd).as("z"))
+          .orderBy(col("vec_id"), col("i"))
+      },
+      Some("""WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+          FROM embeddings),
+        ex AS (SELECT vec_id,
+                      CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS i,
+                      unnest(qv) AS qx
+               FROM q),
+        st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(qx) AS BIGINT) AS sx,
+                      CAST(sum(qx * qx) AS BIGINT) AS sxx
+               FROM ex GROUP BY i)
+        SELECT ex.vec_id, ex.i,
+               (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+        FROM ex JOIN st ON ex.i = st.i
+        ORDER BY ex.vec_id, ex.i"""),
+      doc = "Per-dimension z-score standardization: one stats pass + row-local apply.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

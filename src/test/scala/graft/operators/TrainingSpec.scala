@@ -312,4 +312,57 @@ class TrainingSpec extends AnyFunSuite {
     }
     r.unpersist()
   }
+
+  test("bpe pairs: exact driver recount reproduces the top-50 merge table") {
+    val r = q("q109_bpe_pairs").collect()
+    assert(r.length == 50)
+    // independent ground truth: tokenize every document on the driver
+    // with the same lower/trim/\s+ rule and recount adjacent char pairs
+    // weighted by word frequency (overlapping positions included — the
+    // BPE counting rule)
+    val texts = graft.Tables.load(spark, dir, "documents")
+      .select($"text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      t.toLowerCase.trim.split("\\s+").filter(_.length >= 2).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+          counts(k) = counts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val expected = counts.toSeq
+      .map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(50)
+    val got = r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("source overlap: shared counts bounded by set sizes, jaccard consistent") {
+    val r = q("q111_source_overlap").cache()
+    assert(r.count() > 0)
+    // pair orientation and bounds
+    assert(r.filter($"source_a" >= $"source_b").count() == 0)
+    assert(r.filter($"n_shared" > least($"na", $"nb")).count() == 0)
+    assert(r.filter($"n_shared" <= 0).count() == 0)
+    // jaccard re-derives exactly from the three integer columns
+    val bad = r.filter(abs($"jaccard" -
+      $"n_shared".cast("double") / ($"na" + $"nb" - $"n_shared").cast("double"))
+      > lit(0.0)).count()
+    assert(bad == 0)
+    // one pair re-verified from scratch via the fused shingle expression
+    val ss = graft.Tables.load(spark, dir, "documents")
+      .select($"source",
+        explode(graft.functions.Shingles.shingles($"text", 5)).as("sh"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val head = r.orderBy($"source_a", $"source_b").first()
+    val sa = head.getAs[String]("source_a")
+    val sb = head.getAs[String]("source_b")
+    val inter = (ss(sa) & ss(sb)).size.toLong
+    assert(head.getAs[Long]("n_shared") == inter)
+    assert(head.getAs[Long]("na") == ss(sa).size.toLong)
+    assert(head.getAs[Long]("nb") == ss(sb).size.toLong)
+    r.unpersist()
+  }
 }

@@ -492,4 +492,46 @@ class VectorSpec extends AnyFunSuite {
       s"eigval ${eig.head} vs RQ $ours")
     r.unpersist()
   }
+
+  test("z-score standardization: per-dim mean 0 / var 1, exact cell replay") {
+    import org.apache.spark.sql.functions._
+    val r = VectorQueries.all.find(_.name == "q110_zscore").get
+      .run(spark, sfDir).cache()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(r.count() == emb.size.toLong * 64)
+    // standardization property, per dimension: mean ≈ 0, variance ≈ 1
+    // (≈ not =: z is computed from ×1000-quantized integers, and the
+    // population variance estimate itself is exact only up to the
+    // quantization)
+    val stats = r.groupBy($"i")
+      .agg(avg($"z").as("m"), avg($"z" * $"z").as("v"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { row =>
+      assert(math.abs(row.getAs[Double]("m")) < 1e-9,
+        s"dim ${row.getInt(0)} mean ${row.getAs[Double]("m")}")
+      assert(math.abs(row.getAs[Double]("v") - 1.0) < 1e-9,
+        s"dim ${row.getInt(0)} var ${row.getAs[Double]("v")}")
+    }
+    // exact driver replay of one vector's 64 cells through the same
+    // quantize → integer stats → fixed-order IEEE pipeline
+    val qAll = emb.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+    }
+    val n = qAll.size.toDouble
+    val someId = qAll.keys.min
+    val got = r.filter($"vec_id" === someId).orderBy($"i")
+      .select($"z").as[Double].collect()
+    (0 until 64).foreach { i =>
+      val sx = qAll.values.map(_(i)).sum
+      val sxx = qAll.values.map(v => v(i) * v(i)).sum
+      val mu = sx.toDouble / n
+      val sd = math.sqrt(sxx.toDouble / n - mu * mu)
+      val z = (qAll(someId)(i).toDouble - mu) / sd
+      assert(got(i) == z, s"dim $i: ${got(i)} vs $z")
+    }
+    r.unpersist()
+  }
 }
