@@ -406,16 +406,16 @@ object VectorQueries {
                     / CAST(count(*) * count(*) AS DOUBLE)) / 1e6 AS cov
           FROM p GROUP BY i, j)"""
 
-  /** Power-iteration step count for q108 — fixed, replayed CTE-for-CTE
-    * by the oracle.
+  /** Power-iteration step count for q108/q112 — fixed, replayed
+    * CTE-for-CTE by the oracles.
     */
   private val PowerIters = 6
 
-  /** q108's oracle: the covariance cells, the mirrored nano-unit integer
-    * matrix, then `PowerIters` unrolled (matvec → norm → requantize)
-    * CTE triples, closing with the Rayleigh-quotient eigenvalue.
+  /** The shared q108/q112 oracle prefix: covariance cells, the mirrored
+    * nano-unit integer matrix `m`, and `PowerIters` unrolled
+    * (matvec → norm → requantize) CTE triples ending in `v6(j, vq)`.
     */
-  private def pcaOracleSql: String = {
+  private def powerPrefixSql: String = {
     val sb = new StringBuilder(covCellSql)
     sb ++= """,
         m AS (SELECT i, j, CAST(floor(cov * 1e9) AS BIGINT) AS mq FROM cell
@@ -436,8 +436,15 @@ object VectorQueries {
                             AS BIGINT) AS vq
                 FROM w$k, n$k)"""
     }
+    sb.toString
+  }
+
+  /** q108's oracle: the power prefix closing with the Rayleigh-quotient
+    * eigenvalue of the final iterate.
+    */
+  private def pcaOracleSql: String = {
     val vf = s"v$PowerIters"
-    sb ++= s""",
+    powerPrefixSql + s""",
         wf AS (SELECT m.i, CAST(sum(m.mq * v.vq) AS BIGINT) AS w
                FROM m JOIN $vf v ON m.j = v.j GROUP BY m.i),
         nm AS (SELECT CAST(sum(CAST(v.vq AS HUGEINT) * CAST(w.w AS HUGEINT))
@@ -447,7 +454,74 @@ object VectorQueries {
         SELECT v.j AS i, CAST(v.vq AS DOUBLE) / 1e6 AS evec,
                nm.nm / dn.dn / 1e9 AS eigval
         FROM $vf v, nm, dn ORDER BY i"""
-    sb.toString
+  }
+
+  /** q112's oracle: the power prefix, per-dim stats off the diagonal
+    * cells, and the integer centered-projection fold per vector.
+    */
+  private def abttOracleSql: String = {
+    val vf = s"v$PowerIters"
+    powerPrefixSql + s""",
+        st AS (SELECT i, n, sx FROM cell WHERE i = j),
+        ex AS (SELECT vec_id,
+                      CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS i,
+                      unnest(qv) AS qx
+               FROM q),
+        dt AS (SELECT ex.vec_id,
+                      CAST(sum((qx * st.n - st.sx) * v.vq) AS BIGINT) AS dot,
+                      CAST(min(st.n) AS BIGINT) AS nn
+               FROM ex JOIN st ON ex.i = st.i JOIN $vf v ON v.j = ex.i
+               GROUP BY ex.vec_id)
+        SELECT vec_id,
+               CAST(dot AS DOUBLE) / CAST(nn AS DOUBLE) / 1000.0 / 1e6
+                 AS pc1_proj
+        FROM dt ORDER BY vec_id"""
+  }
+
+  /** Driver-side model-state extraction shared by q108/q112: ONE collect
+    * of the d(d+1)/2 covariance cells (constant-size at any corpus
+    * scale) → (row count, per-dim integer sums, mirrored nano-unit
+    * matrix). Mirrors the oracle's `m`/`st` CTEs exactly.
+    */
+  private def collectCov(s: SparkSession, dir: String)
+      : (Long, Array[Long], Array[Array[Long]]) = {
+    val rows = covUpper(s, dir).collect() // 2080 cells of model state
+    val sx = new Array[Long](Dims)
+    val m = Array.ofDim[Long](Dims, Dims)
+    var n = 0L
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val mq = math.floor(r.getAs[Double]("cov") * 1e9).toLong
+      m(i)(j) = mq
+      m(j)(i) = mq
+      if (i == j) sx(i) = r.getAs[Long]("sx")
+      n = r.getAs[Long]("n")
+    }
+    (n, sx, m)
+  }
+
+  private def matvec(m: Array[Array[Long]], x: Array[Long]): Array[Long] =
+    Array.tabulate(Dims) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < Dims) { acc += m(i)(j) * x(j); j += 1 }
+      acc
+    }
+
+  /** `PowerIters` quantized power-iteration steps on the mirrored
+    * nano-unit matrix — the driver-side replay of the oracle's CTE
+    * chain. w² overflows Long, so the norm is an exact BigInt sum with
+    * one correctly-rounded double conversion (= the oracle's
+    * HUGEINT → DOUBLE cast).
+    */
+  private def powerIterate(m: Array[Array[Long]]): Array[Long] = {
+    var vq = Array.fill(Dims)(1000000L)
+    for (_ <- 1 to PowerIters) {
+      val w = matvec(m, vq)
+      val nrm = math.sqrt(w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      vq = w.map(x => math.floor(x.toDouble / nrm * 1e6 + 0.5).toLong)
+    }
+    vq
   }
 
   val all: Seq[Q] = Seq(
@@ -1281,32 +1355,9 @@ object VectorQueries {
     // uses anyway, and VectorSpec pins exactly that property.
     Q("q108_pca_power",
       (s, dir) => {
-        val cells = covUpper(s, dir).select(col("i"), col("j"),
-          floor(col("cov") * lit(1e9)).as("mq"))
-          .collect() // d(d+1)/2 = 2080 rows of model state, never data
-        val m = Array.ofDim[Long](Dims, Dims)
-        cells.foreach { r =>
-          val (i, j, q) = (r.getInt(0), r.getInt(1), r.getLong(2))
-          m(i)(j) = q
-          m(j)(i) = q
-        }
-        var vq = Array.fill(Dims)(1000000L)
-        def matvec(x: Array[Long]): Array[Long] =
-          Array.tabulate(Dims) { i =>
-            var acc = 0L
-            var j = 0
-            while (j < Dims) { acc += m(i)(j) * x(j); j += 1 }
-            acc
-          }
-        for (_ <- 1 to PowerIters) {
-          val w = matvec(vq)
-          // w² overflows Long — exact BigInt sum, one correctly-rounded
-          // double conversion (= the oracle's HUGEINT → DOUBLE cast and
-          // the Decimal(38,0) cast a distributed form would use)
-          val nrm = math.sqrt(w.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
-          vq = w.map(x => math.floor(x.toDouble / nrm * 1e6 + 0.5).toLong)
-        }
-        val wf = matvec(vq)
+        val (_, _, m) = collectCov(s, dir)
+        val vq = powerIterate(m)
+        val wf = matvec(m, vq)
         val nm = vq.zip(wf).map { case (a, b) => BigInt(a) * BigInt(b) }
           .sum.toDouble
         val dn = vq.map(x => x * x).sum.toDouble
@@ -1366,7 +1417,39 @@ object VectorQueries {
                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
         FROM ex JOIN st ON ex.i = st.i
         ORDER BY ex.vec_id, ex.i"""),
-      doc = "Per-dimension z-score standardization: one stats pass + row-local apply.")
+      doc = "Per-dimension z-score standardization: one stats pass + row-local apply."),
+
+    // ------------------------------------------------------------------
+    // q112: ALL-BUT-THE-TOP PROJECTION (Mu & Viswanath, ICLR'18) — each
+    // vector's scalar coordinate along the corpus's dominant principal
+    // direction, the quantity that post-processing subtracts to remove
+    // embedding anisotropy (and a per-vector outlier/diagnostic score).
+    // Composes q105+q108: ONE distributed covariance pass → driver
+    // eigensolve on the constant-size cell frame (the collectCov/
+    // powerIterate model state, same collect) → the apply is a pure
+    // ROW-LOCAL 64-term integer expression with (n, Σx_i, v_i) inlined
+    // as literals — no join, no shuffle, no broadcast; at 100 TB it is
+    // one map stage, like q106. Exactness: centering multiplies through
+    // by n so cx_i = qx_i·n − Σx_i stays an exact long (no μ rounding
+    // per row); dot = Σ cx_i·v_i is an exact long fold; the only
+    // doubles are three fixed-order closing divisions. (Long headroom:
+    // |cx·v| ≤ 4e12 ⇒ 64 terms ≤ 3e14. At web-scale n the integer form
+    // would widen to DECIMAL or divide through by n first — noted in
+    // SCALING.md.) By construction Σ_vectors dot = 0 exactly — the
+    // spec pins it, plus Var(proj) ≈ the q108 eigenvalue.
+    Q("q112_abtt_projection",
+      (s, dir) => {
+        val (n, sx, m) = collectCov(s, dir)
+        val vq = powerIterate(m)
+        val dot = (0 until Dims).map(i =>
+          (col("qv")(i) * lit(n) - lit(sx(i))) * lit(vq(i))).reduce(_ + _)
+        quantized(s, dir).select(col("vec_id"),
+          (dot.cast("double") / lit(n.toDouble) / lit(1000.0) / lit(1e6))
+            .as("pc1_proj"))
+          .orderBy(col("vec_id"))
+      },
+      Some(abttOracleSql),
+      doc = "All-but-the-top: per-vector projection onto the dominant PC, row-local apply.")
   )
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`

@@ -534,4 +534,27 @@ class VectorSpec extends AnyFunSuite {
     }
     r.unpersist()
   }
+
+  test("abtt projection: exact zero mean, variance matches the q108 eigenvalue") {
+    import org.apache.spark.sql.functions._
+    val r = VectorQueries.all.find(_.name == "q112_abtt_projection").get
+      .run(spark, sfDir).cache()
+    val n = r.count()
+    assert(n == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    val projs = r.select($"pc1_proj").as[Double].collect()
+    // centering is exact in the integer domain (Σ_vectors dot = 0 by
+    // construction), so the sample mean is pure double-division noise
+    val mean = projs.sum / n
+    assert(math.abs(mean) < 1e-9, s"mean $mean")
+    // Var(proj) = v'Cv·|v|⁻²·|v|² ≈ the q108 Rayleigh-quotient eigenvalue
+    // (v is the SAME quantized iterate in both queries)
+    val eig = VectorQueries.all.find(_.name == "q108_pca_power").get
+      .run(spark, sfDir).select($"eigval").as[Double].head()
+    val varr = projs.map(p => p * p).sum / n
+    assert(math.abs(varr - eig) / eig < 0.01,
+      s"Var(proj) $varr vs eigval $eig")
+    // the projection is a real spread (not degenerate)
+    assert(projs.max > projs.min)
+    r.unpersist()
+  }
 }
