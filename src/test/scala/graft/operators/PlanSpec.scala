@@ -187,6 +187,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q106/q112: row-local transforms have no shuffle except the output sort") {
+    // both are map-stage applies (JL literals / inlined model params):
+    // the ONLY exchange allowed is the rangepartitioning of the final
+    // deterministic orderBy — no aggregate, no join, no hash exchange
+    Seq("q106_random_projection", "q112_abtt_projection").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("HashAggregate"), s"$n aggregates:\n$plan")
+      assert(!plan.contains("Join"), s"$n joins:\n$plan")
+      assert(!plan.contains("hashpartitioning"),
+        s"$n hash-shuffles:\n$plan")
+    }
+  }
+
+  test("q109: top-50 merge table is TakeOrderedAndProject, counts partial") {
+    val plan = planOf("q109_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+  }
+
+  test("q110: the d-row stats frame broadcasts onto the apply side") {
+    val plan = planOf("q110_zscore")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q111: overlap self-join keys on the shingle; sizes broadcast; no cartesian") {
+    val plan = planOf("q111_source_overlap")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
