@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSim.cosineFused
+import graft.functions.HyperplaneBucket.hyperplaneBucketFused
+
+/** Streaming ANN ingest against its batch recompute: feeding the
+  * embeddings through [[VecStream.annStream]] in ingest-order drops must
+  * produce, for each drop, exactly the bucket-collision cosine matches
+  * a batch job would compute for the same new-vs-earlier split — state
+  * persisted in the bucketed index + deltas, never the state store.
+  */
+class VecStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def embeddings = Tables.load(spark, sfDir, "embeddings")
+    .select($"vec_id", $"embedding", $"label")
+
+  /** The batch twin: q41-bucket collisions of `newSide` against
+    * `corpus`, cosine-scored, at/above `thr`.
+    */
+  private def expectedMatches(corpus: org.apache.spark.sql.DataFrame,
+      newSide: org.apache.spark.sql.DataFrame, thr: Double,
+      nPlanes: Int) = {
+    val c = corpus.select(
+      hyperplaneBucketFused($"embedding", nPlanes, seed = 42).as("bucket"),
+      $"vec_id".as("corpus_id"), $"embedding".as("corpus_emb"))
+    val n = newSide.select(
+      hyperplaneBucketFused($"embedding", nPlanes, seed = 42).as("bucket"),
+      $"vec_id".as("new_id"), $"embedding".as("new_emb"))
+    c.join(n, Seq("bucket"))
+      .select($"new_id", $"corpus_id",
+        cosineFused($"new_emb", $"corpus_emb").as("cos_sim"))
+      .filter($"cos_sim" >= thr)
+  }
+
+  test("streaming ANN ingest: each drop's matches equal the batch recompute") {
+    val emb = embeddings.cache()
+    val base = Files.createTempDirectory("graft_vecstream").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val st = VecStream.AnnState(
+      indexTable = "vecstream_idx",
+      vecsPath = s"$base/admitted",
+      matchesPath = s"$base/matches",
+      nPlanes = 4, // 16 buckets: dense enough for cross-split collisions at sf0.001
+      simThreshold = 0.4)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val q = VecStream.annStream(VecStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      for (m <- 0L to 2L) {
+        emb.filter($"vec_id" % 3 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val emitted = spark.read.parquet(st.matchesPath)
+    // drop 0 saw an empty corpus
+    assert(emitted.filter($"batch" === 0).count() == 0)
+    // final drop: new-vs-(drops 0,1) — row-identical to the batch form,
+    // cosine values exact (same fused expression on both paths)
+    val streamed = emitted.filter($"batch" === 2)
+      .select($"new_id", $"corpus_id", $"cos_sim")
+      .collect().map(_.toSeq).toSet
+    val expected = expectedMatches(
+      emb.filter($"vec_id" % 3 =!= 2), emb.filter($"vec_id" % 3 === 2),
+      st.simThreshold, st.nPlanes).collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "threshold too high for the testdata")
+    assert(streamed == expected)
+    // every vector admitted exactly once; index deltas cover them all
+    assert(spark.read.parquet(st.vecsPath).count() == emb.count())
+    assert(spark.read.parquet(VecStream.deltaDir(st)).count() == emb.count())
+    // prefix semantics: drop 1 only matches drop 0
+    val mid = emitted.filter($"batch" === 1)
+    assert(mid.filter($"new_id" % 3 =!= 1).count() == 0)
+    assert(mid.filter($"corpus_id" % 3 =!= 0).count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+
+  test("replay: re-processing a committed batch leaves all state unchanged") {
+    val emb = embeddings.cache()
+    val base = Files.createTempDirectory("graft_vecstream_replay").toString
+    val st = VecStream.AnnState(
+      indexTable = "vecstream_replay_idx",
+      vecsPath = s"$base/admitted",
+      matchesPath = s"$base/matches",
+      nPlanes = 4, // 16 buckets: dense enough for cross-split collisions at sf0.001
+      simThreshold = 0.4)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val d0 = emb.filter($"vec_id" % 3 === 0)
+    val d1 = emb.filter($"vec_id" % 3 === 1)
+    VecStream.processBatch(d0, 0L, st)
+    VecStream.processBatch(d1, 1L, st)
+    def counts() = (
+      spark.read.parquet(st.vecsPath).count(),
+      spark.read.parquet(VecStream.deltaDir(st)).count(),
+      spark.read.parquet(st.matchesPath).count())
+    val before = counts()
+    val matchesBefore = spark.read.parquet(st.matchesPath)
+      .collect().map(_.toSeq).toSet
+    // at-least-once delivery: batch 1 fires again
+    VecStream.processBatch(d1, 1L, st)
+    assert(counts() == before)
+    val matchesAfter = spark.read.parquet(st.matchesPath)
+      .collect().map(_.toSeq).toSet
+    assert(matchesAfter == matchesBefore)
+    // in particular: no self-matches from probing state that already
+    // contains the replayed batch
+    assert(!matchesAfter.exists(r => r.head == r(1)))
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+
+  test("compact folds deltas into the bucketed base; probe results unchanged") {
+    val emb = embeddings.cache()
+    val base = Files.createTempDirectory("graft_vecstream_compact").toString
+    val st = VecStream.AnnState(
+      indexTable = "vecstream_compact_idx",
+      vecsPath = s"$base/admitted",
+      matchesPath = s"$base/matches",
+      nPlanes = 4, // 16 buckets: dense enough for cross-split collisions at sf0.001
+      simThreshold = 0.4)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val d0 = emb.filter($"vec_id" % 3 === 0)
+    val d1 = emb.filter($"vec_id" % 3 === 1)
+    val d2 = emb.filter($"vec_id" % 3 === 2)
+    VecStream.processBatch(d0, 0L, st)
+    VecStream.processBatch(d1, 1L, st)
+    VecStream.compact(spark, st)
+    // deltas gone, base carries every admitted vector
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(VecStream.deltaDir(st))))
+    assert(spark.table(st.indexTable).count() == d0.count() + d1.count())
+    // a post-compact drop probes the base alone and still reproduces
+    // the batch recompute exactly
+    VecStream.processBatch(d2, 2L, st)
+    val streamed = spark.read.parquet(s"${st.matchesPath}/batch=2")
+      .select($"new_id", $"corpus_id", $"cos_sim")
+      .collect().map(_.toSeq).toSet
+    val expected = expectedMatches(d0.unionByName(d1), d2, st.simThreshold,
+      st.nPlanes).collect().map(_.toSeq).toSet
+    assert(streamed == expected && expected.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+}
