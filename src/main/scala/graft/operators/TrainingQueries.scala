@@ -771,6 +771,84 @@ object TrainingQueries {
                     ORDER BY n_docs DESC, shingle) AS BIGINT) AS rnk
         FROM dfreq WHERE n_docs >= 2
         QUALIFY rnk <= 10 ORDER BY source, rnk"""),
-      doc = "Per-source recurring-5-gram inventory (boilerplate/template detection).")
+      doc = "Per-source recurring-5-gram inventory (boilerplate/template detection)."),
+
+    // ------------------------------------------------------------------
+    // q113: SPAN-CORRUPTION MASKING STATS (T5-style, Raffel JMLR'20) —
+    // per document: how many tokens a deterministic ~15% corruption
+    // policy masks, in how many contiguous spans, at what average span
+    // length. The masking decision is a PURE FUNCTION of (doc_id,
+    // position) through the affine61 hash (q45/q73's split/sample
+    // family), so the "random" corruption is reproducible run-to-run,
+    // engine-to-engine, and at any partitioning — the property a
+    // training pipeline needs to regenerate identical objectives across
+    // epochs and restarts. (T5's exact sampler is sequential; the
+    // independent-Bernoulli form keeps the decision row-local, with
+    // spans = maximal masked runs recovered by one lag on the doc shard
+    // key.) Dataflow: token explode → row-local hash mask → per-doc lag
+    // window (shard key) → integer counts; the two ratios are final
+    // fixed-order divisions. Scales as q92/q95 do.
+    Q("q113_span_corruption",
+      (s, dir) => {
+        import graft.functions.Affine61
+        import graft.functions.Affine61.{mixA, mixB}
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(toks(col("text"))).as(Seq("pos0", "word")))
+          .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"))
+        tk.withColumn("m",
+            (Affine61.affine61(
+              col("doc_id") * lit(1048576L) + col("pos"), mixA, mixB)
+              % 100 < 15).cast("int"))
+          .withColumn("pm", lag(col("m"), 1, 0).over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("m")).as("n_masked"),
+            sum(when(col("m") === 1 && col("pm") === 0, 1).otherwise(0))
+              .as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+            col("n_spans"),
+            (col("n_masked").cast("double") / col("n_tokens").cast("double"))
+              .as("mask_ratio"),
+            when(col("n_spans") > 0,
+              col("n_masked").cast("double") / col("n_spans").cast("double"))
+              .as("avg_span_len"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        import graft.functions.Affine61.{mixA, mixB}
+        import graft.functions.MulMod61.P
+        Some(s"""WITH tk AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(
+                     string_split_regex(lower(trim(text)), '\\s+'), 1)
+                     AS BIGINT) AS pos
+            FROM documents),
+          mk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN (($mixA::HUGEINT * (doc_id * 1048576 + pos)
+                               + $mixB) % $P) % 100 < 15
+                        THEN 1 ELSE 0 END AS m
+            FROM tk),
+          lg AS (
+            SELECT doc_id, m,
+                   lag(m, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+            FROM mk),
+          ag AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(m) AS BIGINT) AS n_masked,
+                   CAST(sum(CASE WHEN m = 1 AND pm = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_spans
+            FROM lg GROUP BY doc_id)
+          SELECT doc_id, n_tokens, n_masked, n_spans,
+                 CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS mask_ratio,
+                 CASE WHEN n_spans > 0
+                      THEN CAST(n_masked AS DOUBLE) / CAST(n_spans AS DOUBLE)
+                 END AS avg_span_len
+          FROM ag ORDER BY doc_id""")
+      },
+      doc = "T5 span-corruption stats: deterministic hash masking, lag-window spans.")
   )
 }

@@ -365,4 +365,36 @@ class TrainingSpec extends AnyFunSuite {
     assert(head.getAs[Long]("nb") == ss(sb).size.toLong)
     r.unpersist()
   }
+
+  test("span corruption: driver hash replay, ~15% mask rate, span identities") {
+    import graft.functions.Affine61.{mixA, mixB}
+    val r = q("q113_span_corruption").cache()
+    // structural identities: masked ≤ tokens, spans ≤ masked, spans ≤
+    // ⌈tokens/2⌉ (maximal runs need a gap between them)
+    assert(r.filter($"n_masked" > $"n_tokens").count() == 0)
+    assert(r.filter($"n_spans" > $"n_masked").count() == 0)
+    assert(r.filter($"n_spans" > ($"n_tokens" + 1) / 2).count() == 0)
+    assert(r.filter($"n_spans" === 0 && $"n_masked" > 0).count() == 0)
+    // the Bernoulli(15%) policy holds corpus-wide
+    val tot = r.agg(sum($"n_tokens").cast("double"),
+      sum($"n_masked").cast("double")).head()
+    val rate = tot.getDouble(1) / tot.getDouble(0)
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate")
+    // exact replay of one document's masking on the driver
+    val doc = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").orderBy($"doc_id").first()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    val masks = text.toLowerCase.trim.split("\\s+").indices.map { p0 =>
+      val x = id * 1048576L + (p0 + 1)
+      graft.functions.MulMod61.affine(mixA, mixB, x) % 100 < 15
+    }
+    val nMasked = masks.count(identity).toLong
+    val nSpans = masks.zip(false +: masks.init)
+      .count { case (m, pm) => m && !pm }.toLong
+    val row = r.filter($"doc_id" === id).head()
+    assert(row.getAs[Long]("n_tokens") == masks.length.toLong)
+    assert(row.getAs[Long]("n_masked") == nMasked)
+    assert(row.getAs[Long]("n_spans") == nSpans)
+    r.unpersist()
+  }
 }
