@@ -53,7 +53,12 @@ object Serve {
     "public_corpus_entropy" -> "q90_char_entropy",
     "public_search_hybrid" -> "q91_hybrid_rrf",
     "public_funnel" -> "q78_funnel",
-    "public_retention" -> "q79_retention")
+    "public_retention" -> "q79_retention",
+    // round-7 corpus-health dashboards
+    "public_corpus_zipf" -> "q107_zipf_slope",
+    "public_corpus_source_overlap" -> "q111_source_overlap",
+    "public_corpus_span_corruption" -> "q113_span_corruption",
+    "public_corpus_bpe_pairs" -> "q109_bpe_pairs")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =
