@@ -849,6 +849,53 @@ object TrainingQueries {
                  END AS avg_span_len
           FROM ag ORDER BY doc_id""")
       },
-      doc = "T5 span-corruption stats: deterministic hash masking, lag-window spans.")
+      doc = "T5 span-corruption stats: deterministic hash masking, lag-window spans."),
+
+    // ------------------------------------------------------------------
+    // q114: DETERMINISTIC EPOCH SHUFFLE — per training epoch, assign
+    // every document a (shard, position) through the affine61 hash of
+    // (doc_id, epoch): the reproducible-data-ordering primitive next to
+    // q45's split / q46's sample / q74's pack. A global random sort at
+    // 100 TB is the anti-pattern (one total-order exchange of the
+    // corpus); hashing to a bounded shard count and ranking WITHIN each
+    // shard gives the same statistical shuffle with one hash-partition
+    // exchange and per-shard windows — and, because position is a pure
+    // function of (doc_id, epoch), any restart, re-run, or engine
+    // reproduces the exact batch order (the property epoch-resume
+    // training needs). Different epochs draw different hash points, so
+    // consecutive epochs see genuinely different orders (spec-measured).
+    Q("q114_epoch_shuffle",
+      (s, dir) => {
+        import graft.functions.Affine61
+        import graft.functions.Affine61.{mixA, mixB}
+        val nShards = 16
+        val w = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        t(s, dir, "documents").select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(1), lit(2))).as("epoch"))
+          .withColumn("h", Affine61.affine61(
+            col("doc_id") * lit(4L) + col("epoch").cast("long"), mixA, mixB))
+          .withColumn("shard", (col("h") % nShards).cast("int"))
+          .select(col("epoch"), col("doc_id"), col("shard"),
+            row_number().over(w).cast("long").as("pos"))
+          .orderBy(col("epoch"), col("shard"), col("pos"))
+      },
+      {
+        import graft.functions.Affine61.{mixA, mixB}
+        import graft.functions.MulMod61.P
+        Some(s"""WITH e AS (
+            SELECT doc_id, epoch,
+                   (($mixA::HUGEINT * (doc_id * 4 + epoch) + $mixB) % $P) AS h
+            FROM documents, (SELECT unnest([1, 2]) AS epoch)),
+          sh AS (
+            SELECT epoch, doc_id, CAST(h % 16 AS INTEGER) AS shard, h
+            FROM e)
+          SELECT epoch, doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY epoch, shard
+                      ORDER BY h, doc_id) AS BIGINT) AS pos
+          FROM sh ORDER BY epoch, shard, pos""")
+      },
+      doc = "Reproducible epoch shuffle: hash-sharded rank, no global sort.")
   )
 }

@@ -397,4 +397,32 @@ class TrainingSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_spans") == nSpans)
     r.unpersist()
   }
+
+  test("epoch shuffle: per-epoch permutation, contiguous shard positions, epochs differ") {
+    val r = q("q114_epoch_shuffle").cache()
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    // each epoch covers every document exactly once
+    assert(r.count() == 2 * nDocs)
+    assert(r.groupBy($"epoch").agg(countDistinct($"doc_id").as("n"))
+      .filter($"n" =!= nDocs).count() == 0)
+    // positions within each (epoch, shard) are 1..count with no gaps
+    val bad = r.groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"), max($"pos").as("hi"),
+        countDistinct($"pos").as("np"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n" || $"np" =!= $"n")
+    assert(bad.count() == 0)
+    // consecutive epochs order the corpus differently: most documents
+    // land on a different (shard, pos) in epoch 2
+    val e1 = r.filter($"epoch" === 1)
+      .select($"doc_id", $"shard".as("s1"), $"pos".as("p1"))
+    val e2 = r.filter($"epoch" === 2)
+      .select($"doc_id", $"shard".as("s2"), $"pos".as("p2"))
+    val moved = e1.join(e2, "doc_id")
+      .filter($"s1" =!= $"s2" || $"p1" =!= $"p2").count()
+    assert(moved > nDocs * 0.8, s"only $moved of $nDocs docs moved")
+    // pure function of (doc_id, epoch): a re-run is row-identical
+    val again = q("q114_epoch_shuffle")
+    assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
+    r.unpersist()
+  }
 }
