@@ -3,6 +3,8 @@ package graft.streaming
 import java.nio.file.Files
 
 import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -15,7 +17,7 @@ import graft.functions.HyperplaneBucket.hyperplaneBucketFused
   * a batch job would compute for the same new-vs-earlier split — state
   * persisted in the bucketed index + deltas, never the state store.
   */
-class VecStreamSpec extends AnyFunSuite {
+class VecStreamSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
   private val sfDir = "/root/testdata/sf0.001"
@@ -152,6 +154,52 @@ class VecStreamSpec extends AnyFunSuite {
       st.nPlanes).collect().map(_.toSeq).toSet
     assert(streamed == expected && expected.nonEmpty)
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+
+  test("index probe plan: bucketed scan in effect, index side never exchanged") {
+    // the DedupIndex scale property, asserted for the vector index: the
+    // corpus-sized side of the probe join is read through its bucket
+    // layout and never re-shuffled — only the batch side moves
+    val emb = embeddings.cache()
+    val tbl = "vecstream_plan_idx"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // at sf0.001 the index is small enough that AQE would broadcast it
+    // (fine at this size, but it hides the layout the test exists to
+    // pin); force the at-scale join strategy, where the bucketed
+    // distribution is what saves the corpus-side exchange
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    VecStream.writeIndex(emb.filter($"vec_id" % 3 =!= 2), tbl,
+      nPlanes = 4, nBuckets = 8)
+    val fresh = emb.filter($"vec_id" % 3 === 2).select(
+      hyperplaneBucketFused($"embedding", 4, seed = 42).as("bucket"),
+      $"vec_id".as("new_id"), $"embedding".as("new_emb"))
+    val probe = spark.table(tbl)
+      .select($"bucket", $"vec_id".as("corpus_id"),
+        $"embedding".as("corpus_emb"))
+      .join(fresh, Seq("bucket"))
+      .select($"new_id", $"corpus_id",
+        cosineFused($"new_emb", $"corpus_emb").as("cos_sim"))
+    probe.count() // let AQE finalize the real plan
+    val plan = probe.queryExecution.executedPlan
+    assert(plan.toString.contains("Bucketed: true") &&
+      plan.toString.contains("SelectedBucketsCount"),
+      s"bucketed read not in effect:\n${plan.toString.take(1200)}")
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no join in plan:\n$plan")
+    val indexSide = Seq(joins.head.left, joins.head.right)
+      .filter(_.toString.contains(tbl))
+    assert(indexSide.length == 1, s"index scan not under the join:\n$plan")
+    val indexShuffles = collect(indexSide.head) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(indexShuffles.isEmpty, s"index side re-exchanged:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     emb.unpersist()
   }
 }
