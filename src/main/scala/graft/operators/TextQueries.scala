@@ -932,6 +932,10 @@ object TextQueries {
           sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
           sum(col("lx") * col("lx")).as("sxx"),
           sum(col("lx") * col("ly")).as("sxy"))
+          // a single-word source has one rank point — no line to fit
+          // (and a 0/0 denominator); with ≥2 ranks lx differs so the
+          // denominator is strictly positive
+          .filter(col("n_words") >= 2)
         val nD = col("n_words").cast("double")
         val slope =
           (nD * col("sxy").cast("double")
@@ -963,7 +967,7 @@ object TextQueries {
                  CAST(sum(ly) AS BIGINT) AS sy,
                  CAST(sum(lx * lx) AS BIGINT) AS sxx,
                  CAST(sum(lx * ly) AS BIGINT) AS sxy
-          FROM qz GROUP BY source)
+          FROM qz GROUP BY source HAVING count(*) >= 2)
         SELECT source, n_words,
                (CAST(n_words AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

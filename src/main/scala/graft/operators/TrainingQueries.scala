@@ -25,6 +25,11 @@ object TrainingQueries {
   private def toks(text: org.apache.spark.sql.Column) =
     graft.functions.TextFunctions.tokens(text)
 
+  /** q114's shard count — ONE definition interpolated into both the
+    * Spark plan and the oracle SQL so the two sides can't fork.
+    */
+  private val EpochShuffleShards = 16
+
   /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
     * memory mergeable sketch vs the exact form's per-group value
     * buffers). Not in the registry — sketch outputs are engine-specific
@@ -790,17 +795,22 @@ object TrainingQueries {
     // fixed-order divisions. Scales as q92/q95 do.
     Q("q113_span_corruption",
       (s, dir) => {
-        import graft.functions.Affine61
+        import graft.functions.{Affine61, MulMod61}
         import graft.functions.Affine61.{mixA, mixB}
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val tk = t(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(toks(col("text"))).as(Seq("pos0", "word")))
           .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"))
+        // chained affine: spread doc_id over [0, P) FIRST, then fold the
+        // position in mod P and hash again. A fixed-stride packing
+        // (doc_id·2^20 + pos) would alias a >2^20-token document into
+        // the next doc_id's key space (book-scale docs exist in real
+        // corpora); the chain has no such boundary.
+        val m1 = Affine61.affine61(col("doc_id"), mixA, mixB)
         tk.withColumn("m",
-            (Affine61.affine61(
-              col("doc_id") * lit(1048576L) + col("pos"), mixA, mixB)
-              % 100 < 15).cast("int"))
+            (Affine61.affine61((m1 + col("pos")) % lit(MulMod61.P),
+              mixA, mixB) % 100 < 15).cast("int"))
           .withColumn("pm", lag(col("m"), 1, 0).over(w))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
@@ -827,7 +837,9 @@ object TrainingQueries {
             FROM documents),
           mk AS (
             SELECT doc_id, pos,
-                   CASE WHEN (($mixA::HUGEINT * (doc_id * 1048576 + pos)
+                   CASE WHEN (($mixA::HUGEINT *
+                               ((($mixA::HUGEINT * doc_id + $mixB) % $P
+                                 + pos) % $P)
                                + $mixB) % $P) % 100 < 15
                         THEN 1 ELSE 0 END AS m
             FROM tk),
@@ -868,7 +880,7 @@ object TrainingQueries {
       (s, dir) => {
         import graft.functions.Affine61
         import graft.functions.Affine61.{mixA, mixB}
-        val nShards = 16
+        val nShards = EpochShuffleShards
         val w = Window.partitionBy(col("epoch"), col("shard"))
           .orderBy(col("h"), col("doc_id"))
         t(s, dir, "documents").select(col("doc_id"))
@@ -889,7 +901,8 @@ object TrainingQueries {
                    (($mixA::HUGEINT * (doc_id * 4 + epoch) + $mixB) % $P) AS h
             FROM documents, (SELECT unnest([1, 2]) AS epoch)),
           sh AS (
-            SELECT epoch, doc_id, CAST(h % 16 AS INTEGER) AS shard, h
+            SELECT epoch, doc_id,
+                   CAST(h % $EpochShuffleShards AS INTEGER) AS shard, h
             FROM e)
           SELECT epoch, doc_id, shard,
                  CAST(row_number() OVER (PARTITION BY epoch, shard

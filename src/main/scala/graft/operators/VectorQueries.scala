@@ -361,8 +361,14 @@ object VectorQueries {
   // (i, j, n, sx, sy, sxy, cov) from ONE scan — chained posexplode
   // outer products collapsing to d(d+1)/2 groups map-side. `cov` is a
   // fixed-order IEEE expression of the four exact integer sums, so it
-  // is bit-identical on any engine computing the same sums.
-  private def covUpper(s: SparkSession, dir: String): DataFrame =
+  // is bit-identical on any engine computing the same sums. The sx·sy
+  // and n·n products go through DECIMAL(38,0): sx ≈ 1000·n per dim, so
+  // a Long product wraps silently around n ≈ 1e8 vectors while the
+  // oracle's HUGEINT stays exact — the decimal product matches the
+  // oracle's semantics (exact product, ONE correctly-rounded double
+  // conversion) at any corpus size.
+  private def covUpper(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     t(s, dir, "embeddings")
       .select(quantize(col("embedding")).as("qv"))
       .select(posexplode(col("qv")).as(Seq("i", "qx")), col("qv"))
@@ -376,8 +382,10 @@ object VectorQueries {
       .select(col("i"), col("j"), col("n"), col("sx"), col("sy"),
         col("sxy"),
         ((col("sxy").cast("double") / col("n").cast("double")
-          - (col("sx") * col("sy")).cast("double")
-            / (col("n") * col("n")).cast("double")) / lit(1e6)).as("cov"))
+          - (col("sx").cast(dec) * col("sy").cast(dec)).cast("double")
+            / (col("n").cast(dec) * col("n").cast(dec)).cast("double"))
+          / lit(1e6)).as("cov"))
+  }
 
   /** The q105 covariance CTE chain as DuckDB SQL (CTE names q/a/b/p/cell),
     * ending in `cell(i, j, cov)` with 0-based dims — shared by the q105
@@ -1391,10 +1399,14 @@ object VectorQueries {
           sum(col("qx") * col("qx")).as("sxx"))
         val nD = col("n").cast("double")
         val mu = col("sx").cast("double") / nD
-        val sd = sqrt(col("sxx").cast("double") / nD - mu * mu)
+        val varr = col("sxx").cast("double") / nD - mu * mu
+        // a constant dimension (zero-padded tail dims are common) has
+        // variance 0 — NULL the z rather than emit 0/0 NaN (and rather
+        // than let Spark NaN vs DuckDB division semantics diverge)
         ex.join(broadcast(stats), Seq("i"))
           .select(col("vec_id"), col("i"),
-            ((col("qx").cast("double") - mu) / sd).as("z"))
+            when(varr > 0,
+              (col("qx").cast("double") - mu) / sqrt(varr)).as("z"))
           .orderBy(col("vec_id"), col("i"))
       },
       Some("""WITH q AS (
@@ -1411,10 +1423,15 @@ object VectorQueries {
                       CAST(sum(qx * qx) AS BIGINT) AS sxx
                FROM ex GROUP BY i)
         SELECT ex.vec_id, ex.i,
-               (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-               / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+               CASE WHEN CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                    THEN (CAST(qx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               END AS z
         FROM ex JOIN st ON ex.i = st.i
         ORDER BY ex.vec_id, ex.i"""),
       doc = "Per-dimension z-score standardization: one stats pass + row-local apply."),

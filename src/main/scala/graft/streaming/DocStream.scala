@@ -91,8 +91,16 @@ object DocStream {
     val spark = batch.sparkSession
     val b = batch.select(col("doc_id"), col("text")).persist()
     try {
-      if (!spark.catalog.tableExists(st.indexTable))
-        DedupIndex.write(b.limit(0), st.indexTable, st.nBuckets)
+      if (!spark.catalog.tableExists(st.indexTable)) {
+        // a missing base alongside a NON-empty admitted store means a
+        // crash hit compact() between its DROP and its commit — rebuild
+        // from the source of truth instead of creating an empty base
+        // (which would silently drop all compacted probe state)
+        val dp = new org.apache.hadoop.fs.Path(st.docsPath)
+        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dp)) compact(spark, st)
+        else DedupIndex.write(b.limit(0), st.indexTable, st.nBuckets)
+      }
       val cand = probeAll(spark, st, b)
       if (cand.nonEmpty) {
         val corpus = spark.read.parquet(st.docsPath)
@@ -116,13 +124,17 @@ object DocStream {
     */
   private def probeAll(spark: SparkSession, st: DedupState,
       b: DataFrame): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(st.docsPath))) return None
+    // resolve each path against ITS OWN filesystem (state may live on a
+    // non-default scheme; FileSystem.get(conf) would answer for the
+    // wrong one or throw)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dp = new org.apache.hadoop.fs.Path(st.docsPath)
+    if (!dp.getFileSystem(conf).exists(dp)) return None
     val base = DedupIndex.probeCandidates(spark, st.indexTable, b)
     val dd = deltaDir(st)
+    val ddP = new org.apache.hadoop.fs.Path(dd)
     val withDelta =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dd))) base
+      if (!ddP.getFileSystem(conf).exists(ddP)) base
       else {
         val fresh = DedupQueries.bandIndex(b)
           .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
@@ -149,12 +161,13 @@ object DocStream {
     * base and deltas overlapping.
     */
   def compact(spark: SparkSession, st: DedupState): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(st.docsPath))) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dp = new org.apache.hadoop.fs.Path(st.docsPath)
+    if (!dp.getFileSystem(conf).exists(dp)) return
     val docs = spark.read.parquet(st.docsPath)
       .select(col("doc_id"), col("text"))
     DedupIndex.write(docs, st.indexTable, st.nBuckets)
-    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(st)), true)
+    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
+    dd.getFileSystem(conf).delete(dd, true)
   }
 }

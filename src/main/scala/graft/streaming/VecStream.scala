@@ -116,8 +116,16 @@ object VecStream {
     val spark = batch.sparkSession
     val b = batch.select(col("vec_id"), col("embedding")).persist()
     try {
-      if (!spark.catalog.tableExists(st.indexTable))
-        writeIndex(b.limit(0), st.indexTable, st.nPlanes, st.nBuckets)
+      if (!spark.catalog.tableExists(st.indexTable)) {
+        // a missing base alongside a NON-empty admitted store means a
+        // crash hit compact() between its DROP and its commit — rebuild
+        // from the source of truth instead of creating an empty base
+        // (which would silently drop all compacted probe state)
+        val vp = new org.apache.hadoop.fs.Path(st.vecsPath)
+        val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(vp)) compact(spark, st)
+        else writeIndex(b.limit(0), st.indexTable, st.nPlanes, st.nBuckets)
+      }
       probeAll(spark, st, b).foreach { cand =>
         val matches = cand
           .filter(col("cos_sim") >= st.simThreshold)
@@ -136,9 +144,12 @@ object VecStream {
     */
   private def probeAll(spark: SparkSession, st: AnnState,
       b: DataFrame): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(st.vecsPath))) return None
+    // resolve each path against ITS OWN filesystem (state may live on a
+    // non-default scheme; FileSystem.get(conf) would answer for the
+    // wrong one or throw)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vp = new org.apache.hadoop.fs.Path(st.vecsPath)
+    if (!vp.getFileSystem(conf).exists(vp)) return None
     val fresh = indexRows(b, st.nPlanes)
       .select(col("bucket"), col("vec_id").as("new_id"),
         col("embedding").as("new_emb"))
@@ -150,11 +161,11 @@ object VecStream {
         .select(col("new_id"), col("corpus_id"),
           cosineFused(col("new_emb"), col("corpus_emb")).as("cos_sim"))
     val base = score(spark.table(st.indexTable))
-    val dd = deltaDir(st)
+    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
     val all =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dd))) base
+      if (!dd.getFileSystem(conf).exists(dd)) base
       else base.unionByName(
-        score(spark.read.parquet(dd).select(
+        score(spark.read.parquet(deltaDir(st)).select(
           col("bucket"), col("vec_id"), col("embedding"))))
     // a vector can sit in base AND an unfolded delta only inside a
     // crashed-compaction window; pairs are otherwise unique (single
@@ -169,12 +180,13 @@ object VecStream {
     * vector store (the source of truth), so it is safe after any crash.
     */
   def compact(spark: SparkSession, st: AnnState): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(st.vecsPath))) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vp = new org.apache.hadoop.fs.Path(st.vecsPath)
+    if (!vp.getFileSystem(conf).exists(vp)) return
     val vecs = spark.read.parquet(st.vecsPath)
       .select(col("vec_id"), col("embedding"))
     writeIndex(vecs, st.indexTable, st.nPlanes, st.nBuckets)
-    fs.delete(new org.apache.hadoop.fs.Path(deltaDir(st)), true)
+    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
+    dd.getFileSystem(conf).delete(dd, true)
   }
 }

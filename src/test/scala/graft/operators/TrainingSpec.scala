@@ -301,13 +301,14 @@ class TrainingSpec extends AnyFunSuite {
     assert(r.count() == vocab.count())
     assert(r.join(vocab, "source").filter($"n_words" =!= $"v").count() == 0)
     // Rank-frequency is monotone-decreasing by construction, so every
-    // fitted slope is strictly negative; the band is loose because tiny
-    // sf0.001 sources are only weakly Zipfian (measured −0.15 on the
-    // smallest source). The intercept (ln-freq at rank 1) stays ≥ 0.
+    // fitted slope is non-positive (exactly 0 only for the degenerate
+    // all-counts-equal source); the band is loose because tiny sf0.001
+    // sources are only weakly Zipfian (measured −0.15 on the smallest
+    // source). The intercept (ln-freq at rank 1) stays ≥ 0.
     r.collect().foreach { row =>
       val (slope, icpt) = (row.getAs[Double]("zipf_slope"),
         row.getAs[Double]("intercept_nat"))
-      assert(slope < 0.0 && slope > -3.0, s"${row.getString(0)}: $slope")
+      assert(slope <= 0.0 && slope > -3.0, s"${row.getString(0)}: $slope")
       assert(icpt >= 0.0, s"${row.getString(0)}: intercept $icpt")
     }
     r.unpersist()
@@ -385,8 +386,9 @@ class TrainingSpec extends AnyFunSuite {
       .select($"doc_id", $"text").orderBy($"doc_id").first()
     val (id, text) = (doc.getLong(0), doc.getString(1))
     val masks = text.toLowerCase.trim.split("\\s+").indices.map { p0 =>
-      val x = id * 1048576L + (p0 + 1)
-      graft.functions.MulMod61.affine(mixA, mixB, x) % 100 < 15
+      val m1 = graft.functions.MulMod61.affine(mixA, mixB, id)
+      val key = (m1 + (p0 + 1)) % graft.functions.MulMod61.P
+      graft.functions.MulMod61.affine(mixA, mixB, key) % 100 < 15
     }
     val nMasked = masks.count(identity).toLong
     val nSpans = masks.zip(false +: masks.init)

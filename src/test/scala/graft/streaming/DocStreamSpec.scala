@@ -161,4 +161,41 @@ class DocStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
     docs.unpersist()
   }
+
+  test("crashed compaction: a destroyed base rebuilds from the admitted store") {
+    // compact() DROPs the base before writing its replacement; if the
+    // writer dies in that window (deltas already consumed by an earlier
+    // compact), the next batch must rebuild the base from the docs
+    // store — not create an empty one and silently lose every
+    // compacted probe row.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").cache()
+    val base = Files.createTempDirectory("graft_docstream_crash").toString
+    val st = DocStream.DedupState(
+      indexTable = "docstream_crash_idx",
+      docsPath = s"$base/admitted",
+      matchesPath = s"$base/matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    DocStream.processBatch(b0, 0L, st)
+    DocStream.processBatch(b1, 1L, st)
+    DocStream.compact(spark, st) // deltas folded and deleted
+    spark.sql(s"DROP TABLE `${st.indexTable}`") // simulated mid-compact crash
+    DocStream.processBatch(b2, 2L, st)
+    // the final drop's matches are exactly q71's batch split — only
+    // possible if the probe saw the FULL b0 ∪ b1 corpus again
+    val streamed = spark.read.parquet(st.matchesPath)
+      .where($"batch" === 2)
+      .select($"new_id", $"corpus_id", $"jaccard", $"is_dup")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("q71_incremental_dedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"lost compacted state: ${streamed.size} vs ${batch.size} matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    docs.unpersist()
+  }
 }

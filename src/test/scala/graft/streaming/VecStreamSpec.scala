@@ -157,6 +157,40 @@ class VecStreamSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     emb.unpersist()
   }
 
+  test("crashed compaction: a destroyed base rebuilds from the admitted store") {
+    // the worst crash window: compact() has DROPped the base (and a
+    // prior compact already consumed the deltas) but died before the
+    // replacement committed. The next batch must rebuild the base from
+    // the vecs store — NOT create an empty one and silently lose every
+    // compacted match.
+    val emb = embeddings.cache()
+    val base = Files.createTempDirectory("graft_vecstream_crash").toString
+    val st = VecStream.AnnState(
+      indexTable = "vecstream_crash_idx",
+      vecsPath = s"$base/admitted",
+      matchesPath = s"$base/matches",
+      nPlanes = 4,
+      simThreshold = 0.4)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val d0 = emb.filter($"vec_id" % 3 === 0)
+    val d1 = emb.filter($"vec_id" % 3 === 1)
+    val d2 = emb.filter($"vec_id" % 3 === 2)
+    VecStream.processBatch(d0, 0L, st)
+    VecStream.processBatch(d1, 1L, st)
+    VecStream.compact(spark, st) // deltas folded and deleted
+    spark.sql(s"DROP TABLE `${st.indexTable}`") // simulated mid-compact crash
+    VecStream.processBatch(d2, 2L, st)
+    val streamed = spark.read.parquet(s"${st.matchesPath}/batch=2")
+      .select($"new_id", $"corpus_id", $"cos_sim")
+      .collect().map(_.toSeq).toSet
+    val expected = expectedMatches(d0.unionByName(d1), d2, st.simThreshold,
+      st.nPlanes).collect().map(_.toSeq).toSet
+    assert(streamed == expected && expected.nonEmpty,
+      s"lost compacted state: ${streamed.size} vs ${expected.size} matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+
   test("index probe plan: bucketed scan in effect, index side never exchanged") {
     // the DedupIndex scale property, asserted for the vector index: the
     // corpus-sized side of the probe join is read through its bucket
