@@ -105,12 +105,28 @@ object MulMod61 {
   // ------------------------------------------------------------------
   // DuckDB SQL fragments — the oracle side of the parity contract.
 
-  /** SQL: polyHash61 of a VARCHAR expression (ASCII text: codepoint =
-    * UTF-8 byte; TESTDATA documents are ASCII by construction).
+  /** SQL: the UTF-8 BYTE values of a VARCHAR expression as a HUGEINT
+    * list, in byte order. `hex(encode(e))` materializes the UTF-8
+    * encoding as fixed-width uppercase hex (evaluated ONCE — it is an
+    * argument to `regexp_extract_all`, not re-evaluated per element),
+    * `'..'` splits it into per-byte pairs in O(n), and the strpos
+    * arithmetic decodes each pair to its numeric value. This is what
+    * makes every hash oracle BYTE-TRUE: the Scala side folds
+    * `getBytes("UTF-8")`, so the oracle must fold the same bytes — an
+    * `ord()`-per-char replay only agrees on pure-ASCII text (the r7
+    * silent coupling, closed in r8).
+    */
+  def sqlUtf8Bytes(e: String): String =
+    s"""list_transform(regexp_extract_all(hex(encode($e)), '..'),
+       |  p -> ((strpos('0123456789ABCDEF', substr(p, 1, 1)) - 1) * 16
+       |      + (strpos('0123456789ABCDEF', substr(p, 2, 1)) - 1))::HUGEINT)""".stripMargin
+
+  /** SQL: polyHash61 of a VARCHAR expression — folds UTF-8 BYTES
+    * ([[sqlUtf8Bytes]]), matching [[polyHash61]] on any input, not just
+    * ASCII.
     */
   def sqlPh61(e: String): String =
-    s"""list_reduce(list_prepend(0::HUGEINT,
-       |  list_transform(range(1, length($e)+1), j -> ord(substr($e, j, 1))::HUGEINT)),
+    s"""list_reduce(list_prepend(0::HUGEINT, ${sqlUtf8Bytes(e)}),
        |  (h, b) -> (h*$B + b) % $P)""".stripMargin
 
   /** SQL: polyHash61Longs of a HUGEINT-list expression. */
@@ -124,8 +140,7 @@ object MulMod61 {
   def sqlPh64Signed(e: String): String =
     s"""CAST((CASE WHEN h64 >= 9223372036854775808 THEN h64 - 18446744073709551616 ELSE h64 END) AS BIGINT)"""
       .replace("h64",
-        s"""(list_reduce(list_prepend(0::HUGEINT,
-           |  list_transform(range(1, length($e)+1), j -> ord(substr($e, j, 1))::HUGEINT)),
+        s"""(list_reduce(list_prepend(0::HUGEINT, ${sqlUtf8Bytes(e)}),
            |  (h, b) -> (h*${PolyHash.Base} + b) % 18446744073709551616::HUGEINT))""".stripMargin)
 
   /** SQL: the first k (a_i, b_i) constants as literal lists. */

@@ -320,8 +320,9 @@ object TextQueries {
     // q32: PolyHash rolling-hash fingerprints (custom codegen'd Catalyst
     // expression). The oracle replays the byte-level fold in DuckDB
     // HUGEINT arithmetic — mod-2^64 per step, two's-complement at the
-    // end — so the exact JVM-overflow hash values are gate-checked
-    // (testdata text is ASCII, so ord(char) = UTF-8 byte).
+    // end — so the exact JVM-overflow hash values are gate-checked. The
+    // fold is BYTE-TRUE (MulMod61.sqlUtf8Bytes decodes hex(encode(..))
+    // pairs), so parity holds on non-ASCII text too (r8).
     Q("q32_fingerprints",
       (s, dir) =>
         t(s, dir, "documents")
@@ -664,16 +665,19 @@ object TextQueries {
     // the compressibility filter of the Gopher/Dolma family: mash and
     // repeated-char runs score near 0, natural prose ~2.5-3.1 nats.
     // Row-local fused expression (256 counters, one pass) — scales as a
-    // map. The entropy fold runs in ascending byte order, so the
-    // oracle's ordered list_reduce replays the same ASSOCIATION — but
-    // ln itself is only 1-ulp portable across libms (measured: one doc
-    // in 5000 differed in the last bit at sf0.1), so the row output is
-    // quantized to integer MICRO-NATS (the q89 rule): fix the fold
-    // order AND quantize at the output boundary whenever transcendental
-    // doubles must cross engines. Quantum is 100 µnat (floor(x·1e4)·100,
-    // the q89 rule's round-7 tightening): a fold landing within 1 ulp of
-    // a 1-µnat boundary would still flip — the coarser bucket shrinks
-    // the residual flaky-gate tail 100×.
+    // map. The oracle is BYTE-TRUE (r8, closing the r7 ASCII coupling):
+    // `hex(encode(text))` split into per-byte pairs replays the exact
+    // UTF-8 byte histogram ByteEntropy counts, and fixed-width uppercase
+    // hex sorts lexicographically in numeric byte order, so `ORDER BY b`
+    // replays the expression's ascending-byte fold ASSOCIATION on ANY
+    // input, not just ASCII. ln itself is only 1-ulp portable across
+    // libms (measured: one doc in 5000 differed in the last bit at
+    // sf0.1), so the row output is quantized to integer MICRO-NATS (the
+    // q89 rule): fix the fold order AND quantize at the output boundary
+    // whenever transcendental doubles must cross engines. Quantum is
+    // 100 µnat (floor(x·1e4)·100, the q89 rule's round-7 tightening): a
+    // fold landing within 1 ulp of a 1-µnat boundary would still flip —
+    // the coarser bucket shrinks the residual flaky-gate tail 100×.
     Q("q90_char_entropy",
       (s, dir) =>
         t(s, dir, "documents")
@@ -683,8 +687,7 @@ object TextQueries {
           .orderBy(col("doc_id")),
       Some("""WITH ch AS (
           SELECT doc_id,
-                 unnest(list_transform(range(1, length(text) + 1),
-                   j -> ord(substr(text, j, 1)))) AS b
+                 unnest(regexp_extract_all(hex(encode(text)), '..')) AS b
           FROM documents),
         hist AS (
           SELECT doc_id, b, count(*) AS c FROM ch GROUP BY doc_id, b),
