@@ -96,9 +96,8 @@ object DocStream {
         // crash hit compact() between its DROP and its commit — rebuild
         // from the source of truth instead of creating an empty base
         // (which would silently drop all compacted probe state)
-        val dp = new org.apache.hadoop.fs.Path(st.docsPath)
-        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(dp)) compact(spark, st)
+        if (BatchStore.listBatchIds(spark, st.docsPath).nonEmpty)
+          compact(spark, st)
         else DedupIndex.write(b.limit(0), st.indexTable, st.nBuckets)
       }
       val cand = probeAll(spark, st, b)
@@ -132,13 +131,17 @@ object DocStream {
     if (!dp.getFileSystem(conf).exists(dp)) return None
     val base = DedupIndex.probeCandidates(spark, st.indexTable, b)
     val dd = deltaDir(st)
-    val ddP = new org.apache.hadoop.fs.Path(dd)
+    // list batch partitions explicitly: a concurrent compact may leave
+    // the root present but empty (schema inference over an empty dir
+    // throws), and listing pins exactly which deltas this probe reads
+    val deltaBatches = BatchStore.listBatchIds(spark, dd)
     val withDelta =
-      if (!ddP.getFileSystem(conf).exists(ddP)) base
+      if (deltaBatches.isEmpty) base
       else {
         val fresh = DedupQueries.bandIndex(b)
           .select(col("band"), col("bucket"), col("doc_id").as("new_id"))
-        val deltaCand = spark.read.parquet(dd)
+        val deltaCand = spark.read
+          .parquet(deltaBatches.map(id => s"$dd/batch=$id"): _*)
           .select(col("band"), col("bucket"), col("doc_id").as("corpus_id"))
           .join(fresh, Seq("band", "bucket"))
           .select(col("new_id"), col("corpus_id"))
@@ -157,17 +160,22 @@ object DocStream {
   /** Fold the accumulated delta partitions into the bucketed base table
     * and drop them, restoring the fully exchange-free probe. Rebuilds
     * the base from the admitted-docs store (the source of truth), so it
-    * is safe to run at any time, including after a crash that left the
-    * base and deltas overlapping.
+    * is safe to run at any time — including after a crash that left the
+    * base and deltas overlapping, and CONCURRENTLY with an active
+    * stream: the docs-store batch listing is snapshotted first, the base
+    * is rebuilt from exactly those partitions, and only the delta
+    * partitions covered by that snapshot are deleted. A batch admitted
+    * mid-compact keeps its delta (probes keep unioning it; the next
+    * compact folds it) instead of being silently dropped by a
+    * whole-directory delete.
     */
   def compact(spark: SparkSession, st: DedupState): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dp = new org.apache.hadoop.fs.Path(st.docsPath)
-    if (!dp.getFileSystem(conf).exists(dp)) return
-    val docs = spark.read.parquet(st.docsPath)
+    val snapshot = BatchStore.listBatchIds(spark, st.docsPath)
+    if (snapshot.isEmpty) return
+    val docs = spark.read
+      .parquet(snapshot.map(id => s"${st.docsPath}/batch=$id"): _*)
       .select(col("doc_id"), col("text"))
     DedupIndex.write(docs, st.indexTable, st.nBuckets)
-    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
-    dd.getFileSystem(conf).delete(dd, true)
+    BatchStore.deleteBatches(spark, deltaDir(st), snapshot)
   }
 }

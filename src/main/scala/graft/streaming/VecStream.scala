@@ -121,9 +121,8 @@ object VecStream {
         // crash hit compact() between its DROP and its commit — rebuild
         // from the source of truth instead of creating an empty base
         // (which would silently drop all compacted probe state)
-        val vp = new org.apache.hadoop.fs.Path(st.vecsPath)
-        val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(vp)) compact(spark, st)
+        if (BatchStore.listBatchIds(spark, st.vecsPath).nonEmpty)
+          compact(spark, st)
         else writeIndex(b.limit(0), st.indexTable, st.nPlanes, st.nBuckets)
       }
       probeAll(spark, st, b).foreach { cand =>
@@ -161,12 +160,15 @@ object VecStream {
         .select(col("new_id"), col("corpus_id"),
           cosineFused(col("new_emb"), col("corpus_emb")).as("cos_sim"))
     val base = score(spark.table(st.indexTable))
-    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
+    // list batch partitions explicitly (empty-root and probe-snapshot
+    // rationale in DocStream.probeAll)
+    val deltaBatches = BatchStore.listBatchIds(spark, deltaDir(st))
     val all =
-      if (!dd.getFileSystem(conf).exists(dd)) base
+      if (deltaBatches.isEmpty) base
       else base.unionByName(
-        score(spark.read.parquet(deltaDir(st)).select(
-          col("bucket"), col("vec_id"), col("embedding"))))
+        score(spark.read
+          .parquet(deltaBatches.map(id => s"${deltaDir(st)}/batch=$id"): _*)
+          .select(col("bucket"), col("vec_id"), col("embedding"))))
     // a vector can sit in base AND an unfolded delta only inside a
     // crashed-compaction window; pairs are otherwise unique (single
     // probe bucket per vector)
@@ -177,16 +179,19 @@ object VecStream {
 
   /** Fold the delta partitions into the bucketed base and drop them,
     * restoring the exchange-free probe. Rebuilds from the admitted-
-    * vector store (the source of truth), so it is safe after any crash.
+    * vector store (the source of truth), so it is safe after any crash
+    * — and concurrently with an active stream: the vec-store batch
+    * listing is snapshotted first and only delta partitions covered by
+    * the snapshot are deleted (the [[DocStream.compact]] rule); a batch
+    * admitted mid-compact keeps its delta until the next compact.
     */
   def compact(spark: SparkSession, st: AnnState): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val vp = new org.apache.hadoop.fs.Path(st.vecsPath)
-    if (!vp.getFileSystem(conf).exists(vp)) return
-    val vecs = spark.read.parquet(st.vecsPath)
+    val snapshot = BatchStore.listBatchIds(spark, st.vecsPath)
+    if (snapshot.isEmpty) return
+    val vecs = spark.read
+      .parquet(snapshot.map(id => s"${st.vecsPath}/batch=$id"): _*)
       .select(col("vec_id"), col("embedding"))
     writeIndex(vecs, st.indexTable, st.nPlanes, st.nBuckets)
-    val dd = new org.apache.hadoop.fs.Path(deltaDir(st))
-    dd.getFileSystem(conf).delete(dd, true)
+    BatchStore.deleteBatches(spark, deltaDir(st), snapshot)
   }
 }

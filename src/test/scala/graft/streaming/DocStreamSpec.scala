@@ -162,6 +162,58 @@ class DocStreamSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("compact leaves a concurrently-admitted delta in place and probe-visible") {
+    // The r7 ADVICE race, simulated deterministically: compact()
+    // snapshots the docs-store batch listing before rebuilding; a batch
+    // whose DELTA landed after that snapshot (inside processBatch the
+    // delta write precedes the docs write) must NOT be swept by the
+    // delete — and must stay probe-visible until the next compact folds
+    // it. A whole-directory delete would silently drop its band keys.
+    def text(seed: Long) =
+      (0 until 12).map(k => s"w${(seed * 31 + k * 7) % 997}_$k").mkString(" ")
+    def mk(ids: Range, f: Long => String) =
+      ids.map(i => (i.toLong, f(i.toLong))).toDF("doc_id", "text")
+    val base = Files.createTempDirectory("graft_docstream_conc").toString
+    val st = DocStream.DedupState(
+      indexTable = "docstream_conc_idx",
+      docsPath = s"$base/admitted",
+      matchesPath = s"$base/matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val b0 = mk(0 until 20, text)
+    val b1 = mk(20 until 40, text)
+    val b2 = mk(100 until 110, text) // the concurrent batch
+    val b3 = mk(200 until 210, i => text(i - 100)) // exact copies of b2
+    DocStream.processBatch(b0, 0L, st)
+    DocStream.processBatch(b1, 1L, st)
+    // concurrent admit caught mid-flight: delta written, docs not yet
+    graft.operators.DedupQueries.bandIndex(b2).write.mode("overwrite")
+      .parquet(s"${DocStream.deltaDir(st)}/batch=2")
+    DocStream.compact(spark, st)
+    // folded deltas swept, straggler intact
+    assert(BatchStore.listBatchIds(spark, DocStream.deltaDir(st)) == Seq(2L))
+    // base rebuilt from exactly the snapshot (b0 ∪ b1)
+    assert(spark.table(st.indexTable).count() ==
+      graft.operators.DedupQueries.bandIndex(b0.unionByName(b1)).count())
+    // the concurrent admit completes
+    b2.write.mode("overwrite").parquet(s"${st.docsPath}/batch=2")
+    // the next batch must find its b2 duplicates — reachable ONLY via
+    // the straggler delta, since the base was rebuilt without b2
+    DocStream.processBatch(b3, 3L, st)
+    val dupPairs = spark.read.parquet(s"${st.matchesPath}/batch=3")
+      .filter($"is_dup" === 1).select($"new_id", $"corpus_id")
+      .as[(Long, Long)].collect().toSet
+    val wanted = (200L until 210L).map(i => (i, i - 100L)).toSet
+    assert(wanted.subsetOf(dupPairs),
+      s"straggler delta not probe-visible: missing ${wanted -- dupPairs}")
+    // the next compact folds the straggler (and batch 3's delta) in
+    DocStream.compact(spark, st)
+    assert(BatchStore.listBatchIds(spark, DocStream.deltaDir(st)).isEmpty)
+    assert(spark.table(st.indexTable).count() ==
+      graft.operators.DedupQueries.bandIndex(
+        b0.unionByName(b1).unionByName(b2).unionByName(b3)).count())
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+  }
+
   test("crashed compaction: a destroyed base rebuilds from the admitted store") {
     // compact() DROPs the base before writing its replacement; if the
     // writer dies in that window (deltas already consumed by an earlier

@@ -191,6 +191,67 @@ class VecStreamSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     emb.unpersist()
   }
 
+  test("restart: a fresh query on the same checkpoint resumes over base+delta state") {
+    // Mirror of DocStreamSpec's restart case (the r7 verdict's missing
+    // coverage): process two drops, STOP the query, compact (so durable
+    // state is a populated BASE), start a FRESH query on the same
+    // checkpoint and feed a third drop. The second query must continue
+    // the batch numbering (no replay of committed batches), admit each
+    // vector exactly once, and produce drop 3's matches against the
+    // compacted corpus exactly as an uninterrupted run would — proving a
+    // cold restart recovers from the base+delta store, not memory.
+    val emb = embeddings.cache()
+    val base = Files.createTempDirectory("graft_vecstream_restart").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val st = VecStream.AnnState(
+      indexTable = "vecstream_restart_idx",
+      vecsPath = s"$base/admitted",
+      matchesPath = s"$base/matches",
+      nPlanes = 4,
+      simThreshold = 0.4)
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+
+    val q1 = VecStream.annStream(VecStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      for (m <- 0L to 1L) {
+        emb.filter($"vec_id" % 3 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    // fold the deltas so the restarted query probes a populated base
+    VecStream.compact(spark, st)
+    assert(spark.table(st.indexTable).count() ==
+      emb.filter($"vec_id" % 3 =!= 2).count())
+
+    val q2 = VecStream.annStream(VecStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      emb.filter($"vec_id" % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(dropDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // no replay of committed batches: every vector admitted exactly once
+    val admitted = spark.read.parquet(st.vecsPath)
+    assert(admitted.count() == emb.count())
+    assert(admitted.groupBy($"vec_id").count().filter($"count" > 1).count() == 0)
+    // batch numbering continued across the restart; drop 3's matches are
+    // the batch recompute against drops 1+2
+    val streamed = spark.read.parquet(s"${st.matchesPath}/batch=2")
+      .select($"new_id", $"corpus_id", $"cos_sim")
+      .collect().map(_.toSeq).toSet
+    val expected = expectedMatches(
+      emb.filter($"vec_id" % 3 =!= 2), emb.filter($"vec_id" % 3 === 2),
+      st.simThreshold, st.nPlanes).collect().map(_.toSeq).toSet
+    assert(streamed == expected && expected.nonEmpty,
+      s"restart lost state: ${streamed.size} vs ${expected.size} matches")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    emb.unpersist()
+  }
+
   test("index probe plan: bucketed scan in effect, index side never exchanged") {
     // the DedupIndex scale property, asserted for the vector index: the
     // corpus-sized side of the probe join is read through its bucket
