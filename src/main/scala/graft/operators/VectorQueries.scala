@@ -149,12 +149,14 @@ object VectorQueries {
   private def pqCodebookDf(spark: SparkSession,
       cb: Seq[(Int, Long, Array[Long], Long)]): DataFrame = {
     import spark.implicits._
-    cb.map { case (m, code, sArr, n) =>
-      var s2 = 0L
-      var i = 0
-      while (i < sArr.length) { s2 += sArr(i) * sArr(i); i += 1 }
-      (m, code, sArr, n, s2)
-    }.toDF("m", "code", "s", "n", "s2")
+    // ‖s‖² as DECIMAL(38,0), not Long: s components are SUMS over code
+    // members (~n·10³ each), so a Long s2 wraps silently once a code's
+    // membership passes ~7.6e5 — far below 100 TB-scale cell sizes. The
+    // oracle mirrors with HUGEINT (r8, closing the r7 ADVICE overflow).
+    cb.map { case (m, code, sArr, n) => (m, code, sArr, n) }
+      .toDF("m", "code", "s", "n")
+      .withColumn("s2", expr(
+        "aggregate(s, cast(0 as decimal(38,0)), (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
   }
 
   /** Nearest-code assignment per (vector, subspace): broadcast the
@@ -168,9 +170,13 @@ object VectorQueries {
     subs.join(broadcast(cbDf.select(col("m"), col("code"), col("s"),
         col("n"), col("s2"))), Seq("m"))
       .withColumn("d", intDot(col("sub"), col("s")))
+      // comparator in DECIMAL(38,0): s2 and d·n are both ~1.6e7·n², so
+      // Long subtraction wraps at n ≈ 7.6e5 members — the same silent
+      // divergence the r7 ADVICE flagged for the ADC terms
       .withColumn("f",
-        (col("s2") - lit(2L) * col("d") * col("n")).cast("double")
-          / (col("n") * col("n")).cast("double"))
+        (col("s2") - lit(2L) * col("d").cast("decimal(38,0)") * col("n"))
+          .cast("double")
+          / (col("n").cast("decimal(38,0)") * col("n")).cast("double"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("sub"), col("code"))
@@ -298,12 +304,12 @@ object VectorQueries {
 
   private def cellsDf(spark: SparkSession, cells: Seq[(Long, Array[Long])]): DataFrame = {
     import spark.implicits._
-    cells.map { case (id, s) =>
-      var n2 = 0L
-      var i = 0
-      while (i < s.length) { n2 += s(i) * s(i); i += 1 }
-      (id, s, n2)
-    }.toDF("cell", "cs", "n2")
+    // ‖s‖² in DECIMAL(38,0): cell-sum components are ~n·10³, so a Long
+    // Σs² wraps silently at n ≈ 3.8e5 members/cell (the q100 codebook
+    // bound's q43 sibling); DuckDB replays with per-element HUGEINT.
+    cells.map { case (id, s) => (id, s) }.toDF("cell", "cs")
+      .withColumn("n2", expr(
+        "aggregate(cs, cast(0 as decimal(38,0)), (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
   }
 
   /** Assign every vector to its best cell (max integer-cosine, ties →
@@ -617,7 +623,7 @@ object VectorQueries {
       {
         val score =
           """CAST(list_sum(list_transform(list_zip(e.qv, c.s), p -> p[1]*p[2])) AS DOUBLE)
-            |          / sqrt(CAST(list_sum(list_transform(c.s, x -> x*x)) AS DOUBLE))""".stripMargin
+            |          / sqrt(CAST(list_sum(list_transform(c.s, x -> x::HUGEINT * x)) AS DOUBLE))""".stripMargin
         def assign(prev: String, out: String) =
           s"""$out AS (
              |  SELECT vec_id, embedding, qv, cell FROM (
@@ -1161,8 +1167,15 @@ object VectorQueries {
           .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray, 1L))
           .toSeq.sortBy(x => (x._1, x._2))
         val cb1 = pqUpdate(pqAssign(subs, pqCodebookDf(s, cb0)))
+        // ADC fixed-point terms through DECIMAL(38,0): 1e6·s2 ~ 1.6e13·n²
+        // wraps a Long at n ≈ 760 members, 1e6·d at n ≈ 5.8e5 — Spark
+        // would wrap silently while DuckDB errors on BIGINT overflow
+        // (the r7 ADVICE divergence). `div` on decimals still truncates
+        // toward zero and returns BIGINT; the quotients themselves
+        // (~1.6e13) fit comfortably.
         val cbDf = pqCodebookDf(s, cb1)
-          .withColumn("n2t", expr("(1000000 * s2) div (n * n)"))
+          .withColumn("n2t",
+            expr("(1000000 * s2) div (cast(n as decimal(38,0)) * n)"))
         val encoded = pqAssign(subs, cbDf)
           .select(col("vec_id"), col("m"), col("code"))
         val partials = subs.filter(col("vec_id") < 10)
@@ -1170,7 +1183,8 @@ object VectorQueries {
           .join(broadcast(cbDf), Seq("m"))
           .withColumn("d", intDot(col("qs"), col("s")))
           .select(col("q_id"), col("m"), col("code"),
-            expr("(1000000 * d) div n").as("term"), col("n2t"))
+            expr("(1000000 * cast(d as decimal(38,0))) div n").as("term"),
+            col("n2t"))
         val qn = qe.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), intDot(col("qv"), col("qv")).as("qn2"))
         val w = Window.partitionBy(col("q_id"))
@@ -1199,15 +1213,17 @@ object VectorQueries {
           .orderBy(col("q_id"), col("rnk"))
       },
       {
+        // comparator and ADC terms in HUGEINT — the DuckDB mirror of the
+        // Spark side's DECIMAL(38,0) widening (r7 ADVICE overflow fix)
         def assign(prev: String, out: String) =
           s"""$out AS (
              |  SELECT vec_id, m, sub, code FROM (
              |    SELECT s.vec_id, s.m, s.sub, c.code,
              |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-             |        CAST(CAST(list_sum(list_transform(c.s, x -> x*x)) AS BIGINT)
+             |        CAST(CAST(list_sum(list_transform(c.s, x -> x*x)) AS HUGEINT)
              |             - 2 * CAST(list_sum(list_transform(list_zip(s.sub, c.s),
-             |                 p -> p[1]*p[2])) AS BIGINT) * c.n AS DOUBLE)
-             |          / CAST(c.n * c.n AS DOUBLE) ASC, c.code) AS rn
+             |                 p -> p[1]*p[2])) AS HUGEINT) * c.n AS DOUBLE)
+             |          / CAST(c.n::HUGEINT * c.n AS DOUBLE) ASC, c.code) AS rn
              |    FROM sub s JOIN $prev c ON s.m = c.m) z WHERE rn = 1)""".stripMargin
         Some(s"""WITH qe AS (
             SELECT vec_id, embedding,
@@ -1231,13 +1247,16 @@ object VectorQueries {
           ${assign("c1", "a2")},
           cb AS (
             SELECT m, code, s, n,
-                   CAST(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS s2
+                   CAST(list_sum(list_transform(s, x -> x*x)) AS HUGEINT) AS s2
             FROM c1),
-          cb2 AS (SELECT m, code, s, n, s2, (1000000 * s2) // (n * n) AS n2t FROM cb),
+          cb2 AS (SELECT m, code, s, n, s2,
+                   CAST((1000000::HUGEINT * s2) // (n::HUGEINT * n) AS BIGINT) AS n2t
+                  FROM cb),
           pt AS (
             SELECT q.vec_id AS q_id, c.m, c.code,
-                   (1000000 * CAST(list_sum(list_transform(list_zip(q.sub, c.s),
-                      p -> p[1]*p[2])) AS BIGINT)) // c.n AS term,
+                   CAST((1000000::HUGEINT
+                      * CAST(list_sum(list_transform(list_zip(q.sub, c.s),
+                          p -> p[1]*p[2])) AS HUGEINT)) // c.n AS BIGINT) AS term,
                    c.n2t
             FROM sub q JOIN cb2 c ON q.m = c.m WHERE q.vec_id < 10),
           qn AS (
