@@ -13,6 +13,19 @@ package graft
   *      Its "queries" field carries only the 10 slowest (the ones worth
   *      a reader's attention); the detail line has all of them.
   *
+  * Round 8 additions:
+  *   - `SPARK_GRAFT_SF_DIR` may be a COMMA-SEPARATED scale list; each
+  *     scale emits its own detail line, a `{"metric":"growth",...}`
+  *     line reports the per-query wall ratio last/first scale (flagging
+  *     > 3× — the r3 scaling table, regenerated per run), and the final
+  *     total line carries a `"totals"` map per scale. With one scale
+  *     the output is byte-compatible with the r7 contract.
+  *   - `value_first_run`: the UNADJUSTED sum of first-run times next to
+  *     the retry-min `value` — the outlier policy only re-times slow
+  *     queries, so min-counting clips noise asymmetrically; printing
+  *     both keeps round-over-round totals comparable under either
+  *     policy (r7 ADVICE).
+  *
   * Run-health instrumentation (the r6 official artifact showed a 10-58×
   * stall on four row-local queries that the artifact itself could not
   * attribute to host noise vs session state — never again):
@@ -65,8 +78,18 @@ object Bench {
       .sum / (1024 * 1024)
   }
 
+  /** One scale's full measured run. */
+  private final case class ScaleRun(
+      sfDir: String,
+      detail: collection.Map[String, Double],
+      counted: collection.Map[String, Double],
+      firstRunTotal: Double,
+      gcSec: Double,
+      retimed: Int,
+      tailHealthy: Boolean)
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfArg = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus)
 
@@ -81,15 +104,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def runQuery(name: String): Double =
-      if (name == "q53_percentiles_approx")
-        time(operators.TrainingQueries.percentilesApprox(spark, sfDir))
-      else {
-        val r = time(SparkEntry.queries(name)(spark, sfDir))
-        if (r < 0) System.err.println(s"[bench] $name failed")
-        r
-      }
-
     // SPARK_GRAFT_ONLY=q75_tfidf,q75_tfidf_salted — optional comma list
     // for targeted local iteration; the driver never sets it, so the
     // per-round bench always times the full registry.
@@ -97,54 +111,104 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = (SparkEntry.registry.filterNot(_.verificationOnly).map(_.name)
       :+ "q53_percentiles_approx").filter(n => only.forall(_.contains(n)))
-    // Warmup absorbs JVM/classloader/codegen startup. Three queries with
-    // disjoint operator shapes (hash agg / filter+sort+string kernels /
-    // multi-join) so the first timed occurrence of each codegen path
-    // isn't paying first-compile cost; results discarded.
-    WarmupQueries.filter(SparkEntry.queries.contains).foreach(runQuery)
 
-    val gc0 = gcMillis()
-    val detail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val counted = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val done = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var retimed = 0
-    for (n <- names) {
-      val t1 = runQuery(n)
-      detail(n) = t1
-      val med = if (done.isEmpty) Double.MaxValue
-        else done.sorted.apply(done.length / 2)
-      val counts =
-        if (t1 >= 0 && t1 > math.max(5 * med, 1.0)) {
-          // outlier: force a full GC (flushes ContextCleaner backlog /
-          // old-gen garbage) and re-time once; min of the two counts —
-          // if the retry is fast, the first number was the environment
-          System.gc()
-          val t2 = runQuery(n)
-          detail(n + "__retry") = t2
-          retimed += 1
-          if (t2 >= 0) math.min(t1, t2) else t1
-        } else t1
-      counted(n) = counts
-      if (counts >= 0) done += counts
+    def runScale(sfDir: String): ScaleRun = {
+      def runQuery(name: String): Double =
+        if (name == "q53_percentiles_approx")
+          time(operators.TrainingQueries.percentilesApprox(spark, sfDir))
+        else {
+          val r = time(SparkEntry.queries(name)(spark, sfDir))
+          if (r < 0) System.err.println(s"[bench] $name failed")
+          r
+        }
+
+      // Warmup absorbs JVM/classloader/codegen startup. Three queries
+      // with disjoint operator shapes (hash agg / filter+sort+string
+      // kernels / multi-join) so the first timed occurrence of each
+      // codegen path isn't paying first-compile cost; results discarded.
+      WarmupQueries.filter(SparkEntry.queries.contains).foreach(runQuery)
+
+      val gc0 = gcMillis()
+      val detail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val counted = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val done = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var retimed = 0
+      for (n <- names) {
+        val t1 = runQuery(n)
+        detail(n) = t1
+        val med = if (done.isEmpty) Double.MaxValue
+          else done.sorted.apply(done.length / 2)
+        val counts =
+          if (t1 >= 0 && t1 > math.max(5 * med, 1.0)) {
+            // outlier: force a full GC (flushes ContextCleaner backlog /
+            // old-gen garbage) and re-time once; min of the two counts —
+            // if the retry is fast, the first number was the environment
+            System.gc()
+            val t2 = runQuery(n)
+            detail(n + "__retry") = t2
+            retimed += 1
+            if (t2 >= 0) math.min(t1, t2) else t1
+          } else t1
+        counted(n) = counts
+        if (counts >= 0) done += counts
+      }
+
+      // end-of-run tail probe: trivial sentinels re-timed after the
+      // whole registry has run through this session
+      val tail = TailProbes.filter(SparkEntry.queries.contains)
+        .map(n => n -> runQuery(n))
+      tail.foreach { case (n, t) => detail(n + "__tail") = t }
+      val tailHealthy = tail.nonEmpty &&
+        tail.forall { case (_, t) => t >= 0 && t < 1.0 }
+      val firstRunTotal = names.map(detail.getOrElse(_, -1.0))
+        .filter(_ >= 0).sum
+      ScaleRun(sfDir, detail, counted, firstRunTotal,
+        (gcMillis() - gc0) / 1000.0, retimed, tailHealthy)
     }
-
-    // end-of-run tail probe: trivial sentinels re-timed after the whole
-    // registry has run through this session
-    val tail = TailProbes.filter(SparkEntry.queries.contains)
-      .map(n => n -> runQuery(n))
-    tail.foreach { case (n, t) => detail(n + "__tail") = t }
-    val tailHealthy = tail.nonEmpty && tail.forall { case (_, t) => t >= 0 && t < 1.0 }
 
     def j(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = counted.values.filter(_ >= 0).sum
-    val gcSec = (gcMillis() - gc0) / 1000.0
+
+    val scales = sfArg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val runs = scales.map { sfDir =>
+      val r = runScale(sfDir)
+      println(s"""{"metric":"detail","queries":${j(r.detail)},"sf":"$sfDir"}""")
+      r
+    }
+
+    // per-query growth across the scale span (last/first), when 2+
+    // scales ran: the per-run scaling table, >3× flagged
+    if (runs.length >= 2) {
+      val lo = runs.head
+      val hi = runs.last
+      val growth = collection.immutable.ListMap(names.flatMap { n =>
+        (lo.counted.get(n), hi.counted.get(n)) match {
+          case (Some(a), Some(b)) if a >= 0 && b >= 0 =>
+            // floor the base at 50ms: ratios of pure fixed-cost noise
+            // aren't scaling signal
+            Some(n -> b / math.max(a, 0.05))
+          case _ => None
+        }
+      }.sortBy(-_._2): _*)
+      val flagged = growth.filter(_._2 > 3.0)
+      println(s"""{"metric":"growth","lo":"${lo.sfDir}","hi":"${hi.sfDir}","flagged_over_3x":${j(flagged)},"queries":${j(growth)}}""")
+    }
+
+    val last = runs.last
+    val total = last.counted.values.filter(_ >= 0).sum
     val slowest = collection.immutable.ListMap(
-      counted.toSeq.sortBy(-_._2).take(10): _*)
+      last.counted.toSeq.sortBy(-_._2).take(10): _*)
+    val totalsMap =
+      if (runs.length >= 2)
+        "," + runs.map { r =>
+          val t = r.counted.values.filter(_ >= 0).sum
+          "\"" + r.sfDir.split('/').last + "\":" + f"$t%.2f"
+        }.mkString("\"totals\":{", ",", "}")
+      else ""
     val totalS = f"$total%.2f"
-    val gcS = f"$gcSec%.1f"
-    println(s"""{"metric":"detail","queries":${j(detail)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","sf":"$sfDir","queries_n":${counted.size},"queries":${j(slowest)},"gc_sec":$gcS,"heap_peak_mb":${heapPeakMb()},"retimed":$retimed,"tail_healthy":$tailHealthy}""")
+    val firstS = f"${last.firstRunTotal}%.2f"
+    val gcS = f"${last.gcSec}%.1f"
+    println(s"""{"metric":"total","value":$totalS,"value_first_run":$firstS,"unit":"sec","sf":"${last.sfDir}","queries_n":${last.counted.size},"queries":${j(slowest)},"gc_sec":$gcS,"heap_peak_mb":${heapPeakMb()},"retimed":${last.retimed},"tail_healthy":${last.tailHealthy}$totalsMap}""")
     spark.stop()
   }
 }

@@ -2,13 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Contract (unchanged since r1): `Verify <sfDir> <outDir>` dumps one
+  * directory. Since r8 `<sfDir>` may be a COMMA-SEPARATED scale list
+  * (`/root/testdata/sf0.001,/root/testdata/sf0.01,...`): each scale
+  * dumps to `<outDir>/<basename(sfDir)>/`, making the three-scale sweep
+  * COVERAGE.md claims a machine-checkable artifact — `tools/
+  * scale_sweep.py` compares every scale in DuckDB and merges the
+  * per-scale pass marks into one JSON (CORRECTNESS_SCALES.json).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfArg, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val scales = sfArg.split(',').map(_.trim).filter(_.nonEmpty)
+    if (scales.length == 1) dump(spark, scales.head, outDir)
+    else scales.foreach { sfDir =>
+      val name = Paths.get(sfDir).getFileName.toString
+      dump(spark, sfDir, s"$outDir/$name")
+    }
+    spark.stop()
+  }
+
+  private def dump(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q90_char_entropy,... — optional comma list for
     // targeted local iteration (mirrors Bench); the driver never sets
@@ -40,6 +60,5 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
