@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * confs are what a cluster submit would set: AQE on (runtime skew-join +
   * partition coalescing), shuffle partitions sized to the parallelism at
   * hand (32 threads locally, not the 200 default), UTC session time zone
-  * for date/timestamp determinism, and the legacy nanos conf so the
-  * TIMESTAMP(NANOS) events parquet is readable (converted to µs in
-  * [[Tables.load]]).
+  * for date/timestamp determinism, and the legacy nanos conf so an
+  * events parquet in the old TIMESTAMP(NANOS) encoding stays readable —
+  * [[Tables.load]] normalizes both that and the current timestamp[us]
+  * NTZ encoding to TimestampType.
   */
 object Sessions {
   def local(cpus: String): SparkSession = {

@@ -37,16 +37,26 @@ object Tables {
 
   private def doLoad(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    // events.ts is parquet TIMESTAMP(NANOS): read as long (legacy conf
-    // spark.sql.legacy.parquet.nanosAsLong) and truncate ns→µs with
-    // integer division — identical to DuckDB's ns→µs coercion. A double
-    // division would lose precision (2024 epoch-ns ≈ 1.7e18 > 2^53).
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    // The driver has shipped events.ts under two parquet encodings across
+    // regenerations; normalize both to session-TZ TimestampType (session
+    // is pinned UTC) so every downstream query sees one type:
+    //  - TIMESTAMP(NANOS): read as long (legacy conf
+    //    spark.sql.legacy.parquet.nanosAsLong), truncated ns→µs with
+    //    integer division — identical to DuckDB's ns→µs coercion. A
+    //    double division would lose precision (2024 epoch-ns ≈ 1.7e18
+    //    > 2^53).
+    //  - timestamp[us] with isAdjustedToUTC=false: Spark reads
+    //    TIMESTAMP_NTZ, which rejects instant functions (unix_micros,
+    //    session_window); cast to TIMESTAMP — a pure type change under
+    //    the UTC session, same wall-clock value DuckDB sees.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", df("ts").cast(TimestampType))
+      case _ => df
     }
   }
 }
