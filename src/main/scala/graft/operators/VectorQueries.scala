@@ -149,14 +149,25 @@ object VectorQueries {
   private def pqCodebookDf(spark: SparkSession,
       cb: Seq[(Int, Long, Array[Long], Long)]): DataFrame = {
     import spark.implicits._
-    // ‖s‖² as DECIMAL(38,0), not Long: s components are SUMS over code
-    // members (~n·10³ each), so a Long s2 wraps silently once a code's
-    // membership passes ~7.6e5 — far below 100 TB-scale cell sizes. The
-    // oracle mirrors with HUGEINT (r8, closing the r7 ADVICE overflow).
-    cb.map { case (m, code, sArr, n) => (m, code, sArr, n) }
-      .toDF("m", "code", "s", "n")
-      .withColumn("s2", expr(
-        "aggregate(s, cast(0 as decimal(38,0)), (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+    // Overflow-safe scalars computed ONCE per code, on the driver, in
+    // BigInt/BigDecimal: s components are SUMS over code members
+    // (~n·10³ each), so a Long ‖s‖² wraps silently once membership
+    // passes ~7.6e5 — far below 100 TB-scale cell sizes; the oracle
+    // mirrors with HUGEINT. r8 routed the widening through
+    // DECIMAL(38,0) in the per (vector×code) comparator row and paid
+    // 1.5-1.9× on q100/q43; the codebook is O(PqM·PqK) parameter rows,
+    // so the exact wide math belongs HERE, shipped as plain doubles —
+    // the per-row comparator stays long/double and codegen-friendly.
+    //  - s2n2 = ‖s‖²/n² (one DECIMAL128 division + one double rounding)
+    //  - invn = 1/n
+    //  - n2t  = (1e6·‖s‖²) div n² — BigInt `/` truncates toward zero on
+    //    these non-negative values, same as Spark `div` / DuckDB `//`
+    cb.map { case (m, code, sArr, n) =>
+      val s2 = sArr.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+      val n2 = BigInt(n) * n
+      ((m, code, sArr, n, (BigDecimal(s2) / BigDecimal(n2)).toDouble,
+        1.0 / n, (BigInt(1000000) * s2 / n2).toLong))
+    }.toDF("m", "code", "s", "n", "s2n2", "invn", "n2t")
   }
 
   /** Nearest-code assignment per (vector, subspace): broadcast the
@@ -168,15 +179,19 @@ object VectorQueries {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("f").asc, col("code"))
     subs.join(broadcast(cbDf.select(col("m"), col("code"), col("s"),
-        col("n"), col("s2"))), Seq("m"))
+        col("s2n2"), col("invn"))), Seq("m"))
       .withColumn("d", intDot(col("sub"), col("s")))
-      // comparator in DECIMAL(38,0): s2 and d·n are both ~1.6e7·n², so
-      // Long subtraction wraps at n ≈ 7.6e5 members — the same silent
-      // divergence the r7 ADVICE flagged for the ADC terms
+      // Per-row comparator in pure long/double: f = ‖s‖²/n² − 2·d/n,
+      // with ‖s‖²/n² and 1/n precomputed exactly per code (above). d is
+      // an exact Long (wraps only past n ≈ 3.6e10 members) and is exact
+      // as a double up to n ≈ 3e7. Rounding bound vs the oracle's
+      // wide-integer-then-divide form: ≤ a few ulps of the two f terms,
+      // ~9 orders below inter-code gaps on quantized data; exact
+      // duplicate codes (the real tie case — stride init + converged
+      // Lloyd produce them) still tie exactly and resolve by code id,
+      // matching the oracle's row_number order.
       .withColumn("f",
-        (col("s2") - lit(2L) * col("d").cast("decimal(38,0)") * col("n"))
-          .cast("double")
-          / (col("n").cast("decimal(38,0)") * col("n")).cast("double"))
+        col("s2n2") - lit(2.0) * col("d").cast("double") * col("invn"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("sub"), col("code"))
@@ -283,7 +298,7 @@ object VectorQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("qv").as("q_qv"))
       .crossJoin(broadcast(cellsDf(s, cells)))
-      .withColumn("score", intScore(col("q_qv"), col("cs"), col("n2")))
+      .withColumn("score", intScore(col("q_qv"), col("cs"), col("norm")))
       .withColumn("rn", row_number().over(qwin))
       .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
@@ -298,18 +313,25 @@ object VectorQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Integer cosine-argmax score against a cell's sum vector. */
-  private def intScore(qv: Column, cs: Column, n2: Column): Column =
-    intDot(qv, cs).cast("double") / sqrt(n2.cast("double"))
+  /** Integer cosine-argmax score against a cell's sum vector, with the
+    * cell norm precomputed per cell — the per-row work is one fused
+    * integer dot, one long→double cast, one divide.
+    */
+  private def intScore(qv: Column, cs: Column, norm: Column): Column =
+    intDot(qv, cs).cast("double") / norm
 
   private def cellsDf(spark: SparkSession, cells: Seq[(Long, Array[Long])]): DataFrame = {
     import spark.implicits._
-    // ‖s‖² in DECIMAL(38,0): cell-sum components are ~n·10³, so a Long
-    // Σs² wraps silently at n ≈ 3.8e5 members/cell (the q100 codebook
-    // bound's q43 sibling); DuckDB replays with per-element HUGEINT.
-    cells.map { case (id, s) => (id, s) }.toDF("cell", "cs")
-      .withColumn("n2", expr(
-        "aggregate(cs, cast(0 as decimal(38,0)), (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+    // ‖s‖ per cell computed once on the driver in BigInt (a Long Σs²
+    // wraps silently at n ≈ 3.8e5 members/cell — the q100 codebook
+    // bound's q43 sibling), then rounded once to double and sqrt'd —
+    // bit-identical to the oracle's sqrt(CAST(HUGEINT-sum AS DOUBLE))
+    // per row, but the cast+sqrt never rides the n×k join rows the way
+    // r8's DECIMAL(38,0) column did.
+    cells.map { case (id, s) =>
+      val n2 = s.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+      (id, s, math.sqrt(n2.toDouble))
+    }.toDF("cell", "cs", "norm")
   }
 
   /** Assign every vector to its best cell (max integer-cosine, ties →
@@ -320,7 +342,7 @@ object VectorQueries {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("cell"))
     qemb.crossJoin(broadcast(cellsDf(spark, cells)))
-      .withColumn("score", intScore(col("qv"), col("cs"), col("n2")))
+      .withColumn("score", intScore(col("qv"), col("cs"), col("norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("qv"), col("cell"))
@@ -1167,15 +1189,10 @@ object VectorQueries {
           .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray, 1L))
           .toSeq.sortBy(x => (x._1, x._2))
         val cb1 = pqUpdate(pqAssign(subs, pqCodebookDf(s, cb0)))
-        // ADC fixed-point terms through DECIMAL(38,0): 1e6·s2 ~ 1.6e13·n²
-        // wraps a Long at n ≈ 760 members, 1e6·d at n ≈ 5.8e5 — Spark
-        // would wrap silently while DuckDB errors on BIGINT overflow
-        // (the r7 ADVICE divergence). `div` on decimals still truncates
-        // toward zero and returns BIGINT; the quotients themselves
-        // (~1.6e13) fit comfortably.
+        // The ADC per-code term n2t = (1e6·s2) div n² comes precomputed
+        // from pqCodebookDf (driver-side BigInt — 1e6·s2 ~ 1.6e13·n²
+        // wraps a Long at n ≈ 760 members, the r7 ADVICE divergence).
         val cbDf = pqCodebookDf(s, cb1)
-          .withColumn("n2t",
-            expr("(1000000 * s2) div (cast(n as decimal(38,0)) * n)"))
         val encoded = pqAssign(subs, cbDf)
           .select(col("vec_id"), col("m"), col("code"))
         val partials = subs.filter(col("vec_id") < 10)
