@@ -21,6 +21,13 @@ object DedupCluster {
     */
   def resolve(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    // No cache on the incoming pairs despite the symmetrizing self-union
+    // below reading them twice: the branches are identical up to the
+    // final projection, so ReuseExchange dedupes the caller's pair
+    // pipeline inside the one edges0-materializing job — measured 2.5 s
+    // warm for q70 at sf0.1 vs 3.9 s WITH an explicit pairs.cache()
+    // (the cache adds a full materialization and memory churn for work
+    // the optimizer already shares).
     // no distinct(): duplicate edges are harmless under the min
     // aggregation (idempotent), and deduping them would cost an extra
     // shuffle per resolve
@@ -74,6 +81,19 @@ object DedupCluster {
       prevSum = nextSum
       iter += 1
     }
+    // One stderr line per resolve: iteration count and graph shape. This
+    // is the attribution instrument for bench drift — label propagation
+    // costs O(iters) joins, and iters = max component diameter, a pure
+    // property of the INPUT's near-dup structure; a regenerated corpus
+    // with bigger/longer components shows up here, a plan or session
+    // problem doesn't (r8: q85 3.3× with zero code change, unattributable
+    // from the artifact alone).
+    val stats = labels
+      .agg(count(col("id")).as("n"), countDistinct(col("label")).as("c"))
+      .head()
+    System.err.println(s"[dedup-cluster] edges=$nEdges " +
+      s"nodes=${stats.getLong(0)} clusters=${stats.getLong(1)} " +
+      s"parts=$parts iters=$iter converged=$converged")
     edges.unpersist()
     edges0.unpersist()
     // hand the result off as a checkpoint: the iteration's lineage (and
