@@ -9,6 +9,7 @@ oracle SQL from oracle_sql.json in DuckDB with views registered over the
 all columns, exact value equality (floats compared bitwise via repr).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -64,6 +65,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_pass += 1
         except Exception as ex:
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            n_fail += 1
+    # A query that threw in Verify leaves an _ERROR sentinel dir; count
+    # any that have no oracle entry too, so a broken oracle-less query
+    # can't shrink the gate silently.
+    for entry in sorted(os.listdir(out_dir)):
+        sentinel = os.path.join(out_dir, entry, "_ERROR")
+        if entry not in oracle and os.path.isfile(sentinel):
+            print(f"ERROR {entry}: {open(sentinel).read().strip()}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0

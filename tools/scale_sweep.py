@@ -63,6 +63,13 @@ def compare(sf_dir: str, out_dir: str) -> dict:
             marks[name] = "pass"
         except Exception as ex:  # noqa: BLE001 - recorded, not raised
             marks[name] = f"ERR: {ex}"
+    # A query that threw in Verify leaves an _ERROR sentinel dir; pick up
+    # any that have no oracle entry too (a sentinel must never vanish
+    # from the artifact just because the query is oracle-less).
+    for entry in sorted(os.listdir(out_dir)):
+        sentinel = os.path.join(out_dir, entry, "_ERROR")
+        if entry not in marks and os.path.isfile(sentinel):
+            marks[entry] = "ERR: " + open(sentinel).read().strip()
     con.close()
     return marks
 
