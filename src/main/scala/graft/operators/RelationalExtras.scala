@@ -373,6 +373,76 @@ object RelationalExtras {
                CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS avg_7d
         FROM daily
         WINDOW w AS (ORDER BY sales_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        ORDER BY sales_date"""))
+        ORDER BY sales_date""")),
+
+    // ------------------------------------------------------------------
+    // q117: LINK-GRAPH CENTRALITY (PageRank-style authority prior, 2
+    // damped iterations) — the graph-derived quality prior web-corpus
+    // curation uses for domain authority, demonstrated on the
+    // customer↔part bipartite graph (distinct orders⋈lineitem edges).
+    // All arithmetic is FIXED-POINT LONG micro-units (init 1e6/node,
+    // rank' = 0.15e6 + 85·Σ(rank div deg) div 100) so shuffled partial
+    // sums are exact and order-independent — the q90 quantization MO
+    // applied to an iterative operator; the oracle replays the two
+    // iterations CTE-for-CTE with `//`. Each half-step is one equi-join
+    // on a node key + one shuffle agg — no driver state, no cross join;
+    // at 100 TB each iteration is a fixed number of co-partitioned
+    // shuffles. Overflow bound: rank mass is conserved at ≈ N·1.15e6
+    // micro-units, so partial sums stay exact in Long for N up to ~1e12
+    // nodes; beyond that rescale the unit per iteration (documented in
+    // SCALING.md's overflow ledger pattern).
+    Q("q117_link_centrality",
+      (s, dir) => {
+        val e = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+              .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+        val dc = e.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+        val dp = e.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
+        val ec = e.join(dc, "c")
+        val p1 = ec.withColumn("contrib", expr("1000000L div cdeg"))
+          .groupBy(col("p")).agg(sum(col("contrib")).as("sc"))
+          .select(col("p"), expr("150000L + (85L * sc) div 100L").as("mu"))
+        val c1 = e.join(p1, "p").join(dp, "p")
+          .withColumn("contrib", expr("mu div pdeg"))
+          .groupBy(col("c")).agg(sum(col("contrib")).as("sc"))
+          .select(col("c"), expr("150000L + (85L * sc) div 100L").as("mu"))
+        val p2 = ec.join(c1, "c")
+          .withColumn("contrib", expr("mu div cdeg"))
+          .groupBy(col("p")).agg(sum(col("contrib")).as("sc"))
+          .select(col("p"), expr("150000L + (85L * sc) div 100L").as("mu"))
+        val w = Window.orderBy(col("mu").desc, col("p"))
+        p2.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 30)
+          .select(i64(col("p")).as("part_id"), col("mu").as("centrality_mu"),
+            (col("mu").cast("double") / 1000000.0).as("centrality"),
+            col("rnk"))
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH e AS (
+          SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        dc AS (SELECT c, count(*) AS cdeg FROM e GROUP BY c),
+        dp AS (SELECT p, count(*) AS pdeg FROM e GROUP BY p),
+        p1 AS (
+          SELECT e.p,
+                 CAST(150000 + (85 * sum(1000000 // dc.cdeg)) // 100 AS BIGINT) AS mu
+          FROM e JOIN dc ON e.c = dc.c GROUP BY e.p),
+        c1 AS (
+          SELECT e.c,
+                 CAST(150000 + (85 * sum(p1.mu // dp.pdeg)) // 100 AS BIGINT) AS mu
+          FROM e JOIN p1 ON e.p = p1.p JOIN dp ON e.p = dp.p GROUP BY e.c),
+        p2 AS (
+          SELECT e.p,
+                 CAST(150000 + (85 * sum(c1.mu // dc.cdeg)) // 100 AS BIGINT) AS mu
+          FROM e JOIN c1 ON e.c = c1.c JOIN dc ON e.c = dc.c GROUP BY e.p)
+        SELECT CAST(p AS BIGINT) AS part_id, mu AS centrality_mu,
+               CAST(mu AS DOUBLE) / 1000000.0 AS centrality,
+               CAST(row_number() OVER (ORDER BY mu DESC, p) AS BIGINT) AS rnk
+        FROM p2 QUALIFY rnk <= 30 ORDER BY rnk"""),
+      doc = "Damped 2-iteration bipartite link centrality in exact fixed-point (authority prior).")
   )
 }

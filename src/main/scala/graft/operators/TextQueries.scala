@@ -1093,6 +1093,82 @@ object TextQueries {
         JOIN sz a ON iv.source_a = a.source
         JOIN sz b ON iv.source_b = b.source
         ORDER BY source_a, source_b"""),
-      doc = "Source-pair distinct-shingle overlap + Jaccard (provenance diagnostic).")
+      doc = "Source-pair distinct-shingle overlap + Jaccard (provenance diagnostic)."),
+
+    // ------------------------------------------------------------------
+    // q115: PER-SOURCE QUALITY CAP — the C4/RefinedWeb-style domain cap:
+    // keep at most N docs per source, ranked by the q28/q30 quality
+    // score (tie → lower doc_id), so no single domain dominates the
+    // training mix. One shuffle on source + a per-source window; the
+    // groups are domain-sized, and at 100 TB a skew-heavy domain is
+    // pre-pruned by the same window run per partition first (AQE handles
+    // the exchange; the window itself is the standard per-key top-N
+    // shape used across this registry). Ranks by the SAME quality
+    // doubles the oracle computes (q85 established the parity).
+    Q("q115_source_cap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            qualityScoreFused(col("text"), textStats(col("text")))
+              .as("quality"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .orderBy(col("source"), col("rk"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, source,
+                 $qualitySqlExpr AS quality
+          FROM documents)
+        SELECT doc_id, source, quality,
+               CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        FROM scored QUALIFY rk <= 10 ORDER BY source, rk"""),
+      doc = "Per-domain document cap by quality (corpus-mix curation)."),
+
+    // ------------------------------------------------------------------
+    // q116: VOCABULARY COVERAGE CURVE — for tokenizer/vocab design: what
+    // fraction of all corpus token OCCURRENCES is covered by the top-K
+    // most frequent terms, for a ladder of K. Explode→count is the one
+    // corpus-sized pass; everything after runs on the vocab-sized
+    // aggregate (the global rank window sorts |V| rows, corpus-
+    // independent), and the K ladder is a broadcast of 5 rows. coverage
+    // = exact-long covered/total in ONE IEEE division — portable.
+    Q("q116_vocab_coverage",
+      (s, dir) => {
+        import s.implicits._
+        val counts = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val ranked = counts.withColumn("r",
+          row_number().over(Window.orderBy(col("c").desc, col("term"))))
+        val totals = counts.agg(sum(col("c")).as("total"))
+        val ks = Seq(100, 500, 1000, 2000, 5000).toDF("k")
+        ranked.join(broadcast(ks), col("r") <= col("k"))
+          .groupBy(col("k")).agg(sum(col("c")).as("cov_tokens"))
+          .crossJoin(totals)
+          .select(col("k").cast("long").as("k"),
+            col("cov_tokens"),
+            (col("cov_tokens").cast("double") /
+              col("total").cast("double")).as("coverage"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH toks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        ranked AS (SELECT term, c,
+                     row_number() OVER (ORDER BY c DESC, term) AS r
+                   FROM counts),
+        tot AS (SELECT sum(c) AS total FROM counts),
+        ks AS (SELECT unnest([100, 500, 1000, 2000, 5000]) AS k)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(sum(c) AS BIGINT) AS cov_tokens,
+               CAST(sum(c) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM tot)
+                 AS coverage
+        FROM ranked JOIN ks ON r <= k
+        GROUP BY k ORDER BY k"""),
+      doc = "Top-K vocabulary coverage of token occurrences (tokenizer sizing).")
   )
 }
