@@ -58,7 +58,11 @@ object Serve {
     "public_corpus_zipf" -> "q107_zipf_slope",
     "public_corpus_source_overlap" -> "q111_source_overlap",
     "public_corpus_span_corruption" -> "q113_span_corruption",
-    "public_corpus_bpe_pairs" -> "q109_bpe_pairs")
+    "public_corpus_bpe_pairs" -> "q109_bpe_pairs",
+    // round-9 curation dashboards
+    "public_corpus_source_cap" -> "q115_source_cap",
+    "public_corpus_vocab_coverage" -> "q116_vocab_coverage",
+    "public_link_centrality" -> "q117_link_centrality")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =
