@@ -62,7 +62,9 @@ object Serve {
     // round-9 curation dashboards
     "public_corpus_source_cap" -> "q115_source_cap",
     "public_corpus_vocab_coverage" -> "q116_vocab_coverage",
-    "public_link_centrality" -> "q117_link_centrality")
+    "public_link_centrality" -> "q117_link_centrality",
+    "public_corpus_quality_sample" -> "q118_quality_sample",
+    "public_corpus_padding_waste" -> "q119_padding_waste")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -52,4 +52,14 @@ object Affine61 {
     ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
       (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
   }
+
+  /** Constants for quality-weighted rejection sampling (q118) —
+    * independent of the mix family so acceptance never correlates with
+    * q73/q84's quota decisions on the same doc ids.
+    */
+  val (qualA, qualB): (Long, Long) = {
+    val rnd = new java.util.Random(20260901L)
+    ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
+  }
 }

@@ -228,6 +228,65 @@ object DataSplit {
                  CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
           FROM flagged GROUP BY source, total_tokens, ppm
           ORDER BY source""")
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // q118: QUALITY-WEIGHTED REJECTION SAMPLING — accept each doc with
+    // probability equal to its q28/q30 quality score (soft filtering:
+    // high-quality docs survive at ~their score, junk is mostly dropped
+    // but never deterministically censored — the curation step between
+    // a hard quality gate and keeping everything). The accept decision
+    // is affine61(doc_id) % 1e6 < floor(quality·1e6): a pure function
+    // of the row (partitioning/cluster/read-order independent), on its
+    // OWN hash constants so acceptance never correlates with q73/q84's
+    // quota sampling. The oracle recomputes the exact accepted SET
+    // (counts + id-sum + quality-mass in integer micro-units); the
+    // corpus is never shuffled — one row-local pass + a source agg.
+    Q("q118_quality_sample",
+      (s, dir) => {
+        import graft.functions.Affine61.{affine61, qualA, qualB}
+        import graft.functions.TextFunctions.{qualityScoreFused, textStats}
+        val qmu = floor(col("quality") * 1000000.0).cast("long")
+        val kept = affine61(col("doc_id"), qualA, qualB) % 1000000L <
+          col("qmu")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            qualityScoreFused(col("text"), textStats(col("text")))
+              .as("quality"))
+          .withColumn("qmu", qmu)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(kept, lit(1))).as("n_kept"),
+            coalesce(sum(when(kept, col("doc_id"))), lit(0L))
+              .as("sum_kept_ids"),
+            coalesce(sum(when(kept, col("qmu"))), lit(0L))
+              .as("kept_quality_mu"),
+            sum(col("qmu")).as("total_quality_mu"))
+          .withColumn("achieved_rate",
+            col("n_kept").cast("double") / col("n_docs"))
+          .orderBy(col("source"))
+      },
+      {
+        import graft.functions.Affine61.{qualA, qualB}
+        import graft.functions.MulMod61.P
+        Some(s"""WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(floor((${TextQueries.qualitySqlExpr}) * 1000000.0) AS BIGINT) AS qmu
+            FROM documents),
+          flagged AS (
+            SELECT source, doc_id, qmu,
+                   ((($qualA::HUGEINT * doc_id + $qualB) % $P) % 1000000 < qmu) AS kept
+            FROM scored)
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids,
+                 CAST(coalesce(sum(CASE WHEN kept THEN qmu END), 0) AS BIGINT) AS kept_quality_mu,
+                 CAST(sum(qmu) AS BIGINT) AS total_quality_mu,
+                 CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate
+          FROM flagged GROUP BY source ORDER BY source""")
+      },
+      doc = "Per-doc rejection sampling at rate = quality score (soft curation filter).")
   )
 }

@@ -394,6 +394,55 @@ object TrainingQueries {
         ORDER BY source, chunk_id""")),
 
     // ------------------------------------------------------------------
+    // q119: PADDING-WASTE ESTIMATE for length-bucketed batching — docs
+    // are grouped into power-of-two token-length buckets (the standard
+    // bucketed-batching scheme) and each bucket reports how many pad
+    // tokens batching to the bucket cap would burn (utilization =
+    // real/total slots). Pure row-local bucket assignment via an
+    // explicit CASE ladder (no log2 doubles — exact same branch on both
+    // engines) + one small agg; the 100 TB plan is a single map pass.
+    Q("q119_padding_waste",
+      (s, dir) => {
+        val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L,
+          4096L, 8192L)
+        val n = col("n_tok")
+        val cap = caps.tail.foldLeft(when(n <= caps.head, caps.head)) {
+          (e, c) => e.when(n <= c, c)
+        }.otherwise(16384L)
+        t(s, dir, "documents")
+          .select(col("doc_id"), size(toks(col("text"))).cast("long")
+            .as("n_tok"))
+          .withColumn("bucket_cap", cap)
+          .groupBy(col("bucket_cap"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            sum(col("bucket_cap") - col("n_tok")).as("padded_tokens"))
+          .withColumn("utilization",
+            col("total_tokens").cast("double") /
+              (col("n_docs") * col("bucket_cap")).cast("double"))
+          .orderBy(col("bucket_cap"))
+      },
+      {
+        val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+          .map(c => s"WHEN n_tok <= $c THEN $c").mkString(" ")
+        Some(s"""WITH tok AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+            FROM documents),
+          b AS (SELECT doc_id, n_tok,
+                       CASE $ladder ELSE 16384 END AS bucket_cap
+                FROM tok)
+          SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(bucket_cap - n_tok) AS BIGINT) AS padded_tokens,
+                 CAST(sum(n_tok) AS DOUBLE)
+                   / CAST(count(*) * bucket_cap AS DOUBLE) AS utilization
+          FROM b GROUP BY bucket_cap ORDER BY bucket_cap""")
+      },
+      doc = "Pad-token cost of power-of-two length-bucketed batching (batch-shape design)."),
+
+    // ------------------------------------------------------------------
     // q59: batch SESSIONIZATION via Spark's native session_window —
     // gap-based (30 min) per-user sessions with event counts and value
     // sums. The DuckDB oracle is the classic gaps-and-islands rewrite
