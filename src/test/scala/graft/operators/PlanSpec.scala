@@ -218,6 +218,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q115: cap window partitions by source (no global window); no cartesian") {
+    val plan = planOf("q115_source_cap")
+    assert(plan.contains("windowspecdefinition(source"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q116: the K ladder broadcasts onto the vocab rank (corpus never nested-looped)") {
+    val plan = planOf("q116_vocab_coverage")
+    // r <= k is a theta join against a 5-row dim: BroadcastNestedLoop
+    // over the vocab-sized ranked frame is the intended shape; the
+    // corpus-sized explode feeds only the hash aggregation below it
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no map-side combine on the token counts:\n${plan.take(3000)}")
+  }
+
+  test("q117: centrality iterations are hash joins + aggs, never cartesian") {
+    val plan = planOf("q117_link_centrality")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("q118/q119: row-local curation passes never join or nested-loop") {
+    Seq("q118_quality_sample", "q119_padding_waste").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("Join"), s"$n joins:\n${plan.take(2000)}")
+      assert(plan.contains("HashAggregate"), s"$n:\n${plan.take(2000)}")
+    }
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
