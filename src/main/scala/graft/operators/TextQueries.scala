@@ -1134,15 +1134,20 @@ object TextQueries {
     // corpus-sized pass; everything after runs on the vocab-sized
     // aggregate (the global rank window sorts |V| rows, corpus-
     // independent), and the K ladder is a broadcast of 5 rows. coverage
-    // = exact-long covered/total in ONE IEEE division — portable.
+    // = exact-long covered/total in ONE IEEE division — portable. Only
+    // ranks ≤ max(K) matter, so the rank window runs AFTER a
+    // distributed top-5000 (TakeOrderedAndProject: per-partition heaps,
+    // never a single-task sort of the full vocabulary — the difference
+    // between |V| and 5000 rows in one partition at web scale).
     Q("q116_vocab_coverage",
       (s, dir) => {
         import s.implicits._
         val counts = t(s, dir, "documents")
           .select(explode(tokens(col("text"))).as("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("c"))
-        val ranked = counts.withColumn("r",
-          row_number().over(Window.orderBy(col("c").desc, col("term"))))
+        val ranked = counts.orderBy(col("c").desc, col("term")).limit(5000)
+          .withColumn("r",
+            row_number().over(Window.orderBy(col("c").desc, col("term"))))
         val totals = counts.agg(sum(col("c")).as("total"))
         val ks = Seq(100, 500, 1000, 2000, 5000).toDF("k")
         ranked.join(broadcast(ks), col("r") <= col("k"))
