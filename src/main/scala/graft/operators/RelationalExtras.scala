@@ -218,9 +218,14 @@ object RelationalExtras {
         rowOf(1, "view", v)
           .unionByName(rowOf(2, "click_after_view", c))
           .unionByName(rowOf(3, "purchase_after_click", p))
+          // guard the 0-user degenerate case (empty corpus / first day):
+          // 0/0 is an ANSI error in Spark and NaN in DuckDB — both
+          // wrong answers for "conversion out of nobody"; define it 1.0
+          .withColumn("prev", lag(col("n_users"), 1).over(w))
           .withColumn("conversion",
-            coalesce(col("n_users").cast("double") /
-              lag(col("n_users"), 1).over(w), lit(1.0)))
+            when(col("prev").isNull || col("prev") === 0, lit(1.0))
+              .otherwise(col("n_users").cast("double") / col("prev")))
+          .drop("prev")
           .orderBy(col("stage_no"))
       },
       Some("""WITH v AS (
@@ -244,8 +249,10 @@ object RelationalExtras {
           UNION ALL
           SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
         SELECT stage_no, stage, n_users,
-               coalesce(CAST(n_users AS DOUBLE)
-                 / lag(n_users) OVER (ORDER BY stage_no), 1.0) AS conversion
+               CASE WHEN coalesce(lag(n_users) OVER (ORDER BY stage_no), 0) = 0
+                    THEN 1.0
+                    ELSE CAST(n_users AS DOUBLE)
+                         / lag(n_users) OVER (ORDER BY stage_no) END AS conversion
         FROM ladder ORDER BY stage_no""")),
 
     // ------------------------------------------------------------------
