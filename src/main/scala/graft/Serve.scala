@@ -64,7 +64,9 @@ object Serve {
     "public_corpus_vocab_coverage" -> "q116_vocab_coverage",
     "public_link_centrality" -> "q117_link_centrality",
     "public_corpus_quality_sample" -> "q118_quality_sample",
-    "public_corpus_padding_waste" -> "q119_padding_waste")
+    "public_corpus_padding_waste" -> "q119_padding_waste",
+    "public_corpus_split_leakage" -> "q120_split_leakage",
+    "public_corpus_dedup_split" -> "q121_dedup_aware_split")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -655,6 +655,112 @@ object DedupQueries {
                CAST(bit_count(xor(a_sig, b_sig)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= $MaxHamming
         ORDER BY a_id, b_id"""),
-      doc = "Banded SimHash near-dup detection; signatures oracle'd in q37.")
+      doc = "Banded SimHash near-dup detection; signatures oracle'd in q37."),
+
+    // ------------------------------------------------------------------
+    // q120: TRAIN/TEST SPLIT-LEAKAGE AUDIT — the eval-integrity check a
+    // training pipeline must run after splitting: how many VERIFIED
+    // near-duplicate pairs (LSH candidates, exact Jaccard ≥ 0.8 — the
+    // q36/q70 production edge set) straddle the q45 split boundary? A
+    // doc-id-hash split ignores near-duplicate structure, so paraphrased
+    // copies of a training doc land in val/test and inflate eval scores
+    // (the contamination mechanism q50/q81 guard against for EXTERNAL
+    // benchmarks, here measured INSIDE the corpus). Dataflow adds only
+    // row-local split labeling + a 9-group aggregation on top of the
+    // banded candidate join — no new shuffle shape vs q36, so the 100 TB
+    // posture is exactly q36's. `pair_id_sum` pins the exact leaked pair
+    // SET (not just counts) against the oracle, which replays the full
+    // signature → band → verify dataflow in DuckDB.
+    Q("q120_split_leakage",
+      (s, dir) => {
+        def splitOf(c: org.apache.spark.sql.Column) =
+          when(c % 10 < 8, "train").when(c % 10 === 8, "val")
+            .otherwise("test")
+        lshVerifiedPairs(t(s, dir, "documents"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("a_id"), col("b_id"),
+            splitOf(col("a_id")).as("split_a"),
+            splitOf(col("b_id")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a_id") + col("b_id")).as("pair_id_sum"))
+          .withColumn("is_leak",
+            (col("split_a") =!= col("split_b")).cast("int"))
+          .select(col("split_a"), col("split_b"), col("is_leak"),
+            col("n_pairs"), col("pair_id_sum"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH $pairCtes,
+        lab AS (
+          SELECT a_id, b_id,
+            CASE WHEN a_id % 10 < 8 THEN 'train'
+                 WHEN a_id % 10 = 8 THEN 'val' ELSE 'test' END AS split_a,
+            CASE WHEN b_id % 10 < 8 THEN 'train'
+                 WHEN b_id % 10 = 8 THEN 'val' ELSE 'test' END AS split_b
+          FROM verif WHERE jaccard >= 0.8)
+        SELECT split_a, split_b,
+               CAST(split_a <> split_b AS INTEGER) AS is_leak,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(a_id + b_id) AS BIGINT) AS pair_id_sum
+        FROM lab GROUP BY split_a, split_b
+        ORDER BY split_a, split_b"""),
+      doc = "Near-dup pairs straddling the train/val/test boundary (eval leakage audit)."),
+
+    // ------------------------------------------------------------------
+    // q121: DEDUP-AWARE SPLIT — the fix for what q120 measures: assign
+    // splits by near-dup CLUSTER, not by document. Every doc maps to its
+    // q70 canonical id (docs outside any cluster are their own
+    // canonical), and the q45 hash split is applied to the CANONICAL id,
+    // so an entire near-dup component lands in one split by construction
+    // — members of a verified pair share a canonical id, hence a split;
+    // cross-split leakage over the q70 edge set is structurally zero
+    // (DedupClusterSpec asserts it). Dataflow: resolve() (the q70
+    // iterative label propagation) + one equi-join of the corpus against
+    // the cluster map on doc_id — the map holds only clustered docs
+    // (≪ corpus; near-dup rate × corpus), and the join is a plain
+    // shuffle equi-join that AQE broadcasts when the map is small.
+    // `doc_id_sum` pins the exact per-split membership against the
+    // oracle's recursive-CTE component replay.
+    Q("q121_dedup_aware_split",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = lshVerifiedPairs(docs).filter(col("jaccard") >= 0.8)
+        val clusters = DedupCluster.resolve(pairs)
+          .select(col("id").as("doc_id"), col("canonical_id"))
+        val canon = coalesce(col("canonical_id"), col("doc_id"))
+        val split = when(canon % 10 < 8, "train")
+          .when(canon % 10 === 8, "val").otherwise("test")
+        docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"), canon.as("canon"), split.as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canon")).as("n_clusters"),
+            sum(col("doc_id")).as("doc_id_sum"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE $pairCtes,
+        edges AS (
+          SELECT a_id AS src, b_id AS dst FROM verif WHERE jaccard >= 0.8
+          UNION
+          SELECT b_id, a_id FROM verif WHERE jaccard >= 0.8),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, comp) AS (
+          SELECT doc_id, doc_id FROM nodes
+          UNION
+          SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id),
+        comps AS (
+          SELECT doc_id, CAST(min(comp) AS BIGINT) AS canonical_id
+          FROM reach GROUP BY doc_id),
+        lab AS (
+          SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canon
+          FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id)
+        SELECT CASE WHEN canon % 10 < 8 THEN 'train'
+                    WHEN canon % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM lab GROUP BY split ORDER BY split"""),
+      doc = "Leakage-free splitting: the q45 hash split applied per near-dup cluster.")
   )
 }

@@ -55,4 +55,41 @@ class DedupClusterSpec extends AnyFunSuite {
     val m = resolved.toMap
     m.values.toSet.foreach((c: Long) => assert(m(c) == c))
   }
+
+  test("q121 dedup-aware split has structurally zero leakage; q120 measures the doc-id split") {
+    val sfDir = "/root/testdata/sf0.001"
+    // Every verified near-dup pair shares a canonical id, hence a split:
+    // label both endpoints of the q70 edge set with the q121 rule
+    // (split of the canonical) and assert no pair straddles a boundary.
+    val pairs = DedupQueries.lshVerifiedPairs(
+        graft.Tables.load(spark, sfDir, "documents"))
+      .filter($"jaccard" >= 0.8).select($"a_id", $"b_id")
+    val canon = DedupCluster.resolve(pairs)
+      .select($"id", $"canonical_id")
+    def splitOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.when(c % 10 < 8, "train")
+        .when(c % 10 === 8, "val").otherwise("test")
+    val leaked = pairs
+      .join(canon.select($"id".as("a_id"), $"canonical_id".as("ca")), Seq("a_id"))
+      .join(canon.select($"id".as("b_id"), $"canonical_id".as("cb")), Seq("b_id"))
+      .filter(splitOf($"ca") =!= splitOf($"cb"))
+      .count()
+    assert(leaked == 0L)
+    // q120's grouped output is consistent: summing n_pairs over its rows
+    // equals the verified pair count, and doc-id splits CAN leak (the
+    // is_leak rows are exactly the split_a != split_b rows).
+    val q120 = DedupQueries.all.find(_.name == "q120_split_leakage").get
+      .run(spark, sfDir).collect()
+    val nPairs = q120.map(_.getAs[Long]("n_pairs")).sum
+    assert(nPairs == pairs.count())
+    q120.foreach { r =>
+      val leak = r.getAs[String]("split_a") != r.getAs[String]("split_b")
+      assert(r.getAs[Int]("is_leak") == (if (leak) 1 else 0))
+    }
+    // q121 partitions the corpus: per-split doc counts sum to the corpus
+    val q121 = DedupQueries.all.find(_.name == "q121_dedup_aware_split").get
+      .run(spark, sfDir).collect()
+    val corpus = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(q121.map(_.getAs[Long]("n_docs")).sum == corpus)
+  }
 }
