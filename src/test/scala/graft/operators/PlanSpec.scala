@@ -250,6 +250,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q120/q121: leakage audit and dedup-aware split stay on the banded-join shape") {
+    // both ride the q36 banded candidate join; the split labeling is
+    // row-local and the q121 cluster-map join is an equi-join — any
+    // CartesianProduct/BroadcastNestedLoop here means the LSH shape broke
+    Seq("q120_split_leakage", "q121_dedup_aware_split").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("CartesianProduct"), s"$n:\n${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n:\n${plan.take(3000)}")
+      assert(plan.contains("HashAggregate"), s"$n:\n${plan.take(3000)}")
+    }
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
