@@ -199,12 +199,19 @@ object Bench {
     val slowest = collection.immutable.ListMap(
       last.counted.toSeq.sortBy(-_._2).take(10): _*)
     val totalsMap =
-      if (runs.length >= 2)
+      if (runs.length >= 2) {
+        // NOTES.md recommends listing the same scale 2-3× for a warm
+        // repeat — disambiguate repeated scales (sf0.1, sf0.1#2, …) so
+        // the totals JSON object never carries duplicate keys
+        val seen = collection.mutable.Map.empty[String, Int]
         "," + runs.map { r =>
+          val base = r.sfDir.split('/').last
+          val n = seen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
+          val key = if (n == 1) base else s"$base#$n"
           val t = r.counted.values.filter(_ >= 0).sum
-          "\"" + r.sfDir.split('/').last + "\":" + f"$t%.2f"
+          "\"" + key + "\":" + f"$t%.2f"
         }.mkString("\"totals\":{", ",", "}")
-      else ""
+      } else ""
     val totalS = f"$total%.2f"
     val firstS = f"${last.firstRunTotal}%.2f"
     val gcS = f"${last.gcSec}%.1f"
