@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   * q33, q36+q85 keep-best, q50, q73, q45, q74), so each is
   * value-verified by the DuckDB gate in isolation; CorpusPrepSpec
   * verifies the composition
-  * (stage accounting, end-state invariants). Scale posture per stage is
+  * (stage accounting, end-state invariants). The plain doc-id hash
+  * split (stage 7) is sound HERE because stage 4 already removed every
+  * verified near-dup — q120_split_leakage audits exactly that
+  * assumption, and a pipeline that retains near-dups (no keep-best
+  * stage) should split by cluster canonical instead
+  * (q121_dedup_aware_split). Scale posture per stage is
   * documented in SCALING.md — nothing here shuffles more than its
   * registry twin.
   *
