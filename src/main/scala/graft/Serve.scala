@@ -66,7 +66,8 @@ object Serve {
     "public_corpus_quality_sample" -> "q118_quality_sample",
     "public_corpus_padding_waste" -> "q119_padding_waste",
     "public_corpus_split_leakage" -> "q120_split_leakage",
-    "public_corpus_dedup_split" -> "q121_dedup_aware_split")
+    "public_corpus_dedup_split" -> "q121_dedup_aware_split",
+    "public_corpus_diverse_picks" -> "q122_kcenter_diverse")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

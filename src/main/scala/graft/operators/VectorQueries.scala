@@ -1502,8 +1502,113 @@ object VectorQueries {
           .orderBy(col("vec_id"))
       },
       Some(abttOracleSql),
-      doc = "All-but-the-top: per-vector projection onto the dominant PC, row-local apply.")
+      doc = "All-but-the-top: per-vector projection onto the dominant PC, row-local apply."),
+
+    // ------------------------------------------------------------------
+    // q122: K-CENTER GREEDY DIVERSITY SELECTION (farthest-point
+    // sampling) — the coreset/curation step that picks a maximally-
+    // SPREAD k-subset of the embedding space (dedup keeps one copy of
+    // near-identical content; THIS keeps the most diverse exemplars —
+    // Sener & Savarese ICLR'18 use exactly this greedy 2-approximation
+    // for data selection). Seed = min vec_id; each round adds the point
+    // farthest (max min-distance) from the selected set, tie → lower
+    // id. All geometry is exact-integer: vectors on the q43 quantized
+    // grid, squared L2 via the fused [[IntDot]] (d2 = n2 − 2·(q·c) +
+    // ‖c‖², products ≤ 10⁶·64 — Long-exact), so the DuckDB oracle
+    // replays every selection decision bit-for-bit with K rounds
+    // unrolled as CTEs (the q43 MO). Dataflow per round: ONE
+    // distributed scan folding the new center into the per-point
+    // min-distance (localCheckpoint'd — the DedupCluster iterative
+    // pattern, so lineage never re-derives earlier rounds) + a
+    // TakeOrdered(1) argmax; driver state is one k×dims center list —
+    // O(model), never a corpus fraction. K is a constant (coreset
+    // size); at 100 TB the same loop runs with k-means‖-style
+    // over-sampling per round if K grows large (SCALING.md).
+    Q("q122_kcenter_diverse",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.IntDot.intDot
+        val K = 8
+        val qe0 = quantized(s, dir).select(col("vec_id"), col("qv"))
+          .withColumn("n2", intDot(col("qv"), col("qv")))
+        val seed = qe0.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id"), col("qv")).collect()
+        if (seed.isEmpty)
+          Seq.empty[(Long, Long, Long)].toDF("step", "vec_id", "radius2")
+        else {
+          def d2To(c: Seq[Long]): Column = {
+            val cn2 = c.map(x => x * x).sum // |q|≤~10³, d=64: Long-exact
+            col("n2") - lit(2L) * intDot(col("qv"), typedLit(c)) + lit(cn2)
+          }
+          val picked = Seq.newBuilder[(Long, Long, Long)]
+          val seedId = seed(0).getLong(0)
+          picked += ((0L, seedId, 0L))
+          var cur = qe0.filter(col("vec_id") =!= seedId)
+            .withColumn("d2", d2To(seed(0).getSeq[Long](1)))
+            .localCheckpoint()
+          var step = 1
+          while (step < K) {
+            // TakeOrdered(1): one row to the driver per round, O(K) total
+            val top = cur.orderBy(col("d2").desc, col("vec_id")).limit(1)
+              .select(col("vec_id"), col("qv"), col("d2")).collect()
+            if (top.isEmpty) step = K
+            else {
+              val (id, cqv, d2) =
+                (top(0).getLong(0), top(0).getSeq[Long](1), top(0).getLong(2))
+              picked += ((step.toLong, id, d2))
+              cur = cur.filter(col("vec_id") =!= id)
+                .withColumn("d2", least(col("d2"), d2To(cqv)))
+                .localCheckpoint()
+              step += 1
+            }
+          }
+          picked.result().toDF("step", "vec_id", "radius2").orderBy("step")
+        }
+      },
+      Some(kcenterOracleSql(8)),
+      doc = "Farthest-point sampling over quantized embeddings; every round oracle-replayed.")
   )
+
+  /** q122 oracle: the greedy selection unrolled round-for-round as CTEs
+    * (the q43 k-means MO). Exact-integer distances make every argmax
+    * decision replayable; `ORDER BY d2 DESC, vec_id LIMIT 1` is the
+    * same (max d2, tie → min id) rule as the Spark TakeOrdered.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def dist(qv: String, sel: String) =
+      s"""(SELECT CAST(list_sum(list_transform(list_zip($qv, s.qv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) FROM $sel s)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH qe AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s0 AS (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 1),
+       |d0 AS (SELECT e.vec_id, e.qv, ${dist("e.qv", "s0")} AS d2
+       |       FROM qe e WHERE e.vec_id NOT IN (SELECT vec_id FROM s0)),""".stripMargin
+    for (i <- 1 until k) {
+      sb ++= s"""
+         |s$i AS (SELECT vec_id, qv, d2 FROM d${i - 1}
+         |        ORDER BY d2 DESC, vec_id LIMIT 1),""".stripMargin
+      if (i < k - 1)
+        sb ++= s"""
+           |d$i AS (SELECT e.vec_id, e.qv,
+           |          least(e.d2, ${dist("e.qv", s"s$i")}) AS d2
+           |        FROM d${i - 1} e
+           |        WHERE e.vec_id NOT IN (SELECT vec_id FROM s$i)),""".stripMargin
+    }
+    sb ++= s"""
+       |sel AS (
+       |  SELECT CAST(0 AS BIGINT) AS step, vec_id,
+       |         CAST(0 AS BIGINT) AS radius2 FROM s0""".stripMargin
+    for (i <- 1 until k)
+      sb ++= s"""
+         |  UNION ALL SELECT CAST($i AS BIGINT), vec_id, CAST(d2 AS BIGINT)
+         |            FROM s$i""".stripMargin
+    sb ++= """)
+       |SELECT step, vec_id, radius2 FROM sel ORDER BY step""".stripMargin
+    sb.toString
+  }
 
   /** Symmetric per-vector int8 quantization: `floor(x/max|x|·127 + 0.5)`
     * ∈ [-127, 127]. Cosine is scale-invariant, so the per-vector scale

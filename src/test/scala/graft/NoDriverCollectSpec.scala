@@ -22,13 +22,15 @@ class NoDriverCollectSpec extends AnyFunSuite {
 
   /** file-name suffix -> (max occurrences, why each is bounded) */
   private val allowlist: Map[String, (Int, String)] = Map(
-    "operators/VectorQueries.scala" -> (6,
+    "operators/VectorQueries.scala" -> (8,
       "quantizer/model PARAMETER state only: IVF init collect is ~NCells " +
         "rows via a pre-counted stride and its Lloyd update is k*dims " +
         "integer sums; PQ's three (seed init, Lloyd update, and the q100 " +
         "codebook seed) are each O(PqM*PqK*PqSubDim) longs; q108 collects " +
         "the d(d+1)/2 = 2080 covariance cells (the MLlib collect-the-" +
-        "Gramian division of labor) — codebooks/matrices, never data"),
+        "Gramian division of labor); q122's two (seed + per-round argmax) " +
+        "are each exactly ONE row via limit(1), O(K) rows total — " +
+        "codebooks/matrices/centers, never data"),
     "Serve.scala" -> (1,
       "catalog metadata listing (table names), not data")
   )

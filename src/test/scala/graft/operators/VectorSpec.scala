@@ -557,4 +557,37 @@ class VectorSpec extends AnyFunSuite {
     assert(projs.max > projs.min)
     r.unpersist()
   }
+
+  test("k-center greedy: k distinct picks, non-increasing radius, true farthest-first") {
+    val rows = VectorQueries.all.find(_.name == "q122_kcenter_diverse").get
+      .run(spark, sfDir)
+      .select($"step", $"vec_id", $"radius2").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.length == 8)
+    assert(rows.map(_._2).distinct.length == 8, "duplicate selection")
+    assert(rows.head._1 == 0L && rows.head._3 == 0L)
+    // greedy max-min radius is monotone non-increasing after step 1:
+    // adding a center can only shrink every point's min-distance
+    val radii = rows.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius grew: ${radii.mkString(",")}")
+    }
+    assert(radii.head > 0, "degenerate corpus: farthest point at distance 0")
+    // independent replay of round 1 on the quantized grid: the step-1
+    // pick IS the integer-farthest point from the seed (tie -> min id)
+    val qvs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => org.apache.spark.sql.functions.floor(
+            x.cast("double") * 1000.0 + 0.5)).as("qv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val seed = qvs(rows.head._2)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val best = (qvs - rows.head._2).toSeq
+      .map { case (id, v) => (d2(seed, v), id) }
+      .minBy { case (d, id) => (-d, id) }
+    assert((best._2, best._1) == (rows(1)._2, rows(1)._3),
+      s"step-1 pick ${rows(1)} != brute-force farthest $best")
+  }
 }
