@@ -573,21 +573,28 @@ class VectorSpec extends AnyFunSuite {
       assert(b <= a, s"radius grew: ${radii.mkString(",")}")
     }
     assert(radii.head > 0, "degenerate corpus: farthest point at distance 0")
-    // independent replay of round 1 on the quantized grid: the step-1
-    // pick IS the integer-farthest point from the seed (tie -> min id)
+    // independent FULL replay on the quantized grid: a driver-side
+    // brute-force greedy must reproduce every round's pick and radius
+    // (the spec-side twin of the oracle's CTE unroll — same decisions,
+    // third implementation)
     val qvs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id",
         org.apache.spark.sql.functions.transform($"embedding",
           x => org.apache.spark.sql.functions.floor(
             x.cast("double") * 1000.0 + 0.5)).as("qv"))
       .as[(Long, Seq[Long])].collect().toMap
-    val seed = qvs(rows.head._2)
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val best = (qvs - rows.head._2).toSeq
-      .map { case (id, v) => (d2(seed, v), id) }
-      .minBy { case (d, id) => (-d, id) }
-    assert((best._2, best._1) == (rows(1)._2, rows(1)._3),
-      s"step-1 pick ${rows(1)} != brute-force farthest $best")
+    val seedId = qvs.keys.min
+    assert(rows.head._2 == seedId)
+    var minD = (qvs - seedId).map { case (id, v) => id -> d2(qvs(seedId), v) }
+    for (step <- 1 until 8) {
+      val (pickId, pickD) = minD.toSeq.minBy { case (id, d) => (-d, id) }
+      assert((rows(step)._2, rows(step)._3) == (pickId, pickD),
+        s"step $step: got ${rows(step)}, brute-force says ($pickId, $pickD)")
+      minD = (minD - pickId).map { case (id, d) =>
+        id -> math.min(d, d2(qvs(pickId), qvs(id)))
+      }
+    }
   }
 }
