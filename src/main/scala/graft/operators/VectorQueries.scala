@@ -109,11 +109,18 @@ object VectorQueries {
     transform(c, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)))
 
   /** (vec_id, embedding, qv) — the quantized working frame every IVF
-    * stage runs on.
+    * stage runs on. A NULL embedding carries no geometry: it can't seed
+    * a centroid, join a codebook, or be selected — and the driver-side
+    * model builds (strideInit, PQ seeds, q122's argmax) dereference the
+    * collected arrays, so a null row NPEs at executor depth on a dirty
+    * feed (NullableInputSpec). Model-building queries therefore define
+    * their corpus as the non-null-embedding rows; the gate tables carry
+    * no null embeddings, so oracles are unaffected.
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-      quantize(col("embedding")).as("qv"))
+    t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("qv"))
 
   // ------------------------------------------------------------------
   // q100 support: product quantization (Jégou et al., PAMI'11). The
