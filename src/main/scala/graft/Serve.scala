@@ -67,7 +67,10 @@ object Serve {
     "public_corpus_padding_waste" -> "q119_padding_waste",
     "public_corpus_split_leakage" -> "q120_split_leakage",
     "public_corpus_dedup_split" -> "q121_dedup_aware_split",
-    "public_corpus_diverse_picks" -> "q122_kcenter_diverse")
+    "public_corpus_diverse_picks" -> "q122_kcenter_diverse",
+    "public_corpus_boiler_strip" -> "q123_boilerplate_strip",
+    "public_corpus_weighted_sample" -> "q124_weighted_sample",
+    "public_corpus_source_kl" -> "q125_source_kl")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -62,4 +62,15 @@ object Affine61 {
     ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
       (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
   }
+
+  /** Constants for weighted sampling WITHOUT replacement (q124) — its
+    * exponential keys must be independent of both the mix quotas and
+    * q118's acceptance draws, or "selected by q124" would correlate
+    * with "kept by q118" on the same doc ids.
+    */
+  val (wsA, wsB): (Long, Long) = {
+    val rnd = new java.util.Random(20261001L)
+    ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
+  }
 }

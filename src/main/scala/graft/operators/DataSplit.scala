@@ -287,6 +287,71 @@ object DataSplit {
                  CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate
           FROM flagged GROUP BY source ORDER BY source""")
       },
-      doc = "Per-doc rejection sampling at rate = quality score (soft curation filter).")
+      doc = "Per-doc rejection sampling at rate = quality score (soft curation filter)."),
+
+    // ------------------------------------------------------------------
+    // q124: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    // A-ES, IPL 2006) — draw a FIXED-SIZE sample of k=100 docs with
+    // inclusion probability proportional to quality weight, the
+    // exact-size counterpart to q118's Bernoulli accept (which only
+    // controls the EXPECTED kept count). A-ES: key_i = u_i^(1/w_i),
+    // keep the k largest — equivalently ln(u_i)/w_i in log space, which
+    // avoids pow() and keeps the transcendental surface to ONE ln per
+    // row. u_i comes from affine61(doc_id) on the family's own
+    // constants (pure function of the row — partitioning/cluster/read-
+    // order independent, like every sampler here); w_i is the q28/q30
+    // quality score in integer micro-units, floored at 1 µ so zero-
+    // quality rows stay sampleable rather than dividing by zero.
+    // The key is QUANTIZED to integer micro-units (the q89/q90 rule:
+    // floor(x·1e4)·100) with doc_id as the total tie-break, so the
+    // selected SET is identical across engines despite 1-ulp libm ln
+    // drift. Dataflow: one row-local scoring pass, then a distributed
+    // top-k (TakeOrderedAndProject: per-partition heaps, never a global
+    // sort) and a rank window over the k survivors — O(k) rows. At
+    // 100 TB the corpus is read once and only 100 rows ever leave the
+    // executors.
+    Q("q124_weighted_sample",
+      (s, dir) => {
+        import graft.functions.Affine61.{affine61, wsA, wsB}
+        import graft.functions.TextFunctions.{qualityScoreFused, textStats}
+        import graft.functions.{MathLn, MulMod61}
+        val keyed = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            greatest(
+              floor(qualityScoreFused(col("text"), textStats(col("text")))
+                * 1000000.0).cast("long"),
+              lit(1L)).as("wmu"))
+          .withColumn("key_unat",
+            floor(MathLn.ln(
+              (affine61(col("doc_id"), wsA, wsB) + lit(1L)).cast("double")
+                / lit(MulMod61.P.toDouble))
+              / (col("wmu").cast("double") / 1000000.0) * 1e4) * 100)
+        keyed.orderBy(col("key_unat").desc, col("doc_id")).limit(100)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("key_unat").desc, col("doc_id"))).cast("long"))
+          .select(col("rk"), col("doc_id"), col("source"), col("wmu"),
+            col("key_unat"))
+      },
+      {
+        import graft.functions.Affine61.{wsA, wsB}
+        import graft.functions.MulMod61.P
+        Some(s"""WITH scored AS (
+            SELECT doc_id, source,
+                   greatest(CAST(floor((${TextQueries.qualitySqlExpr}) * 1000000.0) AS BIGINT), 1) AS wmu
+            FROM documents),
+          keyed AS (
+            SELECT doc_id, source, wmu,
+                   CAST(floor(
+                     ln(CAST((($wsA::HUGEINT * doc_id + $wsB) % $P) + 1 AS DOUBLE)
+                        / CAST($P AS DOUBLE))
+                     / (CAST(wmu AS DOUBLE) / 1000000.0) * 1e4) AS BIGINT) * 100
+                     AS key_unat
+            FROM scored)
+          SELECT CAST(row_number() OVER (ORDER BY key_unat DESC, doc_id)
+                   AS BIGINT) AS rk,
+                 doc_id, source, wmu, key_unat
+          FROM keyed QUALIFY rk <= 100 ORDER BY rk""")
+      },
+      doc = "Efraimidis–Spirakis weighted top-k sample (exact-size, quality-proportional).")
   )
 }

@@ -1174,6 +1174,77 @@ object TextQueries {
                  AS coverage
         FROM ranked JOIN ks ON r <= k
         GROUP BY k ORDER BY k"""),
-      doc = "Top-K vocabulary coverage of token occurrences (tokenizer sizing).")
+      doc = "Top-K vocabulary coverage of token occurrences (tokenizer sizing)."),
+
+    // ------------------------------------------------------------------
+    // q125: PER-SOURCE KL DIVERGENCE TO THE CORPUS UNIGRAM DISTRIBUTION
+    // — the data-mixture diagnostic behind domain re-weighting (the
+    // DoReMi/Pile-mix family of questions): how far does each source's
+    // word distribution sit from the corpus-wide one? KL(P_s‖Q) =
+    // Σ_w p_{s,w}·ln(p_{s,w}/q_w), always ≥ 0, and 0 iff the source
+    // reads like the corpus. Sources with high KL are the candidates
+    // for up/down-weighting review; a source whose KL jumps between
+    // snapshots signals a scrape change.
+    // Every probability comes from integer counts, so the only doubles
+    // are one ratio per (source, word) term and the MathLn on it; each
+    // term is QUANTIZED to integer micro-nats (the q89/q90 rule:
+    // floor(x·1e4)·100 — fixed boundary, 100× slack against 1-ulp libm
+    // drift) BEFORE the per-source fold, making the sum associative and
+    // partition-order independent. Dataflow: ONE corpus-sized explode →
+    // (source, word)-keyed count shuffle (map-side combinable); the
+    // word-marginal and source-marginal re-aggs run on the VOCAB-sized
+    // result, not the corpus. The word-marginal join back is
+    // deliberately NOT broadcast-hinted (unbounded web vocabulary —
+    // q89's reasoning); the source marginal is O(#sources) and the
+    // corpus total is a 1-row broadcast. No corpus-sized intermediate
+    // after the first agg.
+    Q("q125_source_kl",
+      (s, dir) => {
+        val sw = t(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word"))
+          .agg(count(lit(1)).as("c_sw"))
+        val wMarg = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+        val sMarg = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+        val corpus = sw.agg(sum(col("c_sw")).as("n_corpus"))
+        sw.join(wMarg, Seq("word"))
+          .join(broadcast(sMarg), Seq("source"))
+          .crossJoin(broadcast(corpus))
+          .select(col("source"), col("n_s"),
+            (floor((col("c_sw").cast("double") / col("n_s").cast("double"))
+              * graft.functions.MathLn.ln(
+                (col("c_sw").cast("double") * col("n_corpus").cast("double"))
+                  / (col("n_s").cast("double") * col("c_w").cast("double")))
+              * 1e4) * 100).as("term_unat"))
+          .groupBy(col("source"), col("n_s"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("term_unat")).as("kl_unat"))
+          .select(col("source"), col("n_s").as("n_tokens"), col("n_terms"),
+            col("kl_unat"),
+            (col("kl_unat").cast("double") / 1e6).as("kl_nats"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        sw AS (SELECT source, word, count(*) AS c_sw
+               FROM w GROUP BY source, word),
+        wm AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY word),
+        sm AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+        tot AS (SELECT sum(c_sw) AS n_corpus FROM sw),
+        terms AS (
+          SELECT sw.source, sm.n_s,
+                 CAST(floor((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+                   * ln((CAST(c_sw AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+                        / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE)))
+                   * 1e4) AS BIGINT) * 100 AS term_unat
+          FROM sw JOIN wm USING (word) JOIN sm USING (source) CROSS JOIN tot)
+        SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(term_unat) AS BIGINT) AS kl_unat,
+               CAST(sum(term_unat) AS DOUBLE) / 1e6 AS kl_nats
+        FROM terms GROUP BY source, n_s ORDER BY source"""),
+      doc = "Per-source KL divergence vs corpus unigram LM (mixture diagnostics).")
   )
 }

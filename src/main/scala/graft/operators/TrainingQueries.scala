@@ -828,6 +828,103 @@ object TrainingQueries {
       doc = "Per-source recurring-5-gram inventory (boilerplate/template detection)."),
 
     // ------------------------------------------------------------------
+    // q123: BOILERPLATE STRIP ACCOUNTING — the APPLY side of q99's
+    // detect pass: mark every token position covered by an occurrence
+    // of a boilerplate 5-gram (q99's inventory: per-source shingles
+    // recurring in ≥2 docs, top-10 by document frequency) and report
+    // per document how much text survives removal. q83 scores how
+    // duplicated a doc is, q99 names the templates; this measures what
+    // a CCNet-style strip would actually delete — the number a curation
+    // run budgets against before committing to a rewrite pass.
+    // Coverage must be POSITIONAL (overlapping template hits share
+    // tokens, so counting hits would over-delete): a hit at 0-based
+    // start i covers tokens i+1..i+5, and the per-doc covered-position
+    // COUNT DISTINCT collapses the overlaps. Dataflow: the inventory
+    // side is q99's (source, shingle)-keyed count shuffle whose
+    // survivors are ≤10 rows/source — BROADCAST by construction, so
+    // the corpus-sized positional-shingle stream joins it map-side and
+    // never shuffles; the only corpus-keyed exchange is the per-doc
+    // covered-position agg. At 100 TB the inventory is O(#domains·10)
+    // — still a broadcast.
+    Q("q123_boilerplate_strip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val inv = docs
+          .select(col("source"), explode(shingles(col("text"), 5)).as("shingle"))
+          .groupBy(col("source"), col("shingle"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("n_docs").desc, col("shingle"))))
+          .filter(col("rnk") <= 10)
+          .select(col("source"), col("shingle"))
+        // Positional (non-distinct) shingles: transform preserves the
+        // index, so posexplode's ordinal IS the 0-based start token.
+        val hits = docs
+          .select(col("doc_id"), col("source"),
+            posexplode(graft.functions.TextFunctions.shingles(col("text"), 5))
+              .as(Seq("sidx", "shingle")))
+          .join(broadcast(inv), Seq("source", "shingle"))
+          .select(col("doc_id"),
+            explode(sequence(col("sidx") + 1, col("sidx") + 5)).as("posn"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("posn")).as("n_boiler_tokens"))
+        docs
+          .select(col("doc_id"), col("source"),
+            size(toks(col("text"))).cast("long").as("n_tokens"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            coalesce(col("n_boiler_tokens"), lit(0L)).as("n_boiler_tokens"),
+            (col("n_tokens") - coalesce(col("n_boiler_tokens"), lit(0L)))
+              .as("n_kept"),
+            ((col("n_tokens") - coalesce(col("n_boiler_tokens"), lit(0L)))
+              .cast("double") / col("n_tokens").cast("double"))
+              .as("kept_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(list_slice(w, i, i + 4), ' ')))) AS shingle
+          FROM tk),
+        dfreq AS (
+          SELECT source, shingle, count(*) AS n_docs
+          FROM sh GROUP BY source, shingle),
+        inv AS (
+          SELECT source, shingle FROM (
+            SELECT source, shingle,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY n_docs DESC, shingle) AS rnk
+            FROM dfreq WHERE n_docs >= 2)
+          WHERE rnk <= 10),
+        posi AS (
+          SELECT doc_id, source, unnest(range(1, greatest(len(w) - 3, 1))) AS i,
+                 w
+          FROM tk),
+        hit AS (
+          SELECT p.doc_id, unnest(range(p.i, p.i + 5)) AS posn
+          FROM (SELECT doc_id, source, i,
+                       array_to_string(list_slice(w, i, i + 4), ' ') AS shingle
+                FROM posi) p
+          JOIN inv USING (source, shingle)),
+        cov AS (
+          SELECT doc_id, count(DISTINCT posn) AS n_boiler
+          FROM hit GROUP BY doc_id)
+        SELECT t.doc_id, t.source,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_boiler, 0) AS BIGINT) AS n_boiler_tokens,
+               CAST(len(w) - coalesce(c.n_boiler, 0) AS BIGINT) AS n_kept,
+               CAST(len(w) - coalesce(c.n_boiler, 0) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS kept_ratio
+        FROM tk t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id"""),
+      doc = "Positional boilerplate-token accounting (apply side of q99's inventory)."),
+
+    // ------------------------------------------------------------------
     // q113: SPAN-CORRUPTION MASKING STATS (T5-style, Raffel JMLR'20) —
     // per document: how many tokens a deterministic ~15% corruption
     // policy masks, in how many contiguous spans, at what average span

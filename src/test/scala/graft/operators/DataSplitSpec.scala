@@ -99,4 +99,45 @@ class DataSplitSpec extends AnyFunSuite {
       if (t1 < t2) assert(r2 <= r1, s"rate not monotone: $t1->$r1, $t2->$r2")
     }
   }
+
+  test("q124 weighted sample: driver replay of A-ES keys picks the same 100") {
+    import graft.functions.Affine61.{wsA, wsB}
+    import graft.functions.{MulMod61, TextFunctions}
+    val stop = TextFunctions.EnStopwords.toSet
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent arithmetic: Math.log + MulMod61.affine on the driver,
+    // mirroring qualityScoreFused's exact term order
+    val keyed = docs.map { case (id, text) =>
+      val w = text.trim.toLowerCase.split("\\s+", -1)
+      val lenTerm = math.min(text.length / 500.0, 1.0)
+      val stopTerm =
+        math.min(w.count(stop).toDouble / w.length * 4.0, 1.0)
+      val punctTerm = 1.0 - math.min(
+        text.replaceAll("[A-Za-z0-9\\s]", "").length.toDouble /
+          text.length * 10.0, 1.0)
+      val quality = lenTerm * 0.4 + stopTerm * 0.4 + punctTerm * 0.2
+      val wmu = math.max(math.floor(quality * 1000000.0).toLong, 1L)
+      val u = (MulMod61.affine(wsA, wsB, id) + 1L).toDouble /
+        MulMod61.P.toDouble
+      val key = math.floor(
+        math.log(u) / (wmu.toDouble / 1000000.0) * 1e4).toLong * 100
+      (id, wmu, key)
+    }
+    val top = keyed.sortBy { case (id, _, k) => (-k, id) }.take(100)
+    val got = graft.SparkEntry.queries("q124_weighted_sample")(spark, sfDir)
+      .collect()
+    assert(got.length == math.min(100, docs.length))
+    got.zip(top).zipWithIndex.foreach { case ((r, (id, wmu, key)), i) =>
+      assert(r.getAs[Long]("rk") == i + 1)
+      assert(r.getAs[Long]("doc_id") == id, s"rank ${i + 1}: $r vs $id")
+      assert(r.getAs[Long]("wmu") == wmu)
+      assert(r.getAs[Long]("key_unat") == key)
+    }
+    // weighting is real: the sampled docs' mean quality beats the corpus's
+    val meanAll = keyed.map(_._2).sum.toDouble / keyed.length
+    val meanTop = top.map(_._2).sum.toDouble / top.length
+    assert(meanTop > meanAll, s"selection not quality-biased: $meanTop <= $meanAll")
+  }
 }

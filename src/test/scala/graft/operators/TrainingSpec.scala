@@ -241,6 +241,75 @@ class TrainingSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("boilerplate strip: driver replay of inventory + positional coverage") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+", -1)
+    def sh5(w: Array[String]): Seq[(Int, String)] =
+      if (w.length < 5) Seq.empty
+      else (0 to w.length - 5).map(i => i -> w.slice(i, i + 5).mkString(" "))
+    // inventory: df over per-doc-distinct shingles, ≥2, top-10/(−df, shingle)
+    val dfreq = docs.toSeq
+      .flatMap { case (_, src, t) =>
+        sh5(toks(t)).map(_._2).distinct.map(s => (src, s)) }
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case ((src, s), n) => (src, s, n) }
+    val inv: Map[String, Set[String]] = dfreq.filter(_._3 >= 2)
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.sortBy { case (_, s, n) => (-n, s) }.take(10).map(_._2).toSet
+      }.toMap
+    val expected = docs.map { case (id, src, t) =>
+      val w = toks(t)
+      val boiler = inv.getOrElse(src, Set.empty)
+      val covered = sh5(w).collect { case (i, s) if boiler(s) => i }
+        .flatMap(i => (i + 1) to (i + 5)).toSet
+      id -> ((w.length.toLong, covered.size.toLong))
+    }.toMap
+    val got = q("q123_boilerplate_strip").collect()
+    assert(got.length == docs.length) // every doc accounted, hit or not
+    // the corpus genuinely exercises the join (some coverage exists)
+    assert(got.map(_.getAs[Long]("n_boiler_tokens")).sum > 0)
+    got.foreach { r =>
+      val (nt, nb) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == nt, s"n_tokens ${r}")
+      assert(r.getAs[Long]("n_boiler_tokens") == nb, s"coverage ${r}")
+      assert(r.getAs[Long]("n_kept") == nt - nb)
+    }
+  }
+
+  test("source KL: driver replay in micro-nats, nonnegative up to quantization") {
+    val words = graft.Tables.load(spark, dir, "documents")
+      .select($"source", explode(
+        graft.functions.TextFunctions.tokens($"text")).as("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val cW = words.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val nS = words.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = words.map(_._3).sum
+    val expected = words.groupBy(_._1).map { case (src, xs) =>
+      val ns = nS(src)
+      val kl = xs.map { case (_, w, c) =>
+        val p = c.toDouble / ns.toDouble
+        val r = (c.toDouble * n.toDouble) / (ns.toDouble * cW(w).toDouble)
+        math.floor(p * math.log(r) * 1e4).toLong * 100
+      }.sum
+      src -> ((ns, xs.length.toLong, kl))
+    }
+    val got = q("q125_source_kl").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (ns, nTerms, kl) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tokens") == ns)
+      assert(r.getAs[Long]("n_terms") == nTerms)
+      assert(r.getAs[Long]("kl_unat") == kl, s"kl mismatch ${r}")
+      // true KL ≥ 0; each floor loses < 100 µnat
+      assert(kl >= -100L * nTerms)
+    }
+    // sources differ from the corpus, so at least one KL is strictly > 0
+    assert(got.map(_.getAs[Long]("kl_unat")).max > 0)
+  }
+
   test("perplexity buckets: tertiles partition each source, fluency-ordered") {
     val r = q("q101_perplexity_buckets").cache()
     // every source has exactly buckets 1..3
