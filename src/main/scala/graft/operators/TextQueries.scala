@@ -1245,6 +1245,110 @@ object TextQueries {
                CAST(sum(term_unat) AS BIGINT) AS kl_unat,
                CAST(sum(term_unat) AS DOUBLE) / 1e6 AS kl_nats
         FROM terms GROUP BY source, n_s ORDER BY source"""),
-      doc = "Per-source KL divergence vs corpus unigram LM (mixture diagnostics).")
+      doc = "Per-source KL divergence vs corpus unigram LM (mixture diagnostics)."),
+
+    // ------------------------------------------------------------------
+    // q126: THE FILTER STACK AS ONE AUDITABLE QUERY — the Dolma/FineWeb-
+    // style per-document keep/drop decision with a REASON CODE: length
+    // bounds, within-doc 5-gram repetition, byte-entropy gate, composite
+    // quality, language check, applied in a fixed precedence ladder
+    // (first failing gate names the reason). Every raw signal rides in
+    // the output, so the oracle pins the signals exactly, not just the
+    // flags — and a curation run gets its drop-reason histogram for
+    // free (GROUP BY reason). Every signal is ROW-LOCAL (the within-doc
+    // repetition uses distinct-vs-total shingle counts of the doc
+    // itself, q51's form, NOT q83's corpus-df form): the whole stack is
+    // one map pass over the corpus, no shuffle, no model state — the
+    // shape that lets a 100 TB filter run as a side effect of the first
+    // read. Thresholds (20..30k tokens, >20% repeated 5-grams, <2.0
+    // nats byte entropy, quality µ<400000, predicted≠labeled lang) are
+    // the tunable dials; the repetition compare is pure integer
+    // ((total−distinct)·5 > total ⟺ dup frac > 0.2), entropy/quality
+    // ride in the proven micro-unit quantizations.
+    Q("q126_filter_stack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            greatest(size(tokens(col("text"))).cast("long") - 4L, lit(0L))
+              .as("n_shingles"),
+            size(shingleSet(col("text"), 5)).cast("long")
+              .as("n_distinct_shingles"),
+            (floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
+              * 1e4) * 100).as("entropy_unat"),
+            floor(qualityScoreFused(col("text"), textStats(col("text")))
+              * 1000000.0).cast("long").as("qmu"),
+            langIdFused(col("text")).as("predicted_lang"))
+        d.withColumn("reason",
+            when(col("n_tokens") < 20, "too_short")
+              .when(col("n_tokens") > 30000, "too_long")
+              .when((col("n_shingles") - col("n_distinct_shingles")) * 5
+                > col("n_shingles"), "repetitive")
+              .when(col("entropy_unat") < 2000000L, "low_entropy")
+              .when(col("qmu") < 400000L, "low_quality")
+              .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
+              .otherwise("keep"))
+          .withColumn("keep", col("reason") === "keep")
+          .orderBy(col("doc_id"))
+      },
+      {
+        // lang argmax chain over the token array `w` (q31's builder)
+        val hitExprs = LangMarkers.map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+          lang -> s"len(list_filter(w, x -> list_contains($lst, x)))"
+        }
+        val best = hitExprs.map(_._2).mkString("greatest(", ", ", ")")
+        val caseChain = hitExprs
+          .map { case (lang, e) => s"WHEN $e > 0 AND $e = $best THEN '$lang'" }
+          .mkString(" ")
+        Some(s"""WITH tk AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM documents),
+          ch AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(hex(encode(text)), '..')) AS b
+            FROM documents),
+          hist AS (
+            SELECT doc_id, b, count(*) AS c FROM ch GROUP BY doc_id, b),
+          tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+          folded AS (
+            SELECT h.doc_id,
+                   list_reduce(
+                     list_prepend(0.0, list((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY b)),
+                     (x, y) -> x + y) AS s
+            FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id, n),
+          base AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_shingles,
+                   CAST(CASE WHEN len(w) >= 5 THEN
+                       len(list_distinct(list_transform(range(1, len(w) - 3),
+                         i -> array_to_string(list_slice(w, i, i + 4), ' '))))
+                     ELSE 0 END AS BIGINT) AS n_distinct_shingles,
+                   CAST(floor((CASE WHEN f.s = 0 OR f.s IS NULL THEN 0.0
+                                    ELSE -f.s END) * 1e4) AS BIGINT) * 100
+                     AS entropy_unat,
+                   CAST(floor(($qualitySqlExpr) * 1000000.0) AS BIGINT) AS qmu,
+                   CASE $caseChain ELSE 'und' END AS predicted_lang
+            FROM tk t LEFT JOIN folded f USING (doc_id)),
+          decided AS (
+            SELECT *,
+                   CASE WHEN n_tokens < 20 THEN 'too_short'
+                        WHEN n_tokens > 30000 THEN 'too_long'
+                        WHEN (n_shingles - n_distinct_shingles) * 5 > n_shingles
+                          THEN 'repetitive'
+                        WHEN entropy_unat < 2000000 THEN 'low_entropy'
+                        WHEN qmu < 400000 THEN 'low_quality'
+                        WHEN predicted_lang <> lang THEN 'lang_mismatch'
+                        ELSE 'keep' END AS reason
+            FROM base)
+          SELECT doc_id, lang, n_tokens, n_shingles, n_distinct_shingles,
+                 entropy_unat, qmu, predicted_lang, reason,
+                 (reason = 'keep') AS keep
+          FROM decided ORDER BY doc_id""")
+      },
+      doc = "Row-local filter stack with reason codes (Dolma/FineWeb-style gate).")
   )
 }

@@ -140,6 +140,97 @@ object EventStream {
       }
   }
 
+  /** EW-baseline state per event type: open (unclosed) window counts
+    * keyed by window-start epoch-ms, plus the exponentially-weighted
+    * mean/variance of CLOSED window counts and how many have closed.
+    */
+  final case class RateState(open: Map[Long, Long],
+      mean: Double, varr: Double, nClosed: Long)
+
+  final case class RateAlert(event_type: String,
+      window_start: java.sql.Timestamp, window_end: java.sql.Timestamp,
+      n_events: Long, baseline_mean: Double, baseline_std: Double,
+      z: Double, anomalous: Boolean)
+
+  /** Streaming RATE-ANOMALY MONITOR — the DQ alarm a production ingest
+    * runs beside the pipeline: per event type, score each closed
+    * tumbling window's count against an exponentially-weighted
+    * mean/variance baseline of the type's OWN history, and flag
+    * |z| > `zThreshold` once `minBaseline` windows have closed (a
+    * traffic cliff, a stuck producer, a replay storm — all show up as
+    * a window count far from the EW baseline).
+    *
+    * One `flatMapGroupsWithState` owns BOTH the windowing and the
+    * baseline: Spark disallows (flat)MapGroupsWithState downstream of
+    * a streaming aggregation, so the window counts an agg would
+    * produce are folded in-state instead (`open`: window-start →
+    * count). A window closes when the event-time watermark passes its
+    * end; closes happen in window order, so the EW fold's arithmetic
+    * sequence per type is a pure function of the DATA — any trigger
+    * schedule (one batch, file-at-a-time, a crash/restart replay)
+    * emits bit-identical alerts, which is what EventStreamSpec pins.
+    * The z-score uses the baseline BEFORE folding the window in
+    * (prior-based), so an anomalous window is judged against history
+    * that does not already contain it.
+    *
+    * State per type is O(open windows + 3 doubles) — bounded by the
+    * watermark delay over the window size, independent of traffic.
+    * At 100 TB/day the shuffle is one row per event into #types
+    * groups; for very hot types the same fold runs on a salted
+    * (type, shard) key with a tiny second-level merge, the q75 MO.
+    */
+  def rateMonitor(events: Dataset[Event],
+      windowMs: Long = 3600L * 1000L,
+      watermark: String = "10 minutes",
+      alpha: Double = 0.25,
+      zThreshold: Double = 3.0,
+      minBaseline: Long = 3L): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, it: Iterator[Event], state: GroupState[RateState]) =>
+          var s = state.getOption.getOrElse(RateState(Map.empty, 0.0, 0.0, 0L))
+          // ingest this batch's events into open window buckets.
+          // getTime truncates µs→ms, which cannot misassign: window
+          // boundaries are whole seconds, and any µs remainder keeps
+          // the event on the same side of them as its truncation.
+          it.foreach { e =>
+            val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+            s = s.copy(open = s.open.updated(w, s.open.getOrElse(w, 0L) + 1L))
+          }
+          // close every window the watermark has passed, oldest first —
+          // the order that makes the EW fold schedule-independent
+          val wm = state.getCurrentWatermarkMs()
+          val (toClose, stillOpen) =
+            s.open.partition { case (w, _) => w + windowMs <= wm }
+          val out = toClose.toSeq.sortBy(_._1).map { case (w, n) =>
+            val std = math.sqrt(s.varr)
+            val z = if (std > 0.0) (n.toDouble - s.mean) / std else 0.0
+            val alert = RateAlert(typ, new java.sql.Timestamp(w),
+              new java.sql.Timestamp(w + windowMs), n, s.mean, std, z,
+              s.nClosed >= minBaseline && math.abs(z) > zThreshold)
+            // EW update AFTER scoring (West's incremental EW variance)
+            val diff = n.toDouble - s.mean
+            val incr = alpha * diff
+            s = s.copy(mean = s.mean + incr,
+              varr = (1.0 - alpha) * (s.varr + diff * incr),
+              nClosed = s.nClosed + 1)
+            alert
+          }
+          s = s.copy(open = stillOpen)
+          state.update(s)
+          // wake when the oldest open window becomes closable (the
+          // partition above guarantees these ends are > watermark,
+          // which EventTimeTimeout requires)
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(stillOpen.keys.min + windowMs)
+          out.iterator
+      }
+  }
+
   /** Production-shaped sink: `foreachBatch` writing each micro-batch to
     * a deterministic `batch_id=<id>` subdirectory with OVERWRITE — the
     * write is idempotent per batch id, so when Structured Streaming

@@ -251,4 +251,128 @@ class EventStreamSpec extends AnyFunSuite {
     val total = batch.count()
     assert(emitted <= total)
   }
+
+  private def alertRows(table: String): Seq[Seq[Any]] =
+    spark.table(table)
+      .select($"event_type", $"window_start", $"window_end", $"n_events",
+        $"baseline_mean", $"baseline_std", $"z", $"anomalous")
+      .orderBy($"event_type", $"window_start")
+      .collect().map(_.toSeq).toSeq
+
+  /** Driver replay of rateMonitor's exact EW arithmetic over (type,
+    * ts-ms) rows — the independent oracle for the streamed alerts.
+    */
+  private def ewReplay(rows: Seq[(String, Long)], windowMs: Long,
+      alpha: Double = 0.25, zThr: Double = 3.0, minBase: Long = 3L)
+      : Map[String, Seq[(Long, Long, Double, Double, Double, Boolean)]] = {
+    val counts = rows
+      .groupBy { case (t, ms) => (t, Math.floorDiv(ms, windowMs) * windowMs) }
+      .view.mapValues(_.size.toLong).toMap
+    counts.groupBy(_._1._1).map { case (t, m) =>
+      var mean = 0.0; var varr = 0.0; var n = 0L
+      val alerts = m.toSeq.map { case ((_, w), c) => (w, c) }
+        .sortBy(_._1).map { case (w, c) =>
+          val std = math.sqrt(varr)
+          val z = if (std > 0.0) (c.toDouble - mean) / std else 0.0
+          val a = (w, c, mean, std, z, n >= minBase && math.abs(z) > zThr)
+          val diff = c.toDouble - mean
+          val incr = alpha * diff
+          mean += incr; varr = (1.0 - alpha) * (varr + diff * incr); n += 1
+          a
+        }
+      t -> alerts
+    }
+  }
+
+  test("rate monitor: streamed EW alerts are bit-identical to the driver replay") {
+    val src = spark.readStream.schema(EventStream.schema).parquet(srcDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event]
+    val q = EventStream.rateMonitor(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_mon").start()
+    q.processAllAvailable(); q.stop()
+    val got = alertRows("rate_mon")
+    assert(got.nonEmpty)
+    val replay = ewReplay(
+      spark.read.schema(EventStream.schema).parquet(srcDir)
+        .select($"event_type", $"ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime)).toSeq,
+      windowMs = 3600000L)
+    // append mode: each type emits a PREFIX of its replay (the final
+    // in-flight windows stay open in state)
+    got.groupBy(_.head.asInstanceOf[String]).foreach { case (t, rows) =>
+      val exp = replay(t).take(rows.length).map { case (w, c, m, sd, z, an) =>
+        Seq[Any](t, new java.sql.Timestamp(w),
+          new java.sql.Timestamp(w + 3600000L), c, m, sd, z, an)
+      }
+      assert(rows == exp, s"type $t:\n got=$rows\n exp=$exp")
+    }
+  }
+
+  test("rate monitor: a traffic burst is flagged; trigger schedule changes nothing") {
+    import java.io.File
+    import java.sql.Timestamp
+    // counts per hour for type 'a': 9,10,11,10 (baseline), 300 (burst),
+    // 10 — plus a far-future sentinel of type 'b' pushing the watermark
+    // past hour 5's close. Baseline counts VARY so the EW variance is
+    // nonzero (identical counts ⇒ std 0 ⇒ z forced to 0 by the guard).
+    val h0 = 1700000000000L - Math.floorMod(1700000000000L, 3600000L)
+    def ts(hour: Int, offMin: Int) =
+      new Timestamp(h0 + hour * 3600000L + offMin * 60000L)
+    val perHour = Seq(9, 10, 11, 10, 300, 10)
+    var id = 0L
+    val events = perHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map { i =>
+        id += 1; (id, ts(h, i % 50), 1L, "a", 1.0, "{}")
+      }
+    } :+ { id += 1; (id, ts(6, 30), 2L, "b", 1.0, "{}") }
+
+    def run(chunks: Seq[Seq[(Long, Timestamp, Long, String, Double, String)]],
+        name: String): Seq[Seq[Any]] = {
+      val dir = Files.createTempDirectory(s"graft_rate_$name").toString
+      chunks.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory("graft_rate_tmp").toString
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = new File(dir, f"drop$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      val src = spark.readStream.schema(EventStream.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStream.Event]
+      val q = EventStream.rateMonitor(src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"rate_$name").start()
+      q.processAllAvailable(); q.stop()
+      alertRows(s"rate_$name")
+    }
+
+    val single = run(Seq(events), "single")
+    // hours 0..5 of 'a' close (watermark = sentinel - 10min > h6)
+    val a = single.filter(_.head == "a")
+    assert(a.length == 6, s"closed-window count: $a")
+    // exactly the burst window is anomalous, judged against its PRIOR
+    val flagged = a.filter(_(7).asInstanceOf[Boolean])
+    assert(flagged.map(_(1)) == Seq(ts(4, 0)), s"flagged=$flagged")
+    assert(flagged.head(3) == 300L)
+    // early windows can never flag (baseline not yet credible)
+    assert(a.take(3).forall(!_(7).asInstanceOf[Boolean]))
+    // replay parity on the crafted data too
+    val replay = ewReplay(events.map(e => (e._4, e._2.getTime)), 3600000L)
+    assert(a == replay("a").take(6).map { case (w, c, m, sd, z, an) =>
+      Seq[Any]("a", new Timestamp(w), new Timestamp(w + 3600000L),
+        c, m, sd, z, an)
+    })
+
+    // schedule independence: three file-at-a-time drops cut MID-WINDOW
+    // (hour 4's burst split across two micro-batches) emit the same rows
+    val chunked = run(Seq(events.take(35), events.slice(35, 200),
+      events.drop(200)), "chunked")
+    assert(chunked == single, s"\nchunked=$chunked\nsingle=$single")
+  }
 }

@@ -44,7 +44,12 @@ def compare(sf_dir: str, out_dir: str) -> dict:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     marks = {}
-    for name, sql in sorted(oracle.items()):
+    for i, (name, sql) in enumerate(sorted(oracle.items())):
+        # progress heartbeat: the sf0.1 oracles (recursive-CTE dedup,
+        # k-means replays) run for minutes in DuckDB — without this a
+        # watcher cannot tell "working" from "wedged"
+        print(f"[scale_sweep] {out_dir} {i + 1}/{len(oracle)} {name}",
+              file=sys.stderr, flush=True)
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
             exp = con.sql(sql).df()
