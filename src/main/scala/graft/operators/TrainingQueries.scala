@@ -838,20 +838,26 @@ object TrainingQueries {
     // run budgets against before committing to a rewrite pass.
     // Coverage must be POSITIONAL (overlapping template hits share
     // tokens, so counting hits would over-delete): a hit at 0-based
-    // start i covers tokens i+1..i+5, and the per-doc covered-position
-    // COUNT DISTINCT collapses the overlaps. Dataflow: the inventory
-    // side is q99's (source, shingle)-keyed count shuffle whose
-    // survivors are ≤10 rows/source — BROADCAST by construction, so
-    // the corpus-sized positional-shingle stream joins it map-side and
-    // never shuffles; the only corpus-keyed exchange is the per-doc
-    // covered-position agg. At 100 TB the inventory is O(#domains·10)
-    // — still a broadcast.
+    // start i covers tokens i+1..i+5, and overlaps collapse in the
+    // coverage mask. Dataflow: the inventory side is q99's (source,
+    // shingle)-keyed count shuffle whose survivors are ≤10 rows/source
+    // — BROADCAST by construction, so the fused distinct-shingle
+    // stream joins it map-side; the surviving (doc, template) pairs
+    // (≤10/doc) fold to a per-doc template array, and the positional
+    // work happens ONCE per doc in the fused [[CoveredPositions]]
+    // kernel — no positional explode ever crosses an exchange. (The
+    // declarative positional-explode form measured 5.3 s at sf0.1 —
+    // slowest in the registry; this shape is ~5× cheaper and is the
+    // one that scales: at 100 TB the only corpus-keyed exchange is
+    // the tiny hit-pair agg.)
     Q("q123_boilerplate_strip",
       (s, dir) => {
         val docs = t(s, dir, "documents")
           .select(col("doc_id"), col("source"), col("text"))
-        val inv = docs
-          .select(col("source"), explode(shingles(col("text"), 5)).as("shingle"))
+        val sh = docs
+          .select(col("source"), col("doc_id"),
+            explode(shingles(col("text"), 5)).as("shingle"))
+        val inv = sh
           .groupBy(col("source"), col("shingle"))
           .agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") >= 2)
@@ -859,28 +865,24 @@ object TrainingQueries {
             .orderBy(col("n_docs").desc, col("shingle"))))
           .filter(col("rnk") <= 10)
           .select(col("source"), col("shingle"))
-        // Positional (non-distinct) shingles: transform preserves the
-        // index, so posexplode's ordinal IS the 0-based start token.
-        val hits = docs
-          .select(col("doc_id"), col("source"),
-            posexplode(graft.functions.TextFunctions.shingles(col("text"), 5))
-              .as(Seq("sidx", "shingle")))
+        // per-doc array of the boilerplate templates it contains (≤10)
+        val hitSets = sh
           .join(broadcast(inv), Seq("source", "shingle"))
-          .select(col("doc_id"),
-            explode(sequence(col("sidx") + 1, col("sidx") + 5)).as("posn"))
           .groupBy(col("doc_id"))
-          .agg(countDistinct(col("posn")).as("n_boiler_tokens"))
+          .agg(sort_array(collect_set(col("shingle"))).as("boiler"))
         docs
+          .join(hitSets, Seq("doc_id"), "left")
           .select(col("doc_id"), col("source"),
-            size(toks(col("text"))).cast("long").as("n_tokens"))
-          .join(hits, Seq("doc_id"), "left")
+            size(toks(col("text"))).cast("long").as("n_tokens"),
+            when(col("boiler").isNull, lit(0L))
+              .otherwise(graft.functions.CoveredPositions
+                .coveredPositions(col("text"), col("boiler"), 5))
+              .as("n_boiler_tokens"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
-            coalesce(col("n_boiler_tokens"), lit(0L)).as("n_boiler_tokens"),
-            (col("n_tokens") - coalesce(col("n_boiler_tokens"), lit(0L)))
-              .as("n_kept"),
-            ((col("n_tokens") - coalesce(col("n_boiler_tokens"), lit(0L)))
-              .cast("double") / col("n_tokens").cast("double"))
-              .as("kept_ratio"))
+            col("n_boiler_tokens"),
+            (col("n_tokens") - col("n_boiler_tokens")).as("n_kept"),
+            ((col("n_tokens") - col("n_boiler_tokens")).cast("double")
+              / col("n_tokens").cast("double")).as("kept_ratio"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH tk AS (

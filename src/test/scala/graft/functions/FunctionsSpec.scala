@@ -325,4 +325,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0).getString(0) == "ﬁn" && got(0).getString(1) == "ﬁn")
     assert(got(1).isNullAt(0) && got(1).isNullAt(1))
   }
+
+  test("covered_positions: overlap collapse, repeats, edges, case fold") {
+    import graft.functions.CoveredPositions.coveredPositions
+    val df = Seq(
+      ("a b c d e f g", Seq("a b c d e", "c d e f g")), // overlap -> all 7
+      ("a b c d e f g", Seq("z z z z z")),              // no match -> 0
+      ("a b c d", Seq("a b c d e")),                    // doc < k tokens -> 0
+      ("a b c d e", Seq.empty[String]),                 // no templates -> 0
+      ("a b c d e", Seq("a b")),                        // malformed pattern -> 0
+      ("x a b c d e x a b c d e", Seq("a b c d e")),    // 2 occurrences -> 10
+      ("A B C D E", Seq("a b c d e"))                   // text case-folds -> 5
+    ).toDF("text", "pats")
+    val got = df.select(coveredPositions($"text", $"pats", 5).as("c"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(7L, 0L, 0L, 0L, 0L, 10L, 5L), got)
+  }
 }
