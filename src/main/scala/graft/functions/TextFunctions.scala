@@ -24,10 +24,16 @@ object TextFunctions {
     length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
       size(tokens(text))
 
-  /** Share of characters that are not alphanumeric/whitespace. */
+  /** Share of characters that are not alphanumeric/whitespace. The
+    * divisor is floored at 1 so a zero-length text scores 0 (numerator
+    * is 0 too) instead of throwing ANSI DIVIDE_BY_ZERO — inert on any
+    * non-empty text, and the definition a filter stack needs: an empty
+    * doc must be CLASSIFIED (length gate catches it), never crash the
+    * scoring pass (WhitespaceTextSpec).
+    */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      length(text)
+      greatest(length(text), lit(1))
 
   /** English stopword list used by the quality score (public, standard). */
   val EnStopwords: Seq[String] = Seq(

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.MulMod61
 import graft.functions.PolyHashLongs.polyHashLongs
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,10 +145,17 @@ object DedupQueries {
         col("bb.bucket").as("bucket"))
 
   /** Exact Jaccard over candidate pairs carrying `a_sh`/`b_sh`. */
+  // J(∅,∅) := 0 (union 0 ⇒ intersection 0): two shingle-less docs
+  // (< k tokens, whitespace-only) are "not similar", not a crash —
+  // ANSI mode throws on the 0/0 the unguarded division would hit
+  // (WhitespaceTextSpec). Inert on any pair with a nonempty set.
+  private def jaccardOf(inter: Column, uni: Column): Column =
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
+
   private def jaccardCol = {
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
-    inter.cast("double") / uni
+    jaccardOf(inter, uni)
   }
 
   /** q71's verification stage as a reusable function: exact Jaccard for
@@ -230,7 +237,7 @@ object DedupQueries {
         val uni = size(col("a_sh")) + size(col("b_sh")) - inter
         a.join(b, col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
-            (inter.cast("double") / uni).as("jaccard"))
+            jaccardOf(inter, uni).as("jaccard"))
           .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
@@ -492,7 +499,7 @@ object DedupQueries {
           .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
             Seq("b_id"))
           .select(col("a_id"), col("b_id"),
-            (inter.cast("double") / uni).as("jaccard"))
+            jaccardOf(inter, uni).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy(col("a_id"), col("b_id"))
       },
