@@ -262,6 +262,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q123: inventory and hit-sets broadcast; positional work stays in the kernel") {
+    // the ≤10/source inventory must reach the shingle stream as a
+    // broadcast (corpus side never exchanges for the join), and the
+    // fused CoveredPositions kernel must be in the plan — a positional
+    // explode reappearing here is the 5.3s shape regressing
+    val plan = planOf("q123_boilerplate_strip")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("covered_positions"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Generate posexplode"), plan.take(3000))
+  }
+
+  test("q124: selection is a distributed top-k, never a global sort") {
+    // TakeOrderedAndProject = per-partition heaps + O(k) merge; a Sort
+    // over the full corpus here means the A-ES selection shape broke
+    val plan = planOf("q124_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+  }
+
+  test("q126: the filter stack is one map pass — no join, no exchange before the sort") {
+    val plan = planOf("q126_filter_stack")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
