@@ -71,7 +71,8 @@ object Serve {
     "public_corpus_boiler_strip" -> "q123_boilerplate_strip",
     "public_corpus_weighted_sample" -> "q124_weighted_sample",
     "public_corpus_source_kl" -> "q125_source_kl",
-    "public_corpus_filter_stack" -> "q126_filter_stack")
+    "public_corpus_filter_stack" -> "q126_filter_stack",
+    "public_corpus_quality_calibrated" -> "q127_quality_calibrate")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

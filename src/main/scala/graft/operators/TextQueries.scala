@@ -1349,6 +1349,54 @@ object TextQueries {
                  (reason = 'keep') AS keep
           FROM decided ORDER BY doc_id""")
       },
-      doc = "Row-local filter stack with reason codes (Dolma/FineWeb-style gate).")
+      doc = "Row-local filter stack with reason codes (Dolma/FineWeb-style gate)."),
+
+    // ------------------------------------------------------------------
+    // q127: PER-SOURCE QUALITY CALIBRATION — raw quality scores are not
+    // comparable across domains (length/stopword/punctuation priors
+    // differ per source: a mid-tier news page outscores a top-tier code
+    // README on prose heuristics), so per-domain percentile RANK is
+    // what a cross-source gate actually thresholds (the FineWeb-edu
+    // per-domain-gate practice). pct_permille = (rk−1)·1000 div
+    // (n_src−1) ∈ [0,1000] is EXACT integer arithmetic end-to-end —
+    // rank ties are impossible (doc_id tie-break), the division is
+    // truncating in both engines, and no doubles ever cross the gate.
+    // Dataflow: one row-local scoring pass, then ONE window partitioned
+    // by source (the shard key — bounded by source size, never global;
+    // a mega-source calibrates via the q53 approx-quantile twin
+    // instead, same thresholds to ±ε). keep_top_half shows the gate a
+    // curation run would apply.
+    Q("q127_quality_calibrate",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+        val wr = w.orderBy(col("qmu").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            floor(qualityScoreFused(col("text"), textStats(col("text")))
+              * 1000000.0).cast("long").as("qmu"))
+          .withColumn("rk", row_number().over(wr).cast("long"))
+          .withColumn("n_src", count(lit(1)).over(w))
+          .withColumn("pct_permille",
+            expr("((rk - 1) * 1000) div greatest(n_src - 1, 1)"))
+          .withColumn("keep_top_half", col("pct_permille") < 500)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, source,
+                 CAST(floor(($qualitySqlExpr) * 1000000.0) AS BIGINT) AS qmu
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source, qmu,
+                 CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY qmu DESC, doc_id) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+          FROM scored)
+        SELECT doc_id, source, qmu, rk, n_src,
+               CAST(((rk - 1) * 1000) // greatest(n_src - 1, 1) AS BIGINT)
+                 AS pct_permille,
+               (((rk - 1) * 1000) // greatest(n_src - 1, 1) < 500)
+                 AS keep_top_half
+        FROM ranked ORDER BY doc_id"""),
+      doc = "Per-domain percentile-rank quality calibration (cross-source-comparable gate).")
   )
 }

@@ -310,6 +310,36 @@ class TrainingSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("kl_unat")).max > 0)
   }
 
+  test("quality calibration: exact permille ranks, halves split per source") {
+    val r = q("q127_quality_calibrate").collect()
+    assert(r.nonEmpty)
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      // ranks are a permutation of 1..n
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to n), src)
+      rows.foreach { row =>
+        assert(row.getAs[Long]("n_src") == n)
+        val rk = row.getAs[Long]("rk")
+        val exp = ((rk - 1) * 1000) / math.max(n - 1, 1)
+        assert(row.getAs[Long]("pct_permille") == exp, row)
+        assert(row.getAs[Boolean]("keep_top_half") == (exp < 500))
+      }
+      // best doc sits at 0; worst at 1000 (whenever the source has ≥ 2)
+      if (n >= 2) {
+        assert(rows.map(_.getAs[Long]("pct_permille")).min == 0L)
+        assert(rows.map(_.getAs[Long]("pct_permille")).max == 1000L)
+      }
+      // rank order agrees with quality order (desc, doc_id tie-break)
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val (qa, qb) = (a.getAs[Long]("qmu"), b.getAs[Long]("qmu"))
+        assert(qa > qb || (qa == qb &&
+          a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")), s"$a !>= $b")
+      }
+    }
+  }
+
   test("perplexity buckets: tertiles partition each source, fluency-ordered") {
     val r = q("q101_perplexity_buckets").cache()
     // every source has exactly buckets 1..3
