@@ -374,5 +374,50 @@ class EventStreamSpec extends AnyFunSuite {
     val chunked = run(Seq(events.take(35), events.slice(35, 200),
       events.drop(200)), "chunked")
     assert(chunked == single, s"\nchunked=$chunked\nsingle=$single")
+
+    // checkpointed restart: stop after the baseline hours, restart a
+    // NEW query on the same checkpoint with the burst — the EW baseline
+    // and open-window counts must resume from the state store,
+    // producing exactly the single-run alert set (no duplicates from
+    // re-emission, no gaps from lost state). The cut is at a WINDOW
+    // boundary on purpose: restarting mid-window makes the second
+    // half of that window genuinely late vs the restored watermark and
+    // Structured Streaming (correctly) drops it — a first cut of this
+    // test split the burst mid-hour and measured exactly that drop.
+    val dir = Files.createTempDirectory("graft_rate_restart").toString
+    val ckpt = s"$dir/ckpt"
+    val outP = s"$dir/out"
+    val srcDir2 = s"$dir/drops"
+    new File(srcDir2).mkdirs()
+    def drop(rows: Seq[(Long, Timestamp, Long, String, Double, String)],
+        i: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_rate_rtmp").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new File(srcDir2, f"drop$i%02d.parquet").toPath)
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(EventStream.schema).parquet(srcDir2)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStream.Event]
+      val q = EventStream.rateMonitor(src)
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outP)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    drop(events.take(40), 0) // hours 0..3 — ends exactly at the h4 boundary
+    runOnce() // closes hours 0..2, leaves hour 3 + EW baseline in state
+    drop(events.drop(40), 1) // the burst, hour 5, and the sentinel
+    runOnce() // NEW query instance resumes from the checkpoint
+    val resumed = spark.read.parquet(outP)
+      .select($"event_type", $"window_start", $"window_end", $"n_events",
+        $"baseline_mean", $"baseline_std", $"z", $"anomalous")
+      .orderBy($"event_type", $"window_start")
+      .collect().map(_.toSeq).toSeq
+    assert(resumed == single, s"\nresumed=$resumed\nsingle=$single")
   }
 }
