@@ -430,9 +430,13 @@ object RelationalExtras {
           .withColumn("contrib", expr("mu div cdeg"))
           .groupBy(col("p")).agg(sum(col("contrib")).as("sc"))
           .select(col("p"), expr("150000L + (85L * sc) div 100L").as("mu"))
+        // Distributed top-30 FIRST (TakeOrderedAndProject — the q116 MO):
+        // orderBy+limit keeps per-partition top-30 heaps and merges 30-row
+        // candidate sets, so the single-partition rank window below only
+        // ever sees 30 survivors — never the full |parts| domain set.
+        val top = p2.orderBy(col("mu").desc, col("p")).limit(30)
         val w = Window.orderBy(col("mu").desc, col("p"))
-        p2.withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 30)
+        top.withColumn("rnk", row_number().over(w).cast("long"))
           .select(i64(col("p")).as("part_id"), col("mu").as("centrality_mu"),
             (col("mu").cast("double") / 1000000.0).as("centrality"),
             col("rnk"))

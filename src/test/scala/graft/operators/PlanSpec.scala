@@ -242,6 +242,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q117: final ranking is a distributed top-30, not a global window sort") {
+    // The rank window must only ever see the 30 survivors of an explicit
+    // TakeOrderedAndProject — never the full |parts| domain set. (Catalyst's
+    // LimitPushDownThroughWindow can't rescue a filter on cast(rank), so the
+    // limit is explicit in the operator; this pin catches it regressing.)
+    val plan = planOf("q117_link_centrality")
+    assert("TakeOrderedAndProject\\(limit=30".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("q118/q119: row-local curation passes never join or nested-loop") {
     Seq("q118_quality_sample", "q119_padding_waste").foreach { n =>
       val plan = planOf(n)
