@@ -23,7 +23,12 @@ object TextQueries {
 
   /** The q28/q30 quality-score expression as DuckDB SQL (expects a
     * `text` column in scope) — shared with oracles that rank by the same
-    * doubles (q85's quality-aware canonical selection).
+    * doubles (q85's quality-aware canonical selection). The punct-ratio
+    * divisor mirrors the Spark side's `greatest(length(text), 1)` floor
+    * (TextFunctions.punctRatio) so both engines share ONE definition on
+    * empty text: 0-length docs score 0.2, never NaN/NULL/err. (The
+    * stopword divisor needs no guard: string_split_regex('') is [''] in
+    * DuckDB, length ≥ 1 always.)
     */
   private[operators] def qualitySqlExpr: String =
     s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
@@ -31,7 +36,7 @@ object TextQueries {
        |                                           x -> list_contains($stopList, x))) AS DOUBLE)
        |                      / len(string_split_regex(lower(trim(text)), '\\s+')) * 4.0, 1.0) * 0.4
        |              + (1.0 - least(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-       |                             / length(text) * 10.0, 1.0)) * 0.2""".stripMargin
+       |                             / greatest(length(text), 1) * 10.0, 1.0)) * 0.2""".stripMargin
 
   /** q72's multilingual decoration: composed + DECOMPOSED accents (the
     * trailing "été" is e+U+0301 twice), a compatibility ligature (ﬁ,
@@ -1198,12 +1203,21 @@ object TextQueries {
     // q89's reasoning); the source marginal is O(#sources) and the
     // corpus total is a 1-row broadcast. No corpus-sized intermediate
     // after the first agg.
+    // The sw frame is MATERIALIZED (localCheckpoint, the q117 MO)
+    // because four subtrees reference it and ReuseExchange provably
+    // does NOT dedupe them: the join inputs carry inferred IsNotNull
+    // pushed filters the marginal subtrees lack, so the exchanges
+    // canonicalize differently and the optimizer replans the corpus
+    // explode FOUR times (measured: 4 Generate nodes in the executed
+    // plan before this). The checkpoint pins it to one corpus pass by
+    // construction; PlanSpec asserts no Generate survives downstream.
     Q("q125_source_kl",
       (s, dir) => {
         val sw = t(s, dir, "documents")
           .select(col("source"), explode(tokens(col("text"))).as("word"))
           .groupBy(col("source"), col("word"))
           .agg(count(lit(1)).as("c_sw"))
+          .localCheckpoint()
         val wMarg = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
         val sMarg = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
         val corpus = sw.agg(sum(col("c_sw")).as("n_corpus"))

@@ -850,6 +850,19 @@ object TrainingQueries {
     // slowest in the registry; this shape is ~5× cheaper and is the
     // one that scales: at 100 TB the only corpus-keyed exchange is
     // the tiny hit-pair agg.)
+    // KNOWN TOKENIZATION EDGE: n_tokens comes from the declarative
+    // tokens() (Spark trim = spaces only; split keeps trailing empty
+    // tokens) while n_boiler_tokens counts inside the kernel, which
+    // tokenizes the Shingles way (Java String.trim strips tabs/
+    // newlines too; split("\\s+") drops trailing empties). On a text
+    // edged by tabs/newlines the two sequences can differ by the edge
+    // tokens, drifting kept_ratio by O(1/n_tokens). Identical on every
+    // gate dataset and oracle-pinned at 3 scales; n_boiler_tokens ≤
+    // n_tokens still holds (the kernel's sequence is never longer), so
+    // kept_ratio stays in [0,1]. A production strip pass should derive
+    // BOTH counts from one tokenization (e.g. a TextStats field) —
+    // kept as-is here because the oracle's string_split_regex(trim())
+    // matches the declarative n_tokens definition exactly.
     Q("q123_boilerplate_strip",
       (s, dir) => {
         val docs = t(s, dir, "documents")

@@ -212,12 +212,22 @@ object EventStream {
             val alert = RateAlert(typ, new java.sql.Timestamp(w),
               new java.sql.Timestamp(w + windowMs), n, s.mean, std, z,
               s.nClosed >= minBaseline && math.abs(z) > zThreshold)
-            // EW update AFTER scoring (West's incremental EW variance)
-            val diff = n.toDouble - s.mean
-            val incr = alpha * diff
-            s = s.copy(mean = s.mean + incr,
-              varr = (1.0 - alpha) * (s.varr + diff * incr),
-              nClosed = s.nClosed + 1)
+            // EW update AFTER scoring (West's incremental EW variance).
+            // The FIRST closed window SEEDS the baseline (mean = its own
+            // count, varr = 0) instead of EW-blending against the zero
+            // prior: blending would leave mean = alpha·n (zero-biased)
+            // and varr = (1-alpha)·alpha·n² (inflated by the distance
+            // from an arbitrary 0), deflating z for several windows — a
+            // genuine anomaly right after minBaseline could be missed.
+            s = if (s.nClosed == 0L)
+              s.copy(mean = n.toDouble, varr = 0.0, nClosed = 1L)
+            else {
+              val diff = n.toDouble - s.mean
+              val incr = alpha * diff
+              s.copy(mean = s.mean + incr,
+                varr = (1.0 - alpha) * (s.varr + diff * incr),
+                nClosed = s.nClosed + 1)
+            }
             alert
           }
           s = s.copy(open = stillOpen)

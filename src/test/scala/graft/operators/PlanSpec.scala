@@ -292,6 +292,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
   }
 
+  test("q125: the corpus is exploded exactly once (sw materialized, not replanned)") {
+    // Four subtrees (join input, word marginal, source marginal, corpus
+    // total) all derive from the (source,word) count frame. Without the
+    // localCheckpoint, ReuseExchange fails to dedupe them (join-side
+    // IsNotNull pushed filters break exchange canonical equality) and
+    // the executed plan carried FOUR corpus-sized Generate explodes.
+    // The checkpoint makes the downstream plan read the materialized
+    // vocab-sized frame: no Generate may survive in the final plan.
+    val plan = planOf("q125_source_kl")
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(3000))
+  }
+
   test("q126: the filter stack is one map pass — no join, no exchange before the sort") {
     val plan = planOf("q126_filter_stack")
     assert(!plan.contains("Join"), plan.take(3000))

@@ -275,9 +275,12 @@ class EventStreamSpec extends AnyFunSuite {
           val std = math.sqrt(varr)
           val z = if (std > 0.0) (c.toDouble - mean) / std else 0.0
           val a = (w, c, mean, std, z, n >= minBase && math.abs(z) > zThr)
-          val diff = c.toDouble - mean
-          val incr = alpha * diff
-          mean += incr; varr = (1.0 - alpha) * (varr + diff * incr); n += 1
+          if (n == 0L) { mean = c.toDouble; varr = 0.0; n = 1L }
+          else {
+            val diff = c.toDouble - mean
+            val incr = alpha * diff
+            mean += incr; varr = (1.0 - alpha) * (varr + diff * incr); n += 1
+          }
           a
         }
       t -> alerts
