@@ -195,6 +195,51 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"), jaccardCol.as("jaccard"))
   }
 
+  /** q128's span threshold (tokens) and its winnow decomposition:
+    * fingerprint 40-grams winnowed with window 11 guarantee detection
+    * of any shared run of ≥ 40+11-1 = 50 tokens (Schleimer-Wilkerson-
+    * Aiken 2003).
+    */
+  val SpanTokens = 50
+  val SpanGramK = 40
+  val SpanWinnowW: Int = SpanTokens - SpanGramK + 1
+
+  /** Exact-substring dedup flags over any (doc_id, text) frame — the
+    * q128 dataflow as a library entry point: winnowed-fingerprint
+    * candidate equi-join (no false negatives for ≥ [[SpanTokens]]-token
+    * shared runs) + fused [[graft.functions.SharedSpan]] exact verify
+    * (no false positives). One row per input doc: (doc_id, n_tokens,
+    * is_exact_dup, dup_of) with dup_of = earliest doc sharing a span,
+    * -1 when none.
+    */
+  def exactSubstringFlags(input: DataFrame): DataFrame = {
+    val base = input.select(col("doc_id"), col("text"))
+    val fp = base.select(col("doc_id"),
+      explode(graft.functions.WinnowFingerprints
+        .winnow(col("text"), SpanGramK, SpanWinnowW)).as("fp"))
+    val cand = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val withTexts = cand
+      .join(base.select(col("doc_id").as("a_id"), col("text").as("a_text")),
+        Seq("a_id"))
+      .join(base.select(col("doc_id").as("b_id"), col("text").as("b_text")),
+        Seq("b_id"))
+    val dupOf = withTexts
+      .filter(graft.functions.SharedSpan
+        .sharedSpan(col("a_text"), col("b_text"), SpanTokens))
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    base.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(dupOf.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_of").isNotNull.cast("int").as("is_exact_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q34: MinHash signatures + band keys per document (the LSH
@@ -768,6 +813,58 @@ object DedupQueries {
                CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
                CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
         FROM lab GROUP BY split ORDER BY split"""),
-      doc = "Leakage-free splitting: the q45 hash split applied per near-dup cluster.")
+      doc = "Leakage-free splitting: the q45 hash split applied per near-dup cluster."),
+
+    // ------------------------------------------------------------------
+    // q128: EXACT-SUBSTRING DEDUP (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499) —
+    // the dedup tier BELOW whole-doc near-dup: flag every document that
+    // shares an EXACT contiguous run of ≥ 50 tokens with an earlier
+    // document (memorization spans, syndicated passages, quoted
+    // boilerplate — invisible to q34/q87, which score whole-doc
+    // similarity). The reference criterion is suffix-array based; the
+    // Spark-native shape is winnow → banded join → verify:
+    //   1. CANDIDATES: winnowed 40-gram fingerprints with window w=11
+    //      (q56's fused WinnowFingerprints). The winnowing guarantee
+    //      (Schleimer-Wilkerson-Aiken 2003): any shared run of
+    //      ≥ k+w-1 = 50 tokens shares ≥1 selected fingerprint — the 11
+    //      consecutive gram hashes inside the run are identical in both
+    //      docs, and the window covering exactly those 11 selects their
+    //      minimum in each. So the fingerprint equi-join (the q36
+    //      banded-join shape — NEVER doc×doc) has no false negatives.
+    //   2. VERIFY: the fused SharedSpan kernel token-compares each
+    //      candidate pair in O(|A|+|B|) (rolling-hash index + exact
+    //      compare on hits), killing fingerprint false positives —
+    //      truth is string equality, so the oracle needs no hash replay.
+    // Output is per-document corpus accounting (the q126 convention):
+    // dup_of = EARLIEST doc sharing a span (the keeper under
+    // first-wins), -1 sentinel when none (nullable-free compare).
+    // 100 TB posture: the fingerprint stream is ~2/(w+1) of the gram
+    // count; candidates are an equi-join; the pair-text join is a plain
+    // shuffle equi-join (AQE broadcasts the pair side when small). A
+    // fingerprint shared by m docs yields O(m²) candidate pairs — the
+    // q36 hot-band caveat; production caps fingerprint frequency first
+    // (a boilerplate 40-gram recurring in thousands of docs is q99/q123
+    // territory — strip it, don't pairwise-join it).
+    Q("q128_exact_substring_dedup",
+      (s, dir) => exactSubstringFlags(t(s, dir, "documents")),
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(w) - 48),
+                   i -> array_to_string(list_slice(w, i, i + 49), ' ')))) AS gram
+          FROM tk WHERE len(w) >= 50),
+        p AS (
+          SELECT b.doc_id AS doc_id, min(a.doc_id) AS dup_of
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY b.doc_id)
+        SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(p.doc_id IS NOT NULL AS INTEGER) AS is_exact_dup,
+               CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of
+        FROM tk LEFT JOIN p ON p.doc_id = tk.doc_id
+        ORDER BY tk.doc_id"""),
+      doc = "Exact-substring dedup (Lee et al. 2022): ≥50-token shared spans, winnow→join→verify.")
   )
 }

@@ -1280,31 +1280,8 @@ object TextQueries {
     // ((total−distinct)·5 > total ⟺ dup frac > 0.2), entropy/quality
     // ride in the proven micro-unit quantizations.
     Q("q126_filter_stack",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            size(tokens(col("text"))).cast("long").as("n_tokens"),
-            greatest(size(tokens(col("text"))).cast("long") - 4L, lit(0L))
-              .as("n_shingles"),
-            size(shingleSet(col("text"), 5)).cast("long")
-              .as("n_distinct_shingles"),
-            (floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
-              * 1e4) * 100).as("entropy_unat"),
-            floor(qualityScoreFused(col("text"), textStats(col("text")))
-              * 1000000.0).cast("long").as("qmu"),
-            langIdFused(col("text")).as("predicted_lang"))
-        d.withColumn("reason",
-            when(col("n_tokens") < 20, "too_short")
-              .when(col("n_tokens") > 30000, "too_long")
-              .when((col("n_shingles") - col("n_distinct_shingles")) * 5
-                > col("n_shingles"), "repetitive")
-              .when(col("entropy_unat") < 2000000L, "low_entropy")
-              .when(col("qmu") < 400000L, "low_quality")
-              .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
-              .otherwise("keep"))
-          .withColumn("keep", col("reason") === "keep")
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => filterStack(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
       {
         // lang argmax chain over the token array `w` (q31's builder)
         val hitExprs = LangMarkers.map { case (lang, markers) =>
@@ -1411,6 +1388,140 @@ object TextQueries {
                (((rk - 1) * 1000) // greatest(n_src - 1, 1) < 500)
                  AS keep_top_half
         FROM ranked ORDER BY doc_id"""),
-      doc = "Per-domain percentile-rank quality calibration (cross-source-comparable gate).")
+      doc = "Per-domain percentile-rank quality calibration (cross-source-comparable gate)."),
+
+    // ------------------------------------------------------------------
+    // q129: BPE MERGE APPLICATION — q109's step 2 (Sennrich ACL'16):
+    // take the learned top-50 merge list and RE-TOKENIZE every document
+    // with it, reporting symbol counts before (characters) and after
+    // (BPE tokens) — the operator that prices a tokenizer against a
+    // corpus (token count drives training cost and the q92 budget
+    // math). The merge table is O(model): 50 rows collected to the
+    // driver from q109's vocab-sized pair aggregation (total order
+    // cnt DESC, a, b — both engines derive the identical list) and
+    // baked into the fused BpeApply expression as a constant — the
+    // q110 inlined-model MO. APPLICATION IS ROW-LOCAL: one map pass
+    // over the corpus scan, no explode, no join, no shuffle before the
+    // output sort — at 100 TB the re-tokenization rides the first
+    // read. Merge semantics (GPT-2 convention, exact in both engines):
+    // per word, merges in rank order, each one left-to-right non-
+    // overlapping over the symbol sequence; the oracle replays it with
+    // a chr(31)-prefix-separator string and 50 recursive-CTE replace
+    // steps on the DISTINCT vocab, then joins counts back per doc (the
+    // oracle may be vocab-sized; the ENGINE side must not be — see
+    // BpeApply's scaladoc for why rank-order single-pass is exact for
+    // a single-round merge table).
+    Q("q129_bpe_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = bpeMergeTable(docs, 50)
+        docs.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+            graft.functions.BpeApply.bpeApply(col("text"), merges).as("st"))
+          .select(col("doc_id"), col("n_ws_tokens"),
+            col("st.n_chars").as("n_chars"),
+            col("st.n_bpe").as("n_bpe_tokens"))
+          .withColumn("tokens_saved", col("n_chars") - col("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE tk0 AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        wc AS (SELECT word, count(*) AS wcnt FROM tk0
+               WHERE length(word) >= 2 GROUP BY word),
+        ix AS (SELECT word, wcnt,
+                      unnest(generate_series(1, length(word) - 1)) AS i
+               FROM wc),
+        pr AS (SELECT substring(word, CAST(i AS INTEGER), 1) AS a,
+                      substring(word, CAST(i AS INTEGER) + 1, 1) AS b,
+                      wcnt
+               FROM ix),
+        pc AS (SELECT a, b, sum(wcnt) AS cnt FROM pr GROUP BY a, b),
+        merges AS (
+          SELECT a, b,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rnk
+          FROM pc QUALIFY rnk <= 50),
+        vocab AS (SELECT DISTINCT word FROM tk0 WHERE length(word) > 0),
+        steps(word, s, r) AS (
+          SELECT word,
+                 chr(31) || array_to_string(string_split(word, ''),
+                                            chr(30) || chr(31)) || chr(30),
+                 0
+          FROM vocab
+          UNION ALL
+          SELECT st.word,
+                 replace(st.s,
+                         chr(31) || m.a || chr(30) || chr(31) || m.b || chr(30),
+                         chr(31) || m.a || m.b || chr(30)),
+                 st.r + 1
+          FROM steps st JOIN merges m ON m.rnk = st.r + 1),
+        fin AS (
+          SELECT word,
+                 CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT) AS n_sym
+          FROM steps WHERE r = (SELECT count(*) FROM merges)),
+        dtk AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ws_tokens,
+               CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+               CAST(sum(coalesce(f.n_sym, 0)) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(length(d.word)) - sum(coalesce(f.n_sym, 0)) AS BIGINT)
+                 AS tokens_saved
+        FROM dtk d LEFT JOIN fin f ON f.word = d.word
+        GROUP BY d.doc_id ORDER BY d.doc_id"""),
+      doc = "BPE merge application (q109 step 2): corpus re-tokenization accounting.")
   )
+
+  /** The q126 filter stack as a library entry point over any (doc_id,
+    * lang, text) frame: every raw signal plus the fixed-precedence
+    * reason ladder, fully ROW-LOCAL — which is what lets the SAME
+    * function run as a batch query (q126) and as a per-micro-batch map
+    * on the streaming ingest path ([[graft.streaming.DocStream
+    * .filterStream]]) with provably identical labels (DocStreamSpec
+    * pins stream == batch row-for-row).
+    */
+  def filterStack(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        greatest(size(tokens(col("text"))).cast("long") - 4L, lit(0L))
+          .as("n_shingles"),
+        size(shingleSet(col("text"), 5)).cast("long")
+          .as("n_distinct_shingles"),
+        (floor(graft.functions.ByteEntropy.byteEntropy(col("text"))
+          * 1e4) * 100).as("entropy_unat"),
+        floor(qualityScoreFused(col("text"), textStats(col("text")))
+          * 1000000.0).cast("long").as("qmu"),
+        langIdFused(col("text")).as("predicted_lang"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 30000, "too_long")
+          .when((col("n_shingles") - col("n_distinct_shingles")) * 5
+            > col("n_shingles"), "repetitive")
+          .when(col("entropy_unat") < 2000000L, "low_entropy")
+          .when(col("qmu") < 400000L, "low_quality")
+          .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+
+  /** q129's merge table: q109's pair aggregation, top-`topN` by the
+    * total order (cnt DESC, a, b), COLLECTED — O(model) driver rows
+    * (50 single-char pairs), never data; the DuckDB oracle derives the
+    * identical list from the same total order.
+    */
+  private def bpeMergeTable(docs: DataFrame, topN: Int): Seq[(String, String)] =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"), col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(col("word").substr(col("i"), lit(1)).as("a"),
+        col("word").substr(col("i") + lit(1), lit(1)).as("b"),
+        col("wcnt"))
+      .groupBy(col("a"), col("b")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topN)
+      .select(col("a"), col("b"))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
 }

@@ -157,6 +157,39 @@ object DocStream {
         "left_anti"))
   }
 
+  /** Streaming CURATION GATE: run the q126 filter stack (row-local
+    * signals + reason ladder, [[graft.operators.TextQueries
+    * .filterStack]]) over every ingest micro-batch, landing labeled
+    * documents AND the per-batch reason-code histogram — the live
+    * drop-reason dashboard a production ingest watches — under
+    * batch-keyed overwrite partitions (the established idempotent-
+    * replay convention: an at-least-once redelivery rewrites its own
+    * partition, counts never double).
+    *
+    * Because the stack is one stateless map pass, stream and batch
+    * labels are IDENTICAL by construction — no watermark, no state
+    * store, no ordering sensitivity; DocStreamSpec pins label parity
+    * and histogram-vs-labels consistency across trigger schedules. At
+    * 100 TB this is the shape where curation rides the ingest scan for
+    * free instead of being a second corpus pass.
+    */
+  def filterStream(docs: DataFrame, outPath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => {
+        val labeled = graft.operators.TextQueries.filterStack(
+          batch.select(col("doc_id"), col("lang"), col("text")))
+        labeled.write.mode("overwrite")
+          .parquet(s"$outPath/labeled/batch=$batchId")
+        // histogram derived from the labeled frame (one source of
+        // truth); tiny (#reasons rows), coalesced to one file
+        labeled.groupBy(col("reason"))
+          .agg(count(lit(1)).as("n_docs"))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"$outPath/reasons/batch=$batchId")
+      })
+
   /** Fold the accumulated delta partitions into the bucketed base table
     * and drop them, restoring the fully exchange-free probe. Rebuilds
     * the base from the admitted-docs store (the source of truth), so it

@@ -32,7 +32,12 @@ class NoDriverCollectSpec extends AnyFunSuite {
         "are each exactly ONE row via limit(1), O(K) rows total — " +
         "codebooks/matrices/centers, never data"),
     "Serve.scala" -> (1,
-      "catalog metadata listing (table names), not data")
+      "catalog metadata listing (table names), not data"),
+    "operators/TextQueries.scala" -> (1,
+      "q129's BPE merge table: top-50 pair rows from the vocab-sized " +
+        "q109 aggregation — tokenizer MODEL parameters (50 single-char " +
+        "pairs regardless of corpus size), baked into the fused " +
+        "BpeApply expression; never data")
   )
 
   private val patterns = Seq(".collect()", ".collectAsList(", ".toLocalIterator")

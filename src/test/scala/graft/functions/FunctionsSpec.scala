@@ -341,4 +341,34 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got == Seq(7L, 0L, 0L, 0L, 0L, 10L, 5L), got)
   }
+
+  test("bpe_apply: canonical left-to-right merging, rank precedence, goldens") {
+    import graft.functions.BpeApply
+    val e = BpeApply(org.apache.spark.sql.graftinterop.ColumnInterop
+      .expression(lit("x")), Seq(("a", "a")))
+    // left-to-right non-overlap within a run: (aa)(aa) / (aa)(aa)a
+    assert(e.applyWord("aaaa") == 2)
+    assert(e.applyWord("aaaaa") == 3)
+    assert(e.applyWord("aaa") == 2)
+    assert(e.applyWord("a") == 1)
+    assert(e.applyWord("") == 0)
+    // rank precedence: (e,r) consumes the r before (r,s) can see it
+    val p = BpeApply(org.apache.spark.sql.graftinterop.ColumnInterop
+      .expression(lit("x")), Seq(("e", "r"), ("r", "s")))
+    assert(p.applyWord("ers") == 2)   // (er) s — rank 1 wins
+    assert(p.applyWord("xrs") == 2)   // x (rs) — rank 2 free to apply
+    // merged symbols never re-merge (single-round table)
+    val q = BpeApply(org.apache.spark.sql.graftinterop.ColumnInterop
+      .expression(lit("x")), Seq(("a", "b"), ("b", "c")))
+    assert(q.applyWord("abc") == 2)   // (ab) c, NOT (abc)
+    // non-BMP code points are single symbols
+    assert(q.applyWord("𝕊x") == 2)
+    // full doc pass: chars and post-merge counts per whitespace word
+    val row = Seq("aaaa ers  AB").toDF("t")
+      .select(BpeApply.bpeApply($"t",
+        Seq(("a", "a"), ("e", "r"), ("a", "b"))).as("st"))
+      .select($"st.n_chars", $"st.n_bpe").head()
+    // lowercased: "aaaa"(4c->2), "ers"(3c->2), "ab"(2c->1)
+    assert(row.getLong(0) == 9L && row.getLong(1) == 5L, row.toString)
+  }
 }

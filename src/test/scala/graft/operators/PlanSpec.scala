@@ -312,6 +312,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q128: candidates come from the fingerprint equi-join — never doc×doc") {
+    // the winnow→join→verify shape: fingerprint self-join and the two
+    // pair-text joins are all equi-joins; a CartesianProduct or
+    // BroadcastNestedLoop here means the candidate generation collapsed
+    // to all-pairs (the exact anti-shape Lee et al.'s suffix-array
+    // approach exists to avoid)
+    val plan = planOf("q128_exact_substring_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("q129: merge application is one map pass — model inlined, no join, no agg") {
+    // the merge table is collected at build time (O(model)); the query
+    // plan itself must be corpus-scan → fused kernel → sort. A Join or
+    // HashAggregate appearing here means the application stopped being
+    // row-local (the vocab-join shape the oracle uses is fine for
+    // DuckDB, wrong for the 100 TB engine path).
+    val plan = planOf("q129_bpe_apply")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(plan.contains("bpe_apply"), plan.take(3000))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._

@@ -250,4 +250,57 @@ class DocStreamSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
     docs.unpersist()
   }
+
+  test("filter stream: streamed labels equal the batch filter stack; histograms match labels") {
+    // the q42 pattern for the curation gate: the SAME row-local
+    // filterStack run per micro-batch must label every document exactly
+    // as one batch pass over the union would — regardless of how the
+    // corpus is cut into drops — and each batch's persisted reason
+    // histogram must be the exact GROUP BY of its labeled partition.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    val base = Files.createTempDirectory("graft_filterstream").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val q = DocStream.filterStream(DocStream.read(spark, dropDir),
+        s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      for (m <- 0L to 2L) {
+        docs.filter($"doc_id" % 3 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$base/out/labeled")
+    // stream == batch, row for row (the stack is stateless/row-local)
+    val batch = graft.operators.TextQueries.filterStack(
+      docs.select($"doc_id", $"lang", $"text"))
+    val cols = Seq("doc_id", "n_tokens", "n_shingles",
+      "n_distinct_shingles", "entropy_unat", "qmu", "predicted_lang",
+      "reason", "keep").map(col)
+    assert(streamed.select(cols: _*).collect().map(_.toSeq).toSet ==
+      batch.select(cols: _*).collect().map(_.toSeq).toSet)
+    assert(streamed.count() == docs.count())
+    // per-batch histogram = group-by of that batch's labeled partition
+    for (b <- 0L to 2L) {
+      val lab = spark.read.parquet(s"$base/out/labeled/batch=$b")
+        .groupBy($"reason").agg(count(lit(1)).as("n_docs"))
+        .collect().map(_.toSeq).toSet
+      val hist = spark.read.parquet(s"$base/out/reasons/batch=$b")
+        .collect().map(_.toSeq).toSet
+      assert(hist == lab, s"batch $b histogram drift")
+    }
+    // replayed batch (at-least-once redelivery) rewrites, never doubles:
+    // re-run batch 2's partition write via a fresh one-drop stream on
+    // the same output root — counts must be unchanged
+    val total = streamed.count()
+    val again = DocStream.filterStream(
+        DocStream.read(spark, dropDir), s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try again.processAllAvailable() finally again.stop()
+    assert(spark.read.parquet(s"$base/out/labeled").count() == total)
+    docs.unpersist()
+  }
 }
