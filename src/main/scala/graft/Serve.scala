@@ -72,7 +72,11 @@ object Serve {
     "public_corpus_weighted_sample" -> "q124_weighted_sample",
     "public_corpus_source_kl" -> "q125_source_kl",
     "public_corpus_filter_stack" -> "q126_filter_stack",
-    "public_corpus_quality_calibrated" -> "q127_quality_calibrate")
+    "public_corpus_quality_calibrated" -> "q127_quality_calibrate",
+    // round-10 dedup/tokenizer dashboards
+    "public_corpus_exact_substring" -> "q128_exact_substring_dedup",
+    "public_corpus_bpe_tokens" -> "q129_bpe_apply",
+    "public_corpus_span_strip" -> "q130_exact_substring_strip")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -120,3 +120,127 @@ object SharedSpan {
     ColumnInterop.column(SharedSpan(
       ColumnInterop.expression(a), ColumnInterop.expression(b), k))
 }
+
+/** Count of token positions in `text` covered by some k-gram it shares
+  * with ANY of the partner texts — q130's strip-accounting kernel (the
+  * [[CoveredPositions]] idea applied to q128's cross-document exact
+  * spans): every position inside a shared run of ≥ k tokens lies in a
+  * shared k-window, so the coverage mask over verified window hits
+  * counts exactly the tokens a Lee-et-al span-strip would delete.
+  *
+  * One call per document over its few candidate partners (the q123
+  * "fused kernel over a small per-doc set" MO — no positional explode
+  * ever crosses an exchange): all partners' k-grams are rolling-hash
+  * indexed once, the document rolls through, and every hash hit is
+  * exact-token verified before marking `[i, i+k)` covered. Overlaps
+  * collapse in the mask. O(Σ|partners| + |text|) plus verification.
+  */
+case class SharedCoverage(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnInterop.AbstractType] =
+    Seq(StringType, org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "shared_coverage"
+
+  private val B = 1000003L
+
+  def compute(text: UTF8String,
+      partners: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val m = partners.numElements()
+    if (m == 0) return 0L
+    val tb = text.toLowerCase.toString.trim.split("\\s+")
+    if (tb.length < k) return 0L
+    var bk = 1L
+    var x = 1
+    while (x < k) { bk *= B; x += 1 }
+    // index every partner's k-gram hashes -> (partner, start)
+    val index = new java.util.HashMap[java.lang.Long, java.util.ArrayList[Array[Int]]]()
+    val ptoks = new Array[Array[String]](m)
+    var pi = 0
+    while (pi < m) {
+      if (!partners.isNullAt(pi)) {
+        val ta = partners.getUTF8String(pi).toLowerCase.toString
+          .trim.split("\\s+")
+        ptoks(pi) = ta
+        if (ta.length >= k) {
+          var h = 0L
+          var i = 0
+          while (i < ta.length) {
+            h = if (i < k) h * B + ta(i).hashCode
+            else (h - ta(i - k).hashCode.toLong * bk) * B + ta(i).hashCode
+            if (i >= k - 1) {
+              var lst = index.get(h)
+              if (lst == null) {
+                lst = new java.util.ArrayList[Array[Int]](1)
+                index.put(h, lst)
+              }
+              lst.add(Array(pi, i - k + 1))
+            }
+            i += 1
+          }
+        }
+      }
+      pi += 1
+    }
+    if (index.isEmpty) return 0L
+    val covered = new Array[Boolean](tb.length)
+    var h = 0L
+    var i = 0
+    while (i < tb.length) {
+      h = if (i < k) h * B + tb(i).hashCode
+      else (h - tb(i - k).hashCode.toLong * bk) * B + tb(i).hashCode
+      if (i >= k - 1) {
+        val lst = index.get(h)
+        if (lst != null) {
+          val pb = i - k + 1
+          var li = 0
+          var hit = false
+          while (!hit && li < lst.size()) {
+            val e = lst.get(li)
+            val ta = ptoks(e(0))
+            val pa = e(1)
+            var j = 0
+            var ok = true
+            while (ok && j < k) {
+              if (ta(pa + j) != tb(pb + j)) ok = false
+              j += 1
+            }
+            hit = ok
+            li += 1
+          }
+          if (hit) {
+            var j = pb
+            while (j <= i) { covered(j) = true; j += 1 }
+          }
+        }
+      }
+      i += 1
+    }
+    var c = 0L
+    i = 0
+    while (i < tb.length) { if (covered(i)) c += 1L; i += 1 }
+    c
+  }
+
+  override protected def nullSafeEval(text: Any, arr: Any): Any =
+    compute(text.asInstanceOf[UTF8String],
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) => {
+      val ref = ctx.addReferenceObj("sharedCoverage", this,
+        classOf[SharedCoverage].getName)
+      s"${ev.value} = $ref.compute($t, $a);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SharedCoverage =
+    copy(left = newLeft, right = newRight)
+}
+
+object SharedCoverage {
+  def sharedCoverage(text: Column, partners: Column, k: Int): Column =
+    ColumnInterop.column(SharedCoverage(
+      ColumnInterop.expression(text), ColumnInterop.expression(partners), k))
+}

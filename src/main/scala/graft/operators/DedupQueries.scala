@@ -212,16 +212,24 @@ object DedupQueries {
     * is_exact_dup, dup_of) with dup_of = earliest doc sharing a span,
     * -1 when none.
     */
-  def exactSubstringFlags(input: DataFrame): DataFrame = {
-    val base = input.select(col("doc_id"), col("text"))
+  /** Winnowed-fingerprint candidate pairs (a_id < b_id) — no false
+    * negatives for ≥ [[SpanTokens]]-token shared runs; shared by
+    * q128's flags and q130's strip accounting.
+    */
+  private def spanCandidates(base: DataFrame): DataFrame = {
     val fp = base.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints
         .winnow(col("text"), SpanGramK, SpanWinnowW)).as("fp"))
-    val cand = fp.as("a")
+    fp.as("a")
       .join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def exactSubstringFlags(input: DataFrame): DataFrame = {
+    val base = input.select(col("doc_id"), col("text"))
+    val cand = spanCandidates(base)
     val withTexts = cand
       .join(base.select(col("doc_id").as("a_id"), col("text").as("a_text")),
         Seq("a_id"))
@@ -865,6 +873,93 @@ object DedupQueries {
                CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of
         FROM tk LEFT JOIN p ON p.doc_id = tk.doc_id
         ORDER BY tk.doc_id"""),
-      doc = "Exact-substring dedup (Lee et al. 2022): ≥50-token shared spans, winnow→join→verify.")
+      doc = "Exact-substring dedup (Lee et al. 2022): ≥50-token shared spans, winnow→join→verify."),
+
+    // ------------------------------------------------------------------
+    // q130: EXACT-SUBSTRING STRIP ACCOUNTING — the APPLY side of q128,
+    // exactly as q123 is to q99: Lee et al. REMOVE the duplicated span
+    // (not the whole document), so before committing to a rewrite pass
+    // a curation run needs to know how many tokens span-stripping
+    // would actually delete per document. A position in doc d is "dup"
+    // iff it lies inside a contiguous run of ≥ 50 tokens shared with
+    // an EARLIER document (first-wins: the first occurrence is the
+    // keeper and counts no dup tokens) — equivalently, inside some
+    // shared 50-window, which is what the mask counts. Dataflow: the
+    // q128 candidate join (winnowing: no false negatives) → per-doc
+    // partner-text array (few partners; production caps them — the
+    // q123 ≤10-inventory MO) → ONE fused SharedCoverage kernel pass
+    // per doc: all partners' 50-gram hashes indexed once, the doc
+    // rolls through, exact-verified hits mark [i, i+49], overlaps
+    // collapse in the mask. No positional explode crosses an exchange;
+    // the oracle rebuilds the same count with positional grams + an
+    // interval-union (gaps-and-islands) replay in SQL.
+    Q("q130_exact_substring_strip",
+      (s, dir) => exactSubstringStrip(t(s, dir, "documents")),
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, w, unnest(range(1, len(w) - 48)) AS i
+          FROM tk WHERE len(w) >= 50),
+        g AS (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(w, i, i + 49), ' ') AS gram
+          FROM g0),
+        sh AS (
+          SELECT DISTINCT b.doc_id, b.i
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        ord AS (
+          SELECT doc_id, i,
+                 max(i) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM sh),
+        brk AS (
+          SELECT doc_id, i,
+                 CASE WHEN pmax IS NULL OR i > pmax + 50 THEN 1 ELSE 0 END AS nb
+          FROM ord),
+        isl AS (
+          SELECT doc_id, i,
+                 sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS island
+          FROM brk),
+        cov AS (
+          SELECT doc_id, CAST(sum(mx - mn + 50) AS BIGINT) AS n_dup
+          FROM (SELECT doc_id, island, min(i) AS mn, max(i) AS mx
+                FROM isl GROUP BY doc_id, island)
+          GROUP BY doc_id)
+        SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(cov.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+               CAST(len(w) - coalesce(cov.n_dup, 0) AS BIGINT) AS n_kept,
+               CAST(len(w) - coalesce(cov.n_dup, 0) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS kept_ratio
+        FROM tk LEFT JOIN cov USING (doc_id)
+        ORDER BY tk.doc_id"""),
+      doc = "Exact-substring strip accounting: tokens inside ≥50-token spans shared with earlier docs.")
   )
+
+  /** q130's dataflow as a library entry point: per-document counts of
+    * tokens inside exact ≥[[SpanTokens]]-token runs shared with
+    * EARLIER documents — what a Lee-et-al span-strip would delete.
+    */
+  def exactSubstringStrip(input: DataFrame): DataFrame = {
+    val base = input.select(col("doc_id"), col("text"))
+    val partners = spanCandidates(base)
+      .join(base.select(col("doc_id").as("a_id"), col("text").as("a_text")),
+        Seq("a_id"))
+      .groupBy(col("b_id"))
+      .agg(collect_list(col("a_text")).as("partner_texts"))
+    base
+      .join(partners.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        when(col("partner_texts").isNull, lit(0L))
+          .otherwise(graft.functions.SharedCoverage
+            .sharedCoverage(col("text"), col("partner_texts"), SpanTokens))
+          .as("n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+        (col("n_tokens") - col("n_dup_tokens")).as("n_kept"),
+        ((col("n_tokens") - col("n_dup_tokens")).cast("double")
+          / col("n_tokens").cast("double")).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -91,4 +91,41 @@ class ExactSubstringSpec extends AnyFunSuite {
       .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
     assert(r == Set((2L, 1L), (4L, 3L), (6L, 5L)), r.toString)
   }
+
+  test("coverage kernel: exact span counts, overlap collapse, multi-partner union") {
+    import graft.functions.SharedCoverage.sharedCoverage
+    val s = span(60)
+    def cover(text: String, partners: Seq[String], k: Int = 50): Long =
+      Seq((text, partners)).toDF("t", "p")
+        .select(sharedCoverage($"t", $"p", k).as("c")).head().getLong(0)
+    // a shared run of exactly 60 tokens covers 60 positions
+    val doc = words(span(10, "x") ++ s ++ span(5, "y"))
+    assert(cover(doc, Seq(words(span(3, "z") ++ s ++ span(8, "w")))) == 60L)
+    // run of exactly 50 covers 50; 49 covers 0
+    assert(cover(doc, Seq(words(s.take(50)))) == 50L)
+    assert(cover(doc, Seq(words(s.take(49)))) == 0L)
+    // two partners covering different halves union in the mask: the
+    // doc's 60-run via first 50 and last 50 from different partners —
+    // union = all 60, counted once
+    assert(cover(doc, Seq(words(s.take(50)), words(s.drop(10)))) == 60L)
+    // no partners / short doc / null-free edge
+    assert(cover(doc, Seq.empty) == 0L)
+    assert(cover(words(span(49)), Seq(words(span(49)))) == 0L)
+  }
+
+  test("dataflow: strip accounting counts only tokens inside earlier-shared spans") {
+    val s = span(55)
+    val docs = Seq(
+      (1L, words(span(10, "a") ++ s ++ span(10, "b"))), // origin: 0 dup
+      (2L, words(span(7, "c") ++ s ++ span(3, "d"))),   // 55 dup of 65
+      (3L, words(span(70, "e")))                        // untouched
+    ).toDF("doc_id", "text")
+    val r = DedupQueries.exactSubstringStrip(docs)
+      .select($"doc_id", $"n_tokens", $"n_dup_tokens", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(1L) == ((75L, 0L, 75L)), s"origin must count 0 dup: $r")
+    assert(r(2L) == ((65L, 55L, 10L)), r.toString)
+    assert(r(3L) == ((70L, 0L, 70L)), r.toString)
+  }
 }

@@ -324,6 +324,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q130: strip accounting keeps the banded shape; coverage stays in the kernel") {
+    // q128's candidate equi-join + a per-doc partner fold + ONE fused
+    // kernel call — a CartesianProduct or a positional explode here
+    // means either the candidate join or the coverage pass regressed
+    // to the corpus-sized anti-shape
+    val plan = planOf("q130_exact_substring_strip")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("shared_coverage"), plan.take(3000))
+    assert(!plan.contains("Generate posexplode"), plan.take(3000))
+  }
+
   test("q129: merge application is one map pass — model inlined, no join, no agg") {
     // the merge table is collected at build time (O(model)); the query
     // plan itself must be corpus-scan → fused kernel → sort. A Join or
