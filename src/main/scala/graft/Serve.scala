@@ -76,7 +76,8 @@ object Serve {
     // round-10 dedup/tokenizer dashboards
     "public_corpus_exact_substring" -> "q128_exact_substring_dedup",
     "public_corpus_bpe_tokens" -> "q129_bpe_apply",
-    "public_corpus_span_strip" -> "q130_exact_substring_strip")
+    "public_corpus_span_strip" -> "q130_exact_substring_strip",
+    "public_corpus_bpe_merges" -> "q131_bpe_train")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

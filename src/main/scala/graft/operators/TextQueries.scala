@@ -1470,7 +1470,32 @@ object TextQueries {
                  AS tokens_saved
         FROM dtk d LEFT JOIN fin f ON f.word = d.word
         GROUP BY d.doc_id ORDER BY d.doc_id"""),
-      doc = "BPE merge application (q109 step 2): corpus re-tokenization accounting.")
+      doc = "BPE merge application (q109 step 2): corpus re-tokenization accounting."),
+
+    // ------------------------------------------------------------------
+    // q131: TRUE ITERATIVE BPE TRAINING (Sennrich ACL'16, the full
+    // loop) — q109 computes one round of pair statistics and q129
+    // applies a single-round list; this is the trainer that closes the
+    // loop: 16 rounds of (count adjacent symbol pairs over the CURRENT
+    // segmentation, weighted by word frequency) → (argmax by the total
+    // order cnt DESC, a, b) → (merge all occurrences, canonical
+    // left-to-right). Later rounds select pairs INVOLVING merged
+    // multi-character symbols — real BPE, not the single-round
+    // approximation. Scale shape: the state is the VOCAB-sized
+    // (wcnt, segmentation) frame (the q109 scale story — corpus
+    // touched once); each round is one small shuffle agg plus ONE
+    // argmax row to the driver (the q122 per-round TakeOrdered(1)
+    // MO — O(n) driver rows total, model parameters, never data);
+    // the merge applies as a codegen'd string `replace` on the
+    // bracketed encoding, which is canonical-exact (see BpeApply's
+    // scaladoc). The oracle unrolls all 16 stages CTE-for-CTE with
+    // the same encoding and replace — the q43 k-means-replay MO —
+    // so the entire training TRAJECTORY is value-pinned, not just
+    // the final table.
+    Q("q131_bpe_train",
+      (s, dir) => bpeTrain(t(s, dir, "documents"), 16),
+      Some(bpeTrainOracleSql(16)),
+      doc = "Distributed iterative BPE training (16 merges): per-round argmax, zero data collect.")
   )
 
   /** The q126 filter stack as a library entry point over any (doc_id,
@@ -1504,6 +1529,121 @@ object TextQueries {
           .when(col("predicted_lang") =!= col("lang"), "lang_mismatch")
           .otherwise("keep"))
       .withColumn("keep", col("reason") === "keep")
+
+  // Bracketed symbol encoding shared by q129's oracle and q131's
+  // trainer (BOTH engines): every symbol is chr(31)+sym+chr(30). Two
+  // DISTINCT brackets make merge-pattern occurrences char-disjoint
+  // (non-overlapping replace = canonical left-to-right single pass)
+  // and prefix matches into longer symbols impossible (the pattern
+  // ends with the closing bracket) — see BpeApply's scaladoc for the
+  // measured failure modes of one-sided/single-separator encodings.
+  private val BrO = "\u001f"
+  private val BrC = "\u001e"
+
+  /** Encode a word as a bracketed single-character symbol string. */
+  private def encodeSeg(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(word, "(.)", BrO + "$1" + BrC)
+
+  /** TRUE iterative BPE training (q131): `n` rounds of count-argmax-
+    * merge over the word-frequency table, fully DISTRIBUTED — the
+    * per-round state is the vocab-sized segmentation frame, the only
+    * driver traffic is ONE argmax row per round (the q122 per-round
+    * TakeOrdered(1) MO), and each merge applies as a codegen'd
+    * `replace` on the bracketed segmentation string (identical
+    * operation in the DuckDB oracle, which unrolls all rounds
+    * stage-for-stage — the q43 k-means-replay MO). Returns the learned
+    * merge table (rank, a, b, cnt-at-selection).
+    */
+  private[operators] def bpeTrain(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    var seg = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .select(col("wcnt"), encodeSeg(col("word")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < n && !exhausted) {
+      val syms = split(expr("substring(s, 2, length(s) - 2)"), BrC + BrO)
+      // adjacent-pair extraction; guard size>=2 (Spark's sequence(1,0)
+      // DESCENDS instead of returning empty)
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top: Array[Row] = seg
+        .select(col("wcnt"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // ONE row per round — model parameters, never data
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((a, b, cnt))
+        seg = seg.withColumn("s",
+          replace(col("s"), lit(BrO + a + BrC + BrO + b + BrC),
+            lit(BrO + a + b + BrC)))
+        // keep the lineage shallow across rounds
+        if ((r + 1) % 4 == 0) seg = seg.localCheckpoint()
+      }
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+      .toDF("rank", "a", "b", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** The q131 oracle: `n` unrolled (segment → pair-count → argmax →
+    * replace) stages in DuckDB, sharing the bracketed encoding and the
+    * (cnt DESC, a, b) total order with the Spark trainer.
+    */
+  private def bpeTrainOracleSql(n: Int): String = {
+    val enc = s"regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    // every stage CTE is MATERIALIZED: DuckDB inlines single-reference
+    // CTEs, and each v_{i+1} references v_i and m_i several times — an
+    // inlined chain re-expands EXPONENTIALLY across 16 stages (first
+    // run died with fd exhaustion from ~5^16 duplicated scans)
+    val stages = (0 until n).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT L[j] AS a, L[j + 1] AS b, sum(wcnt) AS cnt
+        FROM (
+          SELECT wcnt, L, unnest(range(1, len(L))) AS j
+          FROM (
+            SELECT wcnt,
+                   string_split(substring(s, 2, length(s) - 2),
+                                chr(30) || chr(31)) AS L
+            FROM v$i WHERE length(s) > 2) t1) t2
+        GROUP BY a, b),
+      m$i AS MATERIALIZED (
+        SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      v${i + 1} AS MATERIALIZED (
+        SELECT wcnt,
+               replace(s,
+                 chr(31) || (SELECT a FROM m$i) || chr(30) ||
+                   chr(31) || (SELECT b FROM m$i) || chr(30),
+                 chr(31) || (SELECT a FROM m$i) ||
+                   (SELECT b FROM m$i) || chr(30)) AS s
+        FROM v$i)"""
+    }.mkString(",\n      ")
+    val out = (0 until n)
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH tk0 AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      wc AS (SELECT word, count(*) AS wcnt FROM tk0 GROUP BY word),
+      v0 AS MATERIALIZED (SELECT wcnt, $enc AS s FROM wc),
+      $stages
+      SELECT * FROM ($out) ORDER BY rank"""
+  }
 
   /** q129's merge table: q109's pair aggregation, top-`topN` by the
     * total order (cnt DESC, a, b), COLLECTED — O(model) driver rows

@@ -33,11 +33,12 @@ class NoDriverCollectSpec extends AnyFunSuite {
         "codebooks/matrices/centers, never data"),
     "Serve.scala" -> (1,
       "catalog metadata listing (table names), not data"),
-    "operators/TextQueries.scala" -> (1,
-      "q129's BPE merge table: top-50 pair rows from the vocab-sized " +
-        "q109 aggregation — tokenizer MODEL parameters (50 single-char " +
-        "pairs regardless of corpus size), baked into the fused " +
-        "BpeApply expression; never data")
+    "operators/TextQueries.scala" -> (2,
+      "tokenizer MODEL parameters only, never data: q129's merge table " +
+        "(top-50 pair rows from the vocab-sized q109 aggregation, baked " +
+        "into the fused BpeApply expression) and q131's per-round " +
+        "training argmax (limit(1) — exactly ONE row per round, 16 " +
+        "rows total, the q122 TakeOrdered(1) MO)")
   )
 
   private val patterns = Seq(".collect()", ".collectAsList(", ".toLocalIterator")

@@ -526,4 +526,23 @@ class TrainingSpec extends AnyFunSuite {
     assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
     r.unpersist()
   }
+
+  test("q131 BPE trainer: hand-computed merge trajectory, multi-round symbols, exhaustion") {
+    // wc: abab×3, abc×2, cd×5 —
+    //   round 1: (a,b) 3·2+2 = 8 wins over (c,d) 5
+    //   round 2: (c,d) 5 wins over (ab,ab) 3 — multi-char pair present
+    //   round 3: (ab,ab) 3; round 4: (ab,c) 2; then NO pairs remain,
+    //   so asking for 10 merges must return exactly 4 (early stop).
+    val docs = Seq(
+      (1L, "abab abab abab abc abc"),
+      (2L, "cd cd cd cd cd")
+    ).toDF("doc_id", "text")
+    val m = TextQueries.bpeTrain(docs, 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(m == Seq(
+      (1L, "a", "b", 8L),
+      (2L, "c", "d", 5L),
+      (3L, "ab", "ab", 3L),
+      (4L, "ab", "c", 2L)), m.toString)
+  }
 }
