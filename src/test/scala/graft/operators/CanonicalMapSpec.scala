@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * append-only, bridge-free batch — with the leakage property holding
   * on the real corpus.
   */
-class CanonicalMapSpec extends AnyFunSuite {
+class CanonicalMapSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
   private val sfDir = "/root/testdata/sf0.001"
@@ -30,6 +32,21 @@ class CanonicalMapSpec extends AnyFunSuite {
     val gate = graft.SparkEntry.queries("q121_dedup_aware_split")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
     assert(viaMap == gate, s"\nmap=$viaMap\ngate=$gate")
+    // bucketed-layout promise: the map side of the split-assignment
+    // join reads through its doc_id bucket layout, never re-exchanged
+    val probe = CanonicalMap.assignSplits(spark, table, docs)
+    probe.count()
+    val plan = probe.queryExecution.executedPlan
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no join in plan:\n$plan")
+    val mapSide = Seq(joins.head.left, joins.head.right)
+      .filter(_.toString.contains(table))
+    assert(mapSide.length == 1, s"map scan not under the join:\n$plan")
+    assert(collect(mapSide.head) {
+      case e: ShuffleExchangeLike => e
+    }.isEmpty, s"map side re-exchanged:\n$plan")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
