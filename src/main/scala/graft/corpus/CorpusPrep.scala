@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   * oracle-checked operators into the standard assembly line
   *
   *   normalize → quality gate → exact dedup → near-dup resolution →
-  *   decontaminate → mix → split → pack
+  *   exact-substring dedup → decontaminate → mix → split → pack
   *
   * Every stage is the same dataflow its registry query runs (q72, q30,
-  * q33, q36+q85 keep-best, q50, q73, q45, q74), so each is
+  * q33, q36+q85 keep-best, q128, q50, q73, q45, q74), so each is
   * value-verified by the DuckDB gate in isolation; CorpusPrepSpec
   * verifies the composition
   * (stage accounting, end-state invariants). The plain doc-id hash
@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *
   * @param minQuality      quality-score gate (q30's score; 0 disables)
   * @param nearDupJaccard  verified-Jaccard threshold for near-dup edges
+  * @param spanDedup       drop docs sharing an exact ≥50-token run with
+  *                        an earlier doc (q128, Lee et al. 2022) — the
+  *                        tier whole-doc near-dup cannot see
   * @param decontamShingleK n-gram size for eval-overlap contamination
   * @param mixQuotasPpm    per-source keep quotas (ppm); empty = keep all
   * @param packBudget      tokens per training chunk
@@ -37,6 +40,7 @@ import org.apache.spark.sql.functions._
 final case class CorpusPrepConfig(
     minQuality: Double = 0.3,
     nearDupJaccard: Double = 0.8,
+    spanDedup: Boolean = true,
     decontamShingleK: Int = 5,
     mixQuotasPpm: Map[String, Long] = Map.empty,
     packBudget: Long = 1024L,
@@ -119,12 +123,26 @@ object CorpusPrep {
     val nearDeduped = stage("near_dedup",
       exact.join(losers, Seq("doc_id"), "left_anti"))
 
+    // 4b. exact-substring dedup (q128's dataflow): drop docs sharing an
+    // exact ≥50-token contiguous run with an earlier doc — syndicated
+    // passages and quoted boilerplate invisible to whole-doc Jaccard.
+    // Removing every flagged doc leaves ZERO cross-span pairs: any
+    // surviving pair (x < y) would have flagged y against the earlier
+    // x, flagged or not (CorpusPrepSpec asserts the end state).
+    val spanDeduped = stage("span_dedup",
+      if (!cfg.spanDedup) nearDeduped
+      else {
+        val dupIds = DedupQueries.exactSubstringFlags(nearDeduped)
+          .filter(col("is_exact_dup") === 1).select(col("doc_id"))
+        nearDeduped.join(dupIds, Seq("doc_id"), "left_anti")
+      })
+
     // 5. decontamination: drop docs sharing any k-gram with the eval
     // set (shuffle on the shingle key, never doc×doc)
     val decontaminated = stage("decontaminate", eval match {
-      case None => nearDeduped
+      case None => spanDeduped
       case Some(ev) =>
-        val trainSh = nearDeduped.select(col("doc_id"),
+        val trainSh = spanDeduped.select(col("doc_id"),
           explode(graft.functions.Shingles.shingles(col("text"),
             cfg.decontamShingleK)).as("sh"))
         val evalSh = ev.select(
@@ -132,7 +150,7 @@ object CorpusPrep {
             cfg.decontamShingleK)).as("sh")).distinct()
         val contaminated = trainSh.join(evalSh, Seq("sh"))
           .select(col("doc_id")).distinct()
-        nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+        spanDeduped.join(contaminated, Seq("doc_id"), "left_anti")
     })
 
     // 6. mix: per-source ppm quotas (broadcast dim; deterministic,

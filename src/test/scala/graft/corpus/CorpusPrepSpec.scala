@@ -27,7 +27,8 @@ class CorpusPrepSpec extends AnyFunSuite {
   test("stage accounting: monotone, complete, normalization lossless") {
     val byStage = counts.map(c => c.stage -> c.rows).toMap
     assert(counts.map(_.stage) == Seq("input", "normalize", "quality_gate",
-      "exact_dedup", "near_dedup", "decontaminate", "mix", "pack"))
+      "exact_dedup", "near_dedup", "span_dedup", "decontaminate", "mix",
+      "pack"))
     assert(byStage("input") == 500)
     assert(byStage("normalize") == byStage("input"))
     counts.sliding(2).foreach {
@@ -44,6 +45,14 @@ class CorpusPrepSpec extends AnyFunSuite {
       prepared.select($"doc_id", $"text"))
       .filter($"jaccard" >= 0.8)
     assert(remaining.count() == 0)
+  }
+
+  test("no exact >=50-token shared span survives the span_dedup stage") {
+    // removing every flagged doc leaves zero cross-span pairs by the
+    // first-wins argument in CorpusPrep's stage comment — assert it
+    val flags = DedupQueries.exactSubstringFlags(
+      prepared.select($"doc_id", $"text"))
+    assert(flags.filter($"is_exact_dup" === 1).count() == 0)
   }
 
   test("no surviving doc shares an n-gram with the eval set") {
