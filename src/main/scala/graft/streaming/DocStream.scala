@@ -190,6 +190,117 @@ object DocStream {
           .parquet(s"$outPath/reasons/batch=$batchId")
       })
 
+  /** Where streaming exact-substring dedup keeps its persisted state:
+    * the fp-bucketed [[graft.operators.SpanIndex]] base table, the
+    * admitted-docs store, per-batch flag output, and fingerprint
+    * deltas awaiting [[compactSpans]].
+    */
+  final case class SpanState(
+      indexTable: String,
+      docsPath: String,
+      flagsPath: String,
+      nBuckets: Int = 8)
+
+  private[streaming] def spanDeltaDir(st: SpanState): String =
+    s"${st.docsPath}_span_delta"
+
+  /** Streaming EXACT-SUBSTRING dedup (q128's stream face — the same
+    * LSM shape as [[dedupStream]], over the span tier): each
+    * micro-batch probes the persisted fingerprint base ∪ deltas for
+    * ≥50-token shared-span candidates against everything admitted
+    * before it, verifies with the exact SharedSpan kernel, lands the
+    * q128-convention flags for the batch, and admits its fingerprints
+    * as a batch-keyed delta. All writes are batch-keyed overwrite —
+    * replays rewrite their own partitions. Batch-internal span pairs
+    * are the periodic full pipeline's job (the q71 convention).
+    */
+  def spanStream(docs: DataFrame, state: SpanState): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processSpanBatch(batch, batchId, state))
+
+  private[streaming] def processSpanBatch(batch: DataFrame, batchId: Long,
+      st: SpanState): Unit = {
+    import graft.operators.{DedupQueries, SpanIndex}
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text")).persist()
+    try {
+      if (!spark.catalog.tableExists(st.indexTable)) {
+        if (BatchStore.listBatchIds(spark, st.docsPath).nonEmpty)
+          compactSpans(spark, st)
+        else SpanIndex.write(b.limit(0), st.indexTable, st.nBuckets)
+      }
+      // probe base ∪ deltas; verify; flag (earliest admitted sharer)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dp = new org.apache.hadoop.fs.Path(st.docsPath)
+      val admittedAny = dp.getFileSystem(conf).exists(dp)
+      val flags =
+        if (!admittedAny)
+          b.select(col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tokens"),
+            lit(0).as("is_exact_dup"), lit(-1L).as("dup_of"))
+        else {
+          val base = SpanIndex.probeCandidates(spark, st.indexTable, b)
+          val dd = spanDeltaDir(st)
+          val deltaBatches = BatchStore.listBatchIds(spark, dd)
+          val cand0 =
+            if (deltaBatches.isEmpty) base
+            else {
+              val fresh = SpanIndex.fingerprints(b)
+                .select(col("fp"), col("doc_id").as("new_id"))
+              base.unionByName(spark.read
+                .parquet(deltaBatches.map(id => s"$dd/batch=$id"): _*)
+                .select(col("fp"), col("doc_id").as("corpus_id"))
+                .join(fresh, Seq("fp"))
+                .select(col("new_id"), col("corpus_id")))
+            }
+          // a REPLAYED batch probes state containing itself — exclude
+          val cand = cand0.distinct()
+            .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
+              "left_anti")
+          val corpus = spark.read.parquet(st.docsPath)
+          val verified = cand
+            .join(b.select(col("doc_id").as("new_id"), col("text").as("b_text")),
+              Seq("new_id"))
+            .join(corpus.select(col("doc_id").as("corpus_id"),
+                col("text").as("a_text")),
+              Seq("corpus_id"))
+            .filter(graft.functions.SharedSpan.sharedSpan(col("a_text"),
+              col("b_text"), DedupQueries.SpanTokens))
+            .groupBy(col("new_id")).agg(min(col("corpus_id")).as("dup_of"))
+          b.select(col("doc_id"),
+              size(graft.functions.TextFunctions.tokens(col("text")))
+                .cast("long").as("n_tokens"))
+            .join(verified.withColumnRenamed("new_id", "doc_id"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_tokens"),
+              col("dup_of").isNotNull.cast("int").as("is_exact_dup"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+        }
+      flags.write.mode("overwrite").parquet(s"${st.flagsPath}/batch=$batchId")
+      SpanIndex.fingerprints(b).write.mode("overwrite")
+        .parquet(s"${spanDeltaDir(st)}/batch=$batchId")
+      b.write.mode("overwrite").parquet(s"${st.docsPath}/batch=$batchId")
+    } finally b.unpersist()
+  }
+
+  /** Fold span-fingerprint deltas into the bucketed base (rebuilt from
+    * the admitted store — the [[compact]] crash-safety argument applies
+    * unchanged) and drop exactly the deltas the snapshot covers.
+    */
+  def compactSpans(spark: SparkSession, st: SpanState): Unit = {
+    import graft.operators.SpanIndex
+    val snapshot = BatchStore.listBatchIds(spark, st.docsPath)
+    if (snapshot.isEmpty) return
+    val docs = spark.read
+      .parquet(snapshot.map(id => s"${st.docsPath}/batch=$id"): _*)
+      .select(col("doc_id"), col("text"))
+    SpanIndex.write(docs, st.indexTable, st.nBuckets)
+    BatchStore.deleteBatches(spark, spanDeltaDir(st), snapshot)
+  }
+
   /** Fold the accumulated delta partitions into the bucketed base table
     * and drop them, restoring the fully exchange-free probe. Rebuilds
     * the base from the admitted-docs store (the source of truth), so it

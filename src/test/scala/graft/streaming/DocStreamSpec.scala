@@ -251,6 +251,62 @@ class DocStreamSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("span stream: final drop's flags equal the incremental SpanIndex dataflow; replay never doubles") {
+    import graft.operators.{DedupQueries, SpanIndex}
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    val base = Files.createTempDirectory("graft_spanstream").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val st = DocStream.SpanState(
+      indexTable = "spanstream_fp_idx",
+      docsPath = s"$base/admitted",
+      flagsPath = s"$base/flags")
+    spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
+    val q = DocStream.spanStream(DocStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      // earlier-ids-first drops so "earlier doc" == "admitted doc"
+      for (m <- 0 to 2) {
+        docs.filter($"doc_id" % 3 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // drop 0 saw an empty corpus: all clean
+    val flags = spark.read.parquet(st.flagsPath)
+    assert(flags.filter($"batch" === 0 && $"is_exact_dup" === 1).count() == 0)
+    assert(flags.count() == docs.count(), "every doc flagged exactly once")
+    // final drop equals the batch incremental dataflow over the same
+    // new-vs-corpus split (index freshly built from drops 0-1)
+    val newSide = docs.filter($"doc_id" % 3 === 2).select($"doc_id", $"text")
+    val corpusSide = docs.filter($"doc_id" % 3 =!= 2).select($"doc_id", $"text")
+    SpanIndex.write(corpusSide, "spanstream_ref_idx", 8)
+    val ref = SpanIndex.flagIncremental(spark, "spanstream_ref_idx",
+        corpusSide, newSide)
+      .collect().map(_.toSeq).toSet
+    val streamed = flags.filter($"batch" === 2)
+      .select($"doc_id", $"n_tokens", $"is_exact_dup", $"dup_of")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == ref)
+    assert(ref.exists(_(2) == 1), "fixture should flag real span dups")
+    // replay idempotence: reprocess the same drops on a fresh checkpoint
+    // against the same state root — flag/docs counts unchanged
+    val total = flags.count()
+    val again = DocStream.spanStream(DocStream.read(spark, dropDir), st)
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try again.processAllAvailable() finally again.stop()
+    assert(spark.read.parquet(st.flagsPath).count() == total)
+    assert(spark.read.parquet(st.docsPath).count() == docs.count())
+    // compaction folds deltas; post-compact probe state is intact
+    DocStream.compactSpans(spark, st)
+    assert(BatchStore.listBatchIds(spark, DocStream.spanDeltaDir(st)).isEmpty)
+    Seq(st.indexTable, "spanstream_ref_idx").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    docs.unpersist()
+  }
+
   test("filter stream: streamed labels equal the batch filter stack; histograms match labels") {
     // the q42 pattern for the curation gate: the SAME row-local
     // filterStack run per micro-batch must label every document exactly
