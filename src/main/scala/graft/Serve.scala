@@ -77,7 +77,8 @@ object Serve {
     "public_corpus_exact_substring" -> "q128_exact_substring_dedup",
     "public_corpus_bpe_tokens" -> "q129_bpe_apply",
     "public_corpus_span_strip" -> "q130_exact_substring_strip",
-    "public_corpus_bpe_merges" -> "q131_bpe_train")
+    "public_corpus_bpe_merges" -> "q131_bpe_train",
+    "public_corpus_eval_overlap" -> "q132_span_decontaminate")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -1070,6 +1070,103 @@ object TrainingQueries {
                       ORDER BY h, doc_id) AS BIGINT) AS pos
           FROM sh ORDER BY epoch, shard, pos""")
       },
-      doc = "Reproducible epoch shuffle: hash-sharded rank, no global sort.")
+      doc = "Reproducible epoch shuffle: hash-sharded rank, no global sort."),
+
+    // ------------------------------------------------------------------
+    // q132: SPAN-FRACTION EVAL DECONTAMINATION — the published middle
+    // ground between q50 (drop on ANY single shared 5-gram — harsh)
+    // and q81 (same semantics behind a bloom): the GPT-3/PaLM
+    // convention measures the FRACTION of a training document covered
+    // by 13-grams that appear in the held-out benchmark, and drops
+    // only above a threshold (5% here) — a doc quoting one benchmark
+    // sentence survives with the overlap priced in; a cribbed doc
+    // drops. Positional coverage (overlapping shared grams collapse)
+    // via the q130 machinery at k=13: winnowed 8-gram fingerprints
+    // with window 6 (guarantee tight at 8+6-1 = 13) generate
+    // eval↔train candidates as an equi-join; each train doc folds its
+    // matched EVAL texts (few; production caps partners — the q123
+    // inventory MO) and ONE fused SharedCoverage pass marks
+    // [i, i+12] per exact-verified hit. No corpus positional explode;
+    // the oracle rebuilds the count with positional grams + the
+    // gaps-and-islands interval union (+13 gap rule). The contamination
+    // flag compares integers cross-multiplied (n_eval·1000 > n_tok·50
+    // ⟺ frac > 5%) so no double crosses the gate decision.
+    Q("q132_span_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val isEval = col("doc_id") % 20 === 0
+        def fpOf(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"),
+            explode(graft.functions.WinnowFingerprints
+              .winnow(col("text"), 8, 6)).as("fp"))
+        val cand = fpOf(docs.filter(isEval))
+          .select(col("fp"), col("doc_id").as("e_id"))
+          .join(fpOf(docs.filter(!isEval))
+            .select(col("fp"), col("doc_id").as("t_id")), Seq("fp"))
+          .select(col("e_id"), col("t_id")).distinct()
+        val partners = cand
+          .join(docs.filter(isEval)
+            .select(col("doc_id").as("e_id"), col("text").as("e_text")),
+            Seq("e_id"))
+          .groupBy(col("t_id"))
+          .agg(collect_list(col("e_text")).as("ev"))
+        docs.filter(!isEval)
+          .join(partners.withColumnRenamed("t_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(toks(col("text"))).cast("long").as("n_tokens"),
+            when(col("ev").isNull, lit(0L))
+              .otherwise(graft.functions.SharedCoverage
+                .sharedCoverage(col("text"), col("ev"), 13))
+              .as("n_eval_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_eval_tokens"),
+            (col("n_eval_tokens").cast("double")
+              / col("n_tokens").cast("double")).as("eval_frac"),
+            (col("n_eval_tokens") * 1000L > col("n_tokens") * 50L)
+              .cast("int").as("is_contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        ge AS (
+          SELECT DISTINCT array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+          FROM (SELECT w, unnest(range(1, len(w) - 11)) AS i
+                FROM tk WHERE doc_id % 20 = 0 AND len(w) >= 13) t1),
+        gt AS (
+          SELECT doc_id, i,
+                 array_to_string(list_slice(w, i, i + 12), ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i
+                FROM tk WHERE doc_id % 20 <> 0 AND len(w) >= 13) t2),
+        sh AS (SELECT DISTINCT gt.doc_id, gt.i
+               FROM gt JOIN ge USING (gram)),
+        ord AS (
+          SELECT doc_id, i,
+                 max(i) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM sh),
+        brk AS (
+          SELECT doc_id, i,
+                 CASE WHEN pmax IS NULL OR i > pmax + 13 THEN 1 ELSE 0 END AS nb
+          FROM ord),
+        isl AS (
+          SELECT doc_id, i,
+                 sum(nb) OVER (PARTITION BY doc_id ORDER BY i) AS island
+          FROM brk),
+        cov AS (
+          SELECT doc_id, CAST(sum(mx - mn + 13) AS BIGINT) AS n_eval
+          FROM (SELECT doc_id, island, min(i) AS mn, max(i) AS mx
+                FROM isl GROUP BY doc_id, island) gi
+          GROUP BY doc_id)
+        SELECT tk.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(coalesce(cov.n_eval, 0) AS BIGINT) AS n_eval_tokens,
+               CAST(coalesce(cov.n_eval, 0) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) AS eval_frac,
+               CAST(coalesce(cov.n_eval, 0) * 1000 > len(w) * 50 AS INTEGER)
+                 AS is_contaminated
+        FROM tk LEFT JOIN cov USING (doc_id)
+        WHERE tk.doc_id % 20 <> 0
+        ORDER BY tk.doc_id"""),
+      doc = "Span-fraction eval decontamination (GPT-3/PaLM 13-gram convention, 5% gate).")
   )
 }

@@ -336,6 +336,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Generate posexplode"), plan.take(3000))
   }
 
+  test("q132: decontamination keeps the banded shape; coverage stays in the kernel") {
+    // eval↔train candidates come from the fingerprint equi-join and
+    // the positional work runs in SharedCoverage — a CartesianProduct
+    // or positional explode here is the corpus-sized anti-shape
+    val plan = planOf("q132_span_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("shared_coverage"), plan.take(3000))
+    assert(!plan.contains("Generate posexplode"), plan.take(3000))
+  }
+
   test("q129: merge application is one map pass — model inlined, no join, no agg") {
     // the merge table is collected at build time (O(model)); the query
     // plan itself must be corpus-scan → fused kernel → sort. A Join or
