@@ -103,4 +103,32 @@ object Round10Props extends Properties("Round10Functions") {
         BpeApply(ColumnInterop.expression(lit("x")), merges)
           .applyWord(word) == refApply(word, merges)
     }
+
+  // ------------------------------------------------------------------
+  // The winnowing guarantee q128/q132 candidate recall rests on
+  // (Schleimer-Wilkerson-Aiken 2003): two documents sharing a
+  // contiguous run of ≥ k+w-1 tokens share at least one selected
+  // fingerprint. Property-pinned by PLANTING a shared run of exactly
+  // the threshold length inside otherwise-disjoint random contexts —
+  // the tight case; a one-token-shorter plant is allowed to miss.
+
+  private def fps(doc: String, k: Int, w: Int): Set[String] = {
+    val arr = WinnowFingerprints(ColumnInterop.expression(lit("x")), k, w)
+      .compute(UTF8String.fromString(doc))
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toSet
+  }
+
+  private val ctxGen: Gen[List[String]] =
+    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("x", "y", "z")))
+
+  property("winnowing guarantee: a planted k+w-1 run always shares a fingerprint") =
+    forAll(ctxGen, ctxGen, ctxGen, ctxGen,
+        Gen.choose(2, 4), Gen.choose(2, 5)) { (p1, s1, p2, s2, k, w) =>
+      // the planted run uses its own alphabet so the contexts cannot
+      // accidentally extend or duplicate it
+      val run = (1 to (k + w - 1)).map(i => s"r$i")
+      val a = (p1.map(_ + "1") ++ run ++ s1.map(_ + "1")).mkString(" ")
+      val b = (p2.map(_ + "2") ++ run ++ s2.map(_ + "2")).mkString(" ")
+      fps(a, k, w).intersect(fps(b, k, w)).nonEmpty
+    }
 }
