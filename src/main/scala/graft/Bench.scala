@@ -26,10 +26,22 @@ package graft
   *     both keeps round-over-round totals comparable under either
   *     policy (r7 ADVICE).
   *
-  * Round 10: a single-scale invocation auto-repeats the scale (cold +
-  * warm) and the reported total is the WARM run — the per-round driver
-  * artifact now carries the quiet-protocol number by construction
-  * (r9 VERDICT finding #2); both pass totals ride in `"totals"`.
+  * Round 11 (r10 ADVICE #1): the harness is protocol-NEUTRAL again.
+  * Round 10 made a single-scale invocation silently run the scale twice
+  * and report the WARM pass as the headline `"metric":"total"` — that
+  * changed what the canonical number measures (warm vs the cold-session
+  * protocol of rounds 1-9, ~20% apart) and doubled wall-clock for every
+  * single-scale caller. Now:
+  *   - the warm repeat is OPT-IN: either list the scale twice
+  *     (`sf0.1,sf0.1`, which always worked) or set
+  *     `SPARK_GRAFT_WARM_REPEAT=1`;
+  *   - the headline `value` is always the FIRST (cold) pass of the
+  *     final listed scale; any warm-repeat total rides in `"totals"`
+  *     (keys disambiguated `sf0.1`, `sf0.1#2`, …) for the driver or
+  *     verdict to quote explicitly;
+  *   - the artifact records its own protocol: `"protocol":"cold"` plus
+  *     `"warm_repeat":true/false`, so a round-over-round comparison can
+  *     never silently mix measurement protocols again.
   *
   * Run-health instrumentation (the r6 official artifact showed a 10-58×
   * stall on four row-local queries that the artifact itself could not
@@ -175,27 +187,34 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     val scalesRaw = sfArg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    // Round 10: a SINGLE-scale invocation (the driver's per-round
-    // capture) automatically runs that scale TWICE — cold pass, then
-    // warm repeat — and the final total line reports the WARM run (the
-    // "totals" map carries both). r9's official artifact was the noisy
-    // cold session (102.65 s) while the same-code warm repeat measured
-    // 82.4-83.0 s; NOTES documents the ±6 s host-noise band and the
-    // warm-repeat protocol, but the canonical BENCH_rN artifact is the
-    // one the driver consumes by name — it must carry the signal, not
-    // the noise. Multi-scale invocations are unchanged (the caller
-    // already controls repeats by listing a scale twice).
+    // Warm repeat is opt-in (r10 ADVICE #1): explicit `sf,sf` listing,
+    // or SPARK_GRAFT_WARM_REPEAT=1 appends one repeat of the last scale.
+    val warmRepeat = sys.env.get("SPARK_GRAFT_WARM_REPEAT").contains("1")
     val scales =
-      if (scalesRaw.length == 1) scalesRaw ++ scalesRaw else scalesRaw
-    val runs = scales.map { sfDir =>
+      if (warmRepeat) scalesRaw :+ scalesRaw.last else scalesRaw
+    // Disambiguate repeated scales up front (sf0.1, sf0.1#2, …) so the
+    // detail lines, growth line, and totals map all share one key scheme
+    // and never emit duplicate JSON keys (r10 ADVICE #2).
+    val scaleKeys = locally {
+      val seen = collection.mutable.Map.empty[String, Int]
+      scales.map { sfDir =>
+        val base = sfDir.split('/').last
+        val n = seen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
+        if (n == 1) base else s"$base#$n"
+      }
+    }
+    val runs = scales.zip(scaleKeys).map { case (sfDir, key) =>
       val r = runScale(sfDir)
-      println(s"""{"metric":"detail","queries":${j(r.detail)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"detail","queries":${j(r.detail)},"sf":"$key"}""")
       r
     }
 
-    // per-query growth across the scale span (last/first), when 2+
-    // scales ran: the per-run scaling table, >3× flagged
-    if (runs.length >= 2) {
+    // per-query growth across the scale span (last/first), only when the
+    // endpoints are genuinely DIFFERENT scales — a cold-vs-warm repeat of
+    // the same scale is a session-state ratio, not scaling signal, and
+    // labeling it `flagged_over_3x` would be a misleading artifact line
+    // (r10 ADVICE #2)
+    if (runs.length >= 2 && runs.head.sfDir != runs.last.sfDir) {
       val lo = runs.head
       val hi = runs.last
       val growth = collection.immutable.ListMap(names.flatMap { n =>
@@ -211,28 +230,24 @@ object Bench {
       println(s"""{"metric":"growth","lo":"${lo.sfDir}","hi":"${hi.sfDir}","flagged_over_3x":${j(flagged)},"queries":${j(growth)}}""")
     }
 
-    val last = runs.last
-    val total = last.counted.values.filter(_ >= 0).sum
+    // Headline = the FIRST (cold) pass of the final listed scale, so a
+    // warm repeat — however requested — never changes what `value`
+    // measures; warm totals are in `"totals"` for explicit quoting.
+    val headline = runs.find(_.sfDir == runs.last.sfDir).get
+    val total = headline.counted.values.filter(_ >= 0).sum
     val slowest = collection.immutable.ListMap(
-      last.counted.toSeq.sortBy(-_._2).take(10): _*)
+      headline.counted.toSeq.sortBy(-_._2).take(10): _*)
     val totalsMap =
       if (runs.length >= 2) {
-        // NOTES.md recommends listing the same scale 2-3× for a warm
-        // repeat — disambiguate repeated scales (sf0.1, sf0.1#2, …) so
-        // the totals JSON object never carries duplicate keys
-        val seen = collection.mutable.Map.empty[String, Int]
-        "," + runs.map { r =>
-          val base = r.sfDir.split('/').last
-          val n = seen.updateWith(base)(c => Some(c.getOrElse(0) + 1)).get
-          val key = if (n == 1) base else s"$base#$n"
+        "," + runs.zip(scaleKeys).map { case (r, key) =>
           val t = r.counted.values.filter(_ >= 0).sum
           "\"" + key + "\":" + f"$t%.2f"
         }.mkString("\"totals\":{", ",", "}")
       } else ""
     val totalS = f"$total%.2f"
-    val firstS = f"${last.firstRunTotal}%.2f"
-    val gcS = f"${last.gcSec}%.1f"
-    println(s"""{"metric":"total","value":$totalS,"value_first_run":$firstS,"unit":"sec","sf":"${last.sfDir}","queries_n":${last.counted.size},"queries":${j(slowest)},"gc_sec":$gcS,"heap_peak_mb":${heapPeakMb()},"retimed":${last.retimed},"tail_healthy":${last.tailHealthy}$totalsMap}""")
+    val firstS = f"${headline.firstRunTotal}%.2f"
+    val gcS = f"${headline.gcSec}%.1f"
+    println(s"""{"metric":"total","value":$totalS,"value_first_run":$firstS,"unit":"sec","protocol":"cold","warm_repeat":${runs.count(_.sfDir == headline.sfDir) >= 2},"sf":"${headline.sfDir}","queries_n":${headline.counted.size},"queries":${j(slowest)},"gc_sec":$gcS,"heap_peak_mb":${heapPeakMb()},"retimed":${headline.retimed},"tail_healthy":${headline.tailHealthy}$totalsMap}""")
     spark.stop()
   }
 }
