@@ -1495,7 +1495,51 @@ object TextQueries {
     Q("q131_bpe_train",
       (s, dir) => bpeTrain(t(s, dir, "documents"), 16),
       Some(bpeTrainOracleSql(16)),
-      doc = "Distributed iterative BPE training (16 merges): per-round argmax, zero data collect.")
+      doc = "Distributed iterative BPE training (16 merges): per-round argmax, zero data collect."),
+
+    // ------------------------------------------------------------------
+    // q133: TRAINED-TABLE BPE APPLICATION — the composition that closes
+    // train→apply into a real tokenizer pipeline: q131's 16-round
+    // trainer yields a merge table whose later ranks pair MULTI-
+    // CHARACTER symbols; this query re-tokenizes the corpus with that
+    // table applied in RANK order — Sennrich's `apply_bpe` convention.
+    // Rank-order single-pass-per-merge is EXACT for a trained table
+    // (not just the single-char q129 case): any multi-char symbol a
+    // merge references was created by an earlier-rank merge (symbols
+    // only exist after their creating merge is selected), and merging
+    // never deletes symbols, so no later merge can create a new
+    // occurrence of an earlier merge's pair — "apply each merge once,
+    // in rank order" equals the greedy "always merge the lowest-rank
+    // pair present" loop of the reference apply_bpe. Scale shape: the
+    // trained table is O(model) — 16 rows collected from the q131
+    // trainer (ONE argmax row per round) and baked into the fused
+    // BpeApply expression as a constant (the q110 inlined-model MO);
+    // application is ROW-LOCAL — one map pass over the corpus scan, no
+    // explode, no join, no shuffle before the output sort. The oracle
+    // replays the training stage-for-stage (the q131 unrolled CTEs,
+    // with `word` carried through the segmentation chain) and then
+    // reads each vocab word's final symbol count straight off the
+    // trained segmentation frame — application and training share one
+    // bracketed-encoding replay, so the oracle pins the COMPOSED
+    // trajectory, not just the final counts.
+    Q("q133_bpe_train_apply",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val trained = bpeTrain(docs, 16)
+          .select(col("a"), col("b"))
+          .collect() // O(model): 16 trained merge rows, never data
+          .toSeq.map(r => (r.getString(0), r.getString(1)))
+        docs.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+            graft.functions.BpeApply.bpeApply(col("text"), trained).as("st"))
+          .select(col("doc_id"), col("n_ws_tokens"),
+            col("st.n_chars").as("n_chars"),
+            col("st.n_bpe").as("n_bpe_tokens"))
+          .withColumn("tokens_saved", col("n_chars") - col("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeTrainApplyOracleSql(16)),
+      doc = "Trained-table BPE application (q131 table through BpeApply in rank order — Sennrich apply_bpe).")
   )
 
   /** The q126 filter stack as a library entry point over any (doc_id,
@@ -1643,6 +1687,66 @@ object TextQueries {
       v0 AS MATERIALIZED (SELECT wcnt, $enc AS s FROM wc),
       $stages
       SELECT * FROM ($out) ORDER BY rank"""
+  }
+
+  /** The q133 oracle: the q131 training replay (same `n` unrolled
+    * MATERIALIZED stages, same bracketed encoding and (cnt DESC, a, b)
+    * total order) with `word` carried through the segmentation chain,
+    * so the final frame v_n IS the trained tokenization of the vocab —
+    * each word's post-merge symbol count is the number of opening
+    * brackets left in its segmentation string. Per-doc counts join the
+    * vocab-sized result back to the token stream (the oracle may be
+    * vocab-joined; the ENGINE side is row-local — see q133's doc).
+    */
+  private def bpeTrainApplyOracleSql(n: Int): String = {
+    val enc = s"regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
+    // MATERIALIZED for the same reason as bpeTrainOracleSql: inlined
+    // single-reference CTEs re-expand exponentially across the stages
+    val stages = (0 until n).map { i =>
+      s"""p$i AS MATERIALIZED (
+        SELECT L[j] AS a, L[j + 1] AS b, sum(wcnt) AS cnt
+        FROM (
+          SELECT wcnt, L, unnest(range(1, len(L))) AS j
+          FROM (
+            SELECT wcnt,
+                   string_split(substring(s, 2, length(s) - 2),
+                                chr(30) || chr(31)) AS L
+            FROM v$i WHERE length(s) > 2) t1) t2
+        GROUP BY a, b),
+      m$i AS MATERIALIZED (
+        SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      v${i + 1} AS MATERIALIZED (
+        SELECT word, wcnt,
+               replace(s,
+                 chr(31) || (SELECT a FROM m$i) || chr(30) ||
+                   chr(31) || (SELECT b FROM m$i) || chr(30),
+                 chr(31) || (SELECT a FROM m$i) ||
+                   (SELECT b FROM m$i) || chr(30)) AS s
+        FROM v$i)"""
+    }.mkString(",\n      ")
+    s"""WITH tk0 AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      wc AS (SELECT word, count(*) AS wcnt FROM tk0 GROUP BY word),
+      v0 AS MATERIALIZED (SELECT word, wcnt, $enc AS s FROM wc),
+      $stages,
+      fin AS (
+        SELECT word,
+               CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT)
+                 AS n_sym
+        FROM v$n),
+      dtk AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+             CAST(sum(coalesce(f.n_sym, 0)) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(length(d.word)) - sum(coalesce(f.n_sym, 0)) AS BIGINT)
+               AS tokens_saved
+      FROM dtk d LEFT JOIN fin f ON f.word = d.word
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
   }
 
   /** q129's merge table: q109's pair aggregation, top-`topN` by the

@@ -33,12 +33,14 @@ class NoDriverCollectSpec extends AnyFunSuite {
         "codebooks/matrices/centers, never data"),
     "Serve.scala" -> (1,
       "catalog metadata listing (table names), not data"),
-    "operators/TextQueries.scala" -> (2,
+    "operators/TextQueries.scala" -> (3,
       "tokenizer MODEL parameters only, never data: q129's merge table " +
         "(top-50 pair rows from the vocab-sized q109 aggregation, baked " +
-        "into the fused BpeApply expression) and q131's per-round " +
+        "into the fused BpeApply expression), q131's per-round " +
         "training argmax (limit(1) — exactly ONE row per round, 16 " +
-        "rows total, the q122 TakeOrdered(1) MO)")
+        "rows total, the q122 TakeOrdered(1) MO), and q133's trained " +
+        "merge table (the 16 q131 argmax rows re-collected for the " +
+        "BpeApply constant — O(model), bounded by the round count)")
   )
 
   private val patterns = Seq(".collect()", ".collectAsList(", ".toLocalIterator")

@@ -361,6 +361,14 @@ class FunctionsSpec extends AnyFunSuite {
     val q = BpeApply(org.apache.spark.sql.graftinterop.ColumnInterop
       .expression(lit("x")), Seq(("a", "b"), ("b", "c")))
     assert(q.applyWord("abc") == 2)   // (ab) c, NOT (abc)
+    // TRAINED-table shape (q133): later ranks pair multi-char symbols
+    // created by earlier ranks — rank-order chains through them
+    val tr = BpeApply(org.apache.spark.sql.graftinterop.ColumnInterop
+      .expression(lit("x")), Seq(("a", "b"), ("ab", "c"), ("abc", "abc")))
+    assert(tr.applyWord("abc") == 1)        // (ab) → (abc)
+    assert(tr.applyWord("abcabc") == 1)     // … → (abcabc) via rank 3
+    assert(tr.applyWord("abcab") == 2)      // (abc)(ab) — rank 3 blocked
+    assert(tr.applyWord("cab") == 2)        // c (ab) — b consumed at rank 1
     // non-BMP code points are single symbols
     assert(q.applyWord("𝕊x") == 2)
     // full doc pass: chars and post-merge counts per whitespace word

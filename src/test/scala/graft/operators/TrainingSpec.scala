@@ -545,4 +545,29 @@ class TrainingSpec extends AnyFunSuite {
       (3L, "ab", "ab", 3L),
       (4L, "ab", "c", 2L)), m.toString)
   }
+
+  test("q133 trained-table application: hand-computed trajectory on the q131 fixture") {
+    // Trained table on the q131 fixture (proved above):
+    //   1:(a,b)  2:(c,d)  3:(ab,ab)  4:(ab,c)
+    // Rank-order application (= Sennrich apply_bpe for a trained table —
+    // later ranks reference symbols EARLIER ranks created, never the
+    // reverse, so one pass per merge in rank order is exact):
+    //   "abab": a b a b →1→ (ab)(ab) →3→ (abab)          = 1 symbol
+    //   "abc":  a b c   →1→ (ab) c   →4→ (abc)           = 1 symbol
+    //   "cd":   c d     →2→ (cd)                         = 1 symbol
+    // doc 1: 5 ws tokens, 3·4+2·3 = 18 chars, 3+2 = 5 bpe, saved 13
+    // doc 2: 5 ws tokens, 10 chars, 5 bpe, saved 5
+    val docs = Seq(
+      (1L, "abab abab abab abc abc"),
+      (2L, "cd cd cd cd cd")
+    ).toDF("doc_id", "text")
+    val trained = TextQueries.bpeTrain(docs, 10)
+      .select($"a", $"b").as[(String, String)].collect().toSeq
+    val got = docs
+      .select($"doc_id",
+        graft.functions.BpeApply.bpeApply($"text", trained).as("st"))
+      .select($"doc_id", $"st.n_chars", $"st.n_bpe")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 18L, 5L), (2L, 10L, 5L)), got.toString)
+  }
 }
