@@ -215,11 +215,37 @@ object DedupQueries {
   /** Winnowed-fingerprint candidate pairs (a_id < b_id) — no false
     * negatives for ≥ [[SpanTokens]]-token shared runs; shared by
     * q128's flags and q130's strip accounting.
+    *
+    * `maxDocsPerFingerprint` (0 = off) is the HOT-FINGERPRINT CAP: a
+    * fingerprint shared by m documents yields O(m²) candidate pairs
+    * (the q36 hot-band caveat), so a boilerplate 40-gram recurring in
+    * thousands of docs would quadratically dominate the join. With the
+    * cap on, fingerprints whose document frequency exceeds the cap are
+    * DROPPED before the self-join (a broadcast anti-join — the hot set
+    * is tiny by construction), bounding the pairs any one fingerprint
+    * can emit to cap·(cap−1)/2. RECALL statement: a shared
+    * ≥[[SpanTokens]]-token run is still detected iff AT LEAST ONE of
+    * its selected fingerprints has document frequency ≤ cap — pure
+    * corpus-wide boilerplate runs (every selected fingerprint hot) are
+    * the ones that go undetected, and those are exactly q99/q123
+    * territory: strip them corpus-wide, don't pairwise-join them.
+    * ExactSubstringSpec pins both halves (the bound AND the retained
+    * recall) on a constructed hot-fingerprint fixture.
     */
-  private def spanCandidates(base: DataFrame): DataFrame = {
-    val fp = base.select(col("doc_id"),
+  private[operators] def spanCandidates(base: DataFrame,
+      maxDocsPerFingerprint: Int = 0): DataFrame = {
+    val fp0 = base.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints
         .winnow(col("text"), SpanGramK, SpanWinnowW)).as("fp"))
+    val fp =
+      if (maxDocsPerFingerprint <= 0) fp0
+      else {
+        val hot = fp0.select(col("fp"), col("doc_id")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocsPerFingerprint)
+          .select(col("fp"))
+        fp0.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
     fp.as("a")
       .join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -227,9 +253,10 @@ object DedupQueries {
       .distinct()
   }
 
-  def exactSubstringFlags(input: DataFrame): DataFrame = {
+  def exactSubstringFlags(input: DataFrame,
+      maxDocsPerFingerprint: Int = 0): DataFrame = {
     val base = input.select(col("doc_id"), col("text"))
-    val cand = spanCandidates(base)
+    val cand = spanCandidates(base, maxDocsPerFingerprint)
     val withTexts = cand
       .join(base.select(col("doc_id").as("a_id"), col("text").as("a_text")),
         Seq("a_id"))
@@ -851,9 +878,12 @@ object DedupQueries {
     // count; candidates are an equi-join; the pair-text join is a plain
     // shuffle equi-join (AQE broadcasts the pair side when small). A
     // fingerprint shared by m docs yields O(m²) candidate pairs — the
-    // q36 hot-band caveat; production caps fingerprint frequency first
-    // (a boilerplate 40-gram recurring in thousands of docs is q99/q123
-    // territory — strip it, don't pairwise-join it).
+    // q36 hot-band caveat; production runs with spanCandidates'
+    // maxDocsPerFingerprint cap on (a tested config — see its recall
+    // statement and CapSpanCandidatesSpec): a boilerplate 40-gram
+    // recurring in thousands of docs is q99/q123 territory — strip it,
+    // don't pairwise-join it. The gate query keeps the cap OFF so the
+    // oracle stays the uncapped exact semantics.
     Q("q128_exact_substring_dedup",
       (s, dir) => exactSubstringFlags(t(s, dir, "documents")),
       Some("""WITH tk AS (
@@ -939,10 +969,13 @@ object DedupQueries {
   /** q130's dataflow as a library entry point: per-document counts of
     * tokens inside exact ≥[[SpanTokens]]-token runs shared with
     * EARLIER documents — what a Lee-et-al span-strip would delete.
+    * `maxDocsPerFingerprint` is [[spanCandidates]]' hot-fingerprint
+    * cap (0 = off; see its recall statement).
     */
-  def exactSubstringStrip(input: DataFrame): DataFrame = {
+  def exactSubstringStrip(input: DataFrame,
+      maxDocsPerFingerprint: Int = 0): DataFrame = {
     val base = input.select(col("doc_id"), col("text"))
-    val partners = spanCandidates(base)
+    val partners = spanCandidates(base, maxDocsPerFingerprint)
       .join(base.select(col("doc_id").as("a_id"), col("text").as("a_text")),
         Seq("a_id"))
       .groupBy(col("b_id"))

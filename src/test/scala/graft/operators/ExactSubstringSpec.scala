@@ -128,4 +128,48 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(r(2L) == ((65L, 55L, 10L)), r.toString)
     assert(r(3L) == ((70L, 0L, 70L)), r.toString)
   }
+
+  test("hot-fingerprint cap bounds the candidate join; unique pairs keep full recall") {
+    // 12 docs are VERBATIM copies of the same 70-token boilerplate run
+    // (identical docs select identical winnowed fingerprints, so every
+    // one has document frequency 12), so the uncapped candidate join
+    // emits all 12·11/2 = 66 pairs — the O(m²) hot-fingerprint blowup.
+    // Two more docs (100, 101) share a 70-token run UNIQUE to them
+    // behind differing prefixes (df = 2). NOTE a deliberately weaker
+    // variant was tried first — hot docs with unique PREFIXES — and it
+    // shows why the cap is on SELECTED-fingerprint frequency: window
+    // minima near the prefix/run boundary are context-dependent, so a
+    // few interior fingerprints were selected by only 3 of the 12 docs
+    // (df = 3 ≤ cap → kept → 3 residual pairs). That is the documented
+    // semantics, not a bug: each kept fingerprint still contributes
+    // ≤ cap·(cap−1)/2 pairs, which is the bound the cap promises.
+    val boiler = span(70, "hot")
+    val unique = span(70, "uniq")
+    val docs = ((1 to 12).map(d => (d.toLong, words(boiler))) ++ Seq(
+        (100L, words(span(10, "qa") ++ unique)),
+        (101L, words(span(10, "qb") ++ unique))))
+      .toDF("doc_id", "text")
+    val uncapped = DedupQueries.spanCandidates(docs)
+      .as[(Long, Long)].collect().toSet
+    val capped = DedupQueries.spanCandidates(docs, maxDocsPerFingerprint = 5)
+      .as[(Long, Long)].collect().toSet
+    // uncapped: the full quadratic pair set plus the unique pair
+    assert(uncapped.size >= 67 && uncapped.contains((100L, 101L)),
+      s"${uncapped.size} pairs: $uncapped")
+    // capped: every df>5 fingerprint dropped — the 66 boilerplate pairs
+    // are gone (the documented recall loss: corpus-wide boilerplate is
+    // q99/q123 strip territory) and the bound holds with room to spare
+    assert(capped == Set((100L, 101L)), s"capped: $capped")
+    // the unique pair's recall survives END-TO-END through the verify
+    // stage, and first-wins accounting is unchanged for it
+    val flags = DedupQueries
+      .exactSubstringFlags(docs, maxDocsPerFingerprint = 5)
+      .select($"doc_id", $"is_exact_dup", $"dup_of")
+      .as[(Long, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(flags(101L) == ((1, 100L)), flags.toString)
+    assert(flags(100L) == ((0, -1L)), flags.toString)
+    assert((1 to 12).forall(d => flags(d.toLong) == ((0, -1L))),
+      s"boilerplate docs must be (deliberately) unflagged under the cap: $flags")
+  }
 }
