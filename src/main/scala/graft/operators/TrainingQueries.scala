@@ -30,6 +30,18 @@ object TrainingQueries {
     */
   private val EpochShuffleShards = 16
 
+  /** q132's span-fraction decontamination constants (the GPT-3/PaLM
+    * 13-gram convention) and their winnow decomposition: fingerprint
+    * [[DecontamGramK]]-grams with window [[DecontamWinnowW]] — the
+    * Schleimer-Wilkerson-Aiken guarantee is tight at exactly
+    * [[DecontamTokens]] = 8+6-1 shared tokens. ONE definition shared
+    * with the persisted eval-side index ([[SpanIndex]]) so the batch
+    * probe and the gate query can't fork.
+    */
+  val DecontamTokens = 13
+  val DecontamGramK = 8
+  val DecontamWinnowW: Int = DecontamTokens - DecontamGramK + 1
+
   /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
     * memory mergeable sketch vs the exact form's per-group value
     * buffers). Not in the registry — sketch outputs are engine-specific
@@ -1098,7 +1110,7 @@ object TrainingQueries {
         def fpOf(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"),
             explode(graft.functions.WinnowFingerprints
-              .winnow(col("text"), 8, 6)).as("fp"))
+              .winnow(col("text"), DecontamGramK, DecontamWinnowW)).as("fp"))
         val cand = fpOf(docs.filter(isEval))
           .select(col("fp"), col("doc_id").as("e_id"))
           .join(fpOf(docs.filter(!isEval))
@@ -1117,7 +1129,7 @@ object TrainingQueries {
             size(toks(col("text"))).cast("long").as("n_tokens"),
             when(col("ev").isNull, lit(0L))
               .otherwise(graft.functions.SharedCoverage
-                .sharedCoverage(col("text"), col("ev"), 13))
+                .sharedCoverage(col("text"), col("ev"), DecontamTokens))
               .as("n_eval_tokens"))
           .select(col("doc_id"), col("n_tokens"), col("n_eval_tokens"),
             (col("n_eval_tokens").cast("double")

@@ -88,4 +88,56 @@ class SpanIndexSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
   }
+
+  test("eval-index decontamination: incremental equals full q132 on an append-only batch") {
+    // q132's split convention: eval = doc_id % 20 == 0. Index the EVAL
+    // side (it rarely changes); the batch is a train-doc slice. Because
+    // decontamination is train-vs-eval ONLY (no batch-internal pairs
+    // exist by definition), the incremental result must equal the full
+    // q132 recompute restricted to the batch's docs — for ANY batch,
+    // with no new-vs-corpus restriction caveat.
+    val evalTable = "span_index_eval_spec"
+    val isEval = $"doc_id" % 20 === 0
+    val inBatch = $"doc_id" >= 250 && !($"doc_id" % 20 === 0)
+    SpanIndex.writeEvalIndex(docs.filter(isEval), evalTable, nBuckets = 8)
+    val incr = SpanIndex.decontaminateIncremental(spark, evalTable,
+        docs.filter(isEval), docs.filter(inBatch))
+    // probe plan: the persisted eval side reads through its bucket
+    // layout, never re-exchanged — only the batch shuffles
+    val cand = spark.table(evalTable)
+      .select($"fp", $"doc_id".as("e_id"))
+      .join(SpanIndex.fingerprints(docs.filter(inBatch),
+          TrainingQueries.DecontamGramK, TrainingQueries.DecontamWinnowW)
+        .select($"fp", $"doc_id".as("t_id")), Seq("fp"))
+    cand.count()
+    val plan = cand.queryExecution.executedPlan
+    // a benchmark-sized eval index BROADCASTS (zero shuffle on either
+    // side — the ideal small-eval plan); a huge one reads through its
+    // bucket layout. Either way the index side is never
+    // shuffle-exchanged and the probe cost stays O(batch).
+    assert(plan.toString.contains("Bucketed: true")
+        || plan.toString.contains("BroadcastExchange"),
+      s"neither bucketed read nor broadcast in effect:\n${plan.toString.take(1200)}")
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val indexSide = Seq(joins.head.left, joins.head.right)
+      .filter(_.toString.contains(evalTable))
+    assert(indexSide.length == 1, s"eval scan not under the join:\n$plan")
+    assert(collect(indexSide.head) {
+      case e: ShuffleExchangeLike => e
+    }.isEmpty, s"eval index side re-exchanged:\n$plan")
+    // value parity vs the full gate query
+    val full = TrainingQueries.all.find(_.name == "q132_span_decontaminate")
+      .get.run(spark, sfDir)
+      .filter($"doc_id" >= 250)
+      .as[(Long, Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    val got = incr.as[(Long, Long, Long, Double, Int)]
+      .collect().toSeq.sortBy(_._1)
+    assert(full.nonEmpty && got == full,
+      s"incremental != full: ${got.diff(full).take(3)} vs ${full.diff(got).take(3)}")
+    assert(full.exists(_._3 > 0),
+      "fixture should contain real train-eval span overlap")
+    spark.sql(s"DROP TABLE IF EXISTS `$evalTable`")
+  }
 }
