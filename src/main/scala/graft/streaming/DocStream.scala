@@ -85,6 +85,16 @@ object DocStream {
     * the index probe surfaced. Every write is batch-keyed overwrite —
     * re-running the same (batch, batchId) leaves all state row counts
     * unchanged (DocStreamSpec replays a batch to pin exactly that).
+    *
+    * Replay VALUE-idempotence (r10 ADVICE): the corpus side — both the
+    * delta probes and the doc-text join — is restricted to batch
+    * partitions with id < the CURRENT batchId. A replay (same
+    * checkpoint or a fresh one re-processing the same drops in order)
+    * therefore sees exactly the state the original run saw: a stale
+    * candidate surfaced by the compacted base against a LATER-admitted
+    * doc drops at the corpus join, so a match can never point at a
+    * later document and the earliest-sharer convention survives
+    * re-processing, value-for-value, not just count-for-count.
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       st: DedupState): Unit = {
@@ -100,9 +110,12 @@ object DocStream {
           compact(spark, st)
         else DedupIndex.write(b.limit(0), st.indexTable, st.nBuckets)
       }
-      val cand = probeAll(spark, st, b)
+      val priorBatches = BatchStore.listBatchIds(spark, st.docsPath)
+        .filter(_ < batchId)
+      val cand = probeAll(spark, st, b, batchId, priorBatches)
       if (cand.nonEmpty) {
-        val corpus = spark.read.parquet(st.docsPath)
+        val corpus = spark.read
+          .parquet(priorBatches.map(id => s"${st.docsPath}/batch=$id"): _*)
         val matches = DedupQueries.verifyCandidates(cand.get, b, corpus)
           .filter(col("jaccard") >= st.verifyThreshold)
           .withColumn("is_dup",
@@ -118,23 +131,21 @@ object DocStream {
     } finally b.unpersist()
   }
 
-  /** Candidate (new_id, corpus_id) pairs for `b` against base ∪ deltas;
-    * None when nothing has been admitted yet (first batch).
+  /** Candidate (new_id, corpus_id) pairs for `b` against base ∪ deltas
+    * from batches admitted BEFORE `batchId`; None when no prior batch
+    * exists (first batch, or a replay of it).
     */
   private def probeAll(spark: SparkSession, st: DedupState,
-      b: DataFrame): Option[DataFrame] = {
-    // resolve each path against ITS OWN filesystem (state may live on a
-    // non-default scheme; FileSystem.get(conf) would answer for the
-    // wrong one or throw)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dp = new org.apache.hadoop.fs.Path(st.docsPath)
-    if (!dp.getFileSystem(conf).exists(dp)) return None
+      b: DataFrame, batchId: Long, priorBatches: Seq[Long]): Option[DataFrame] = {
+    if (priorBatches.isEmpty) return None
     val base = DedupIndex.probeCandidates(spark, st.indexTable, b)
     val dd = deltaDir(st)
     // list batch partitions explicitly: a concurrent compact may leave
     // the root present but empty (schema inference over an empty dir
-    // throws), and listing pins exactly which deltas this probe reads
-    val deltaBatches = BatchStore.listBatchIds(spark, dd)
+    // throws), and listing pins exactly which deltas this probe reads;
+    // only PRIOR deltas probe (replay value-idempotence — see
+    // processBatch), the rest drop at the corpus join anyway
+    val deltaBatches = BatchStore.listBatchIds(spark, dd).filter(_ < batchId)
     val withDelta =
       if (deltaBatches.isEmpty) base
       else {
@@ -147,11 +158,11 @@ object DocStream {
           .select(col("new_id"), col("corpus_id"))
         base.unionByName(deltaCand)
       }
-    // exclude the batch's own documents from the corpus side: on the
-    // normal path the probe runs before the admit so this is a no-op,
-    // but a REPLAYED batch probes state that already contains itself —
-    // without this, every replayed document matches its own admitted
-    // copy (and q71 semantics exclude batch-internal pairs anyway)
+    // exclude the batch's own documents from the corpus side: the
+    // compacted base is not batch-keyed, so a replayed batch still
+    // probes an index containing itself — without this, every replayed
+    // document matches its own admitted copy (and q71 semantics exclude
+    // batch-internal pairs anyway)
     Some(withDelta.distinct()
       .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
         "left_anti"))
@@ -231,12 +242,19 @@ object DocStream {
           compactSpans(spark, st)
         else SpanIndex.write(b.limit(0), st.indexTable, st.nBuckets)
       }
-      // probe base ∪ deltas; verify; flag (earliest admitted sharer)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val dp = new org.apache.hadoop.fs.Path(st.docsPath)
-      val admittedAny = dp.getFileSystem(conf).exists(dp)
+      // probe base ∪ deltas; verify; flag (earliest admitted sharer).
+      // Replay VALUE-idempotence (r10 ADVICE): delta probes and the
+      // corpus text join are restricted to batches with id < the
+      // current batchId, so a replay — same checkpoint or a fresh one
+      // re-processing the same drops in order — sees exactly the state
+      // the original run saw: a stale base candidate against a
+      // LATER-admitted doc drops at the corpus join, dup_of can never
+      // point at a later document, and the earliest-sharer convention
+      // survives re-processing value-for-value (DocStreamSpec pins it).
+      val priorBatches = BatchStore.listBatchIds(spark, st.docsPath)
+        .filter(_ < batchId)
       val flags =
-        if (!admittedAny)
+        if (priorBatches.isEmpty)
           b.select(col("doc_id"),
             size(graft.functions.TextFunctions.tokens(col("text")))
               .cast("long").as("n_tokens"),
@@ -245,6 +263,7 @@ object DocStream {
           val base = SpanIndex.probeCandidates(spark, st.indexTable, b)
           val dd = spanDeltaDir(st)
           val deltaBatches = BatchStore.listBatchIds(spark, dd)
+            .filter(_ < batchId)
           val cand0 =
             if (deltaBatches.isEmpty) base
             else {
@@ -256,11 +275,13 @@ object DocStream {
                 .join(fresh, Seq("fp"))
                 .select(col("new_id"), col("corpus_id")))
             }
-          // a REPLAYED batch probes state containing itself — exclude
+          // the compacted base is not batch-keyed, so a replayed batch
+          // still probes an index containing itself — exclude
           val cand = cand0.distinct()
             .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
               "left_anti")
-          val corpus = spark.read.parquet(st.docsPath)
+          val corpus = spark.read
+            .parquet(priorBatches.map(id => s"${st.docsPath}/batch=$id"): _*)
           val verified = cand
             .join(b.select(col("doc_id").as("new_id"), col("text").as("b_text")),
               Seq("new_id"))

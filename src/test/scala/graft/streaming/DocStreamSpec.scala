@@ -158,6 +158,25 @@ class DocStreamSpec extends AnyFunSuite {
       java.nio.file.Paths.get(DocStream.deltaDir(st))))
     DocStream.processBatch(docs.limit(20), 2L, st)
     assert(spark.read.parquet(st.matchesPath).where($"batch" === 2).count() > 0)
+
+    // EARLIER-batch replay against LATER state (the r10 ADVICE case):
+    // the compacted base now holds batches 0-2 (not batch-keyed), so a
+    // replay of batch 1 probes an index containing later admissions —
+    // the prior-batch corpus restriction must drop those at the text
+    // join, leaving batch 1's matches value-identical (a corpus join
+    // over all partitions would instead DUPLICATE match rows per
+    // later-admitted copy and could match later docs)
+    val b1ValuesBefore = spark.read.parquet(st.matchesPath)
+      .where($"batch" === 1)
+      .select($"new_id", $"corpus_id", $"jaccard", $"is_dup")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    DocStream.processBatch(b1, 1L, st)
+    val b1ValuesAfter = spark.read.parquet(st.matchesPath)
+      .where($"batch" === 1)
+      .select($"new_id", $"corpus_id", $"jaccard", $"is_dup")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(b1ValuesAfter == b1ValuesBefore,
+      "earlier-batch replay against later state changed match values")
     spark.sql(s"DROP TABLE IF EXISTS `${st.indexTable}`")
     docs.unpersist()
   }
@@ -291,13 +310,24 @@ class DocStreamSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == ref)
     assert(ref.exists(_(2) == 1), "fixture should flag real span dups")
-    // replay idempotence: reprocess the same drops on a fresh checkpoint
-    // against the same state root — flag/docs counts unchanged
-    val total = flags.count()
+    // replay idempotence: reprocess the same drops on a FRESH checkpoint
+    // against the same state root. This is the r10 ADVICE case: the
+    // replayed batch 0 probes deltas/docs of batches 1-2 that exist by
+    // now — the prior-batch restriction must keep it from flagging
+    // anything against LATER-admitted docs, leaving the flags store
+    // VALUE-identical (dup_of may never point at a later document), not
+    // merely the same size.
+    val valuesBefore = flags
+      .select($"batch", $"doc_id", $"n_tokens", $"is_exact_dup", $"dup_of")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     val again = DocStream.spanStream(DocStream.read(spark, dropDir), st)
       .option("checkpointLocation", s"$base/ckpt2").start()
     try again.processAllAvailable() finally again.stop()
-    assert(spark.read.parquet(st.flagsPath).count() == total)
+    val valuesAfter = spark.read.parquet(st.flagsPath)
+      .select($"batch", $"doc_id", $"n_tokens", $"is_exact_dup", $"dup_of")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(valuesAfter == valuesBefore,
+      "fresh-checkpoint replay changed flag values")
     assert(spark.read.parquet(st.docsPath).count() == docs.count())
     // compaction folds deltas; post-compact probe state is intact
     DocStream.compactSpans(spark, st)
