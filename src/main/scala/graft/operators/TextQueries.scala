@@ -1211,13 +1211,23 @@ object TextQueries {
     // explode FOUR times (measured: 4 Generate nodes in the executed
     // plan before this). The checkpoint pins it to one corpus pass by
     // construction; PlanSpec asserts no Generate survives downstream.
+    // eager = false (r10 ADVICE): construction stays side-effect-free —
+    // the one corpus pass runs at the query's FIRST ACTION, not when
+    // the registry lambda builds the plan (PlanDump/explain-only
+    // consumers used to execute the explode), and all four subtrees
+    // share the single lazily-materialized RDD. Fault-tolerance
+    // trade-off at 100 TB: localCheckpoint blocks are executor-local
+    // (an executor loss fails the query instead of recomputing
+    // lineage); a production run at that scale swaps in
+    // checkpoint(eager) to reliable storage or persist+count —
+    // recorded in SCALING.md's known trade-offs.
     Q("q125_source_kl",
       (s, dir) => {
         val sw = t(s, dir, "documents")
           .select(col("source"), explode(tokens(col("text"))).as("word"))
           .groupBy(col("source"), col("word"))
           .agg(count(lit(1)).as("c_sw"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wMarg = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
         val sMarg = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
         val corpus = sw.agg(sum(col("c_sw")).as("n_corpus"))
