@@ -2,7 +2,7 @@ package graft.corpus
 
 import graft.functions.TextFunctions
 import graft.functions.UnicodeNorm
-import graft.operators.{DataSplit, DedupCluster, DedupQueries}
+import graft.operators.{CanonicalMap, DataSplit, DedupCluster, DedupIndex, DedupQueries, SpanIndex}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -179,6 +179,96 @@ object CorpusPrep {
 
     val out = packed.localCheckpoint()
     packed.unpersist()
+    (out, counts.result())
+  }
+
+  /** Incremental ingest — [[run]]'s O(batch) production counterpart:
+    * instead of re-running the full pipeline over corpus ∪ batch, a new
+    * batch is driven through the three PERSISTED dedup artifacts the
+    * library maintains between full rebuilds:
+    *
+    *   1. normalize + quality gate (row-local, identical to [[run]]);
+    *   2. batch-internal exact dedup (digest min-id — within the batch
+    *      only; batch-vs-corpus exact dups verify at Jaccard 1.0 in the
+    *      next stage);
+    *   3. near-dup vs the admitted corpus: probe the persisted
+    *      [[DedupIndex]] band index (only the batch shuffles), verify
+    *      candidates exactly, DROP every batch doc matching an admitted
+    *      doc at ≥ nearDupJaccard — the admitted copy is the immutable
+    *      keeper (first-wins; [[run]]'s keep-best applies at the
+    *      periodic full rebuild, where both copies are in play);
+    *   4. exact-substring vs the admitted corpus: [[SpanIndex
+    *      .flagIncremental]], drop flagged (Lee et al. first-occurrence
+    *      convention);
+    *   5. split assignment through the persisted [[CanonicalMap]]
+    *      (bucketed map join): survivors carry no map row, so they are
+    *      their own canonical under the SAME split rule as the admitted
+    *      corpus — and because ingest never writes any of the three
+    *      artifacts, no admitted document's canonical (hence split) can
+    *      move — the q120 no-migration invariant by construction.
+    *
+    * Batch-INTERNAL near-dup/span pairs are deliberately left to the
+    * periodic full rebuild (the q71/[[graft.streaming.DocStream]]
+    * convention). CorpusPrepSpec pins the composition: end-state
+    * cross-span/cross-near-dup cleanliness, admitted-split immutability,
+    * and the exchange-free index sides of all three probes.
+    *
+    * @param corpusDocs admitted corpus (doc_id, text, …) backing the
+    *                   three artifacts; ids disjoint from the batch
+    * @return (admitted batch docs with `split`, per-stage accounting)
+    */
+  def ingestBatch(corpusDocs: DataFrame, batch: DataFrame,
+      bandIndexTable: String, spanIndexTable: String, mapTable: String,
+      cfg: CorpusPrepConfig = CorpusPrepConfig()): (DataFrame, Seq[StageCount]) = {
+    val spark = batch.sparkSession
+    val counts = Seq.newBuilder[StageCount]
+    var prev: DataFrame = null
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val cached = df.cache()
+      counts += StageCount(name, cached.count())
+      if (prev != null) prev.unpersist()
+      prev = cached
+      cached
+    }
+
+    val input = stage("input", batch)
+    val normalized = stage("normalize",
+      input.withColumn("text", UnicodeNorm.nfcNormalize(col("text"))))
+    val gated = stage("quality_gate",
+      if (cfg.minQuality <= 0.0) normalized
+      else normalized.filter(
+        TextFunctions.qualityScoreFused(col("text"),
+          TextFunctions.textStats(col("text"))) >= cfg.minQuality))
+    val exactKeep = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exact = stage("exact_dedup", gated.join(exactKeep, Seq("doc_id")))
+
+    val cand = DedupIndex.probeCandidates(spark, bandIndexTable, exact)
+    val dupNew = DedupQueries.verifyCandidates(cand, exact, corpusDocs)
+      .filter(col("jaccard") >= cfg.nearDupJaccard)
+      .select(col("new_id").as("doc_id")).distinct()
+    val nearDeduped = stage("near_dedup",
+      exact.join(dupNew, Seq("doc_id"), "left_anti"))
+
+    val spanDeduped = stage("span_dedup",
+      if (!cfg.spanDedup) nearDeduped
+      else {
+        val flagged = SpanIndex
+          .flagIncremental(spark, spanIndexTable, corpusDocs, nearDeduped)
+          .filter(col("is_exact_dup") === 1).select(col("doc_id"))
+        nearDeduped.join(flagged, Seq("doc_id"), "left_anti")
+      })
+
+    val admitted = stage("split",
+      spanDeduped.join(
+        CanonicalMap.assignSplits(spark, mapTable, spanDeduped)
+          .select(col("doc_id"), col("split")),
+        Seq("doc_id")))
+
+    val out = admitted.localCheckpoint()
+    admitted.unpersist()
     (out, counts.result())
   }
 }

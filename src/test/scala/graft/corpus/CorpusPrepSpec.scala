@@ -150,4 +150,118 @@ class CorpusPrepSpec extends AnyFunSuite {
     // groups by (source, split), so repeating it here would maintain the
     // same oracle twice)
   }
+
+  test("incremental ingest: one batch through all three persisted indices, combined invariants") {
+    import graft.operators.{CanonicalMap, DedupIndex, SpanIndex}
+    // The individually-pinned pieces (DedupIndexSpec, SpanIndexSpec,
+    // CanonicalMapSpec), composed: a new batch rides ingestBatch against
+    // the three persisted artifacts, and the COMBINED end state holds.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val corpus = docs.filter($"doc_id" < 250).cache()
+    val (bandT, spanT, mapT) =
+      ("cp_ingest_band", "cp_ingest_span", "cp_ingest_map")
+    DedupIndex.write(corpus, bandT, nBuckets = 8)
+    SpanIndex.write(corpus, spanT, nBuckets = 8)
+    CanonicalMap.write(corpus, mapT, nBuckets = 8)
+
+    // batch: the real tail of the corpus plus three constructed docs —
+    // a verbatim copy of an admitted doc (near-dup tier must drop), a
+    // doc embedding an admitted doc's 60-token prefix (span tier must
+    // drop), and a clean doc (must survive) — so every drop path is
+    // exercised deterministically, whatever the real tail contains
+    val adm = corpus.filter($"doc_id" === 7).select($"text")
+      .as[String].head()
+    // span donor must itself carry ≥ 50 tokens (doc 149 has 99; doc 7,
+    // the verbatim-copy donor, has only 44 — long enough to near-dup,
+    // too short to share a 50-token run)
+    val spanDonor = corpus.filter($"doc_id" === 149).select($"text")
+      .as[String].head()
+    val admPrefix = spanDonor.toLowerCase.trim.split("\\s+")
+      .take(60).mkString(" ")
+    val clean = (1 to 80).map(i => s"cln$i").mkString(" ")
+    val constructed = Seq(
+      (9001L, adm, "webA"),
+      (9002L, s"fresh lead-in words here $admPrefix and a distinct tail", "webA"),
+      (9003L, clean, "webA")).toDF("doc_id", "text", "source")
+    val batch = docs.filter($"doc_id" >= 250)
+      .unionByName(constructed).cache()
+
+    val splitsBefore = CanonicalMap.assignSplits(spark, mapT, corpus)
+      .collect().map(_.toSeq).toSet
+    val (admitted, stages) = CorpusPrep.ingestBatch(
+      corpus, batch, bandT, spanT, mapT)
+    val admittedIds = admitted.select($"doc_id").as[Long].collect().toSet
+
+    // stage accounting: monotone, complete, constructed docs routed
+    val byStage = stages.map(c => c.stage -> c.rows).toMap
+    assert(stages.map(_.stage) == Seq("input", "normalize", "quality_gate",
+      "exact_dedup", "near_dedup", "span_dedup", "split"))
+    assert(stages.map(_.rows).sliding(2).forall(w => w(1) <= w(0)))
+    assert(byStage("near_dedup") < byStage("exact_dedup"),
+      "verbatim copy must drop at the near-dup tier")
+    assert(byStage("span_dedup") < byStage("near_dedup"),
+      "span-sharing doc must drop at the span tier")
+    assert(!admittedIds.contains(9001L) && !admittedIds.contains(9002L))
+    assert(admittedIds.contains(9003L), "clean doc must survive")
+
+    // combined invariant 1: NO cross-span pair survives — a stateless
+    // recompute over corpus ∪ admitted must flag no admitted doc
+    // against an earlier corpus doc (batch-internal pairs are the full
+    // rebuild's job and excluded: dup_of < 250 means cross-boundary)
+    val crossSpan = DedupQueries.exactSubstringFlags(
+        corpus.select($"doc_id", $"text")
+          .unionByName(admitted.select($"doc_id", $"text")))
+      .filter($"is_exact_dup" === 1 && $"dup_of" < 250 && $"doc_id" >= 250)
+    assert(crossSpan.count() == 0, crossSpan.collect().take(3).mkString(","))
+
+    // combined invariant 2: no admitted batch doc near-dups the corpus
+    val crossNear = DedupQueries.lshVerifiedPairs(
+        corpus.select($"doc_id", $"text")
+          .unionByName(admitted.select($"doc_id", $"text")))
+      .filter($"jaccard" >= 0.8 && $"a_id" < 250 && $"b_id" >= 250)
+    assert(crossNear.count() == 0, crossNear.collect().take(3).mkString(","))
+
+    // combined invariant 3: NO SPLIT MIGRATION — ingest writes none of
+    // the three artifacts, so every admitted doc's (canon, split) is
+    // bit-identical after the batch
+    val splitsAfter = CanonicalMap.assignSplits(spark, mapT, corpus)
+      .collect().map(_.toSeq).toSet
+    assert(splitsAfter == splitsBefore)
+    // and survivors carry the SAME split rule (self-canonical)
+    val badSplit = admitted.filter(
+      $"split" =!= CanonicalMap.splitOf($"doc_id"))
+    assert(badSplit.count() == 0)
+
+    // combined invariant 4: O(batch) probe plans — none of the three
+    // index sides is shuffle-exchanged when probed by this batch
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    def assertIndexSideUnshuffled(df: org.apache.spark.sql.DataFrame,
+        t: String): Unit = {
+      df.count()
+      val plan = df.queryExecution.executedPlan
+      val joins = helper.collect(plan) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      val indexSide = joins.flatMap(j => Seq(j.left, j.right))
+        .filter(_.toString.contains(t))
+      assert(indexSide.nonEmpty, s"$t not under a join:\n$plan")
+      indexSide.foreach { side =>
+        assert(helper.collect(side) {
+          case e: ShuffleExchangeLike => e
+        }.isEmpty, s"$t side re-exchanged:\n$plan")
+      }
+    }
+    assertIndexSideUnshuffled(
+      DedupIndex.probeCandidates(spark, bandT, batch), bandT)
+    assertIndexSideUnshuffled(
+      SpanIndex.probeCandidates(spark, spanT, batch), spanT)
+    assertIndexSideUnshuffled(
+      CanonicalMap.assignSplits(spark, mapT, batch), mapT)
+
+    Seq(bandT, spanT, mapT).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    corpus.unpersist(); batch.unpersist()
+  }
 }
