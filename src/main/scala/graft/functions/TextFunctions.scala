@@ -89,11 +89,23 @@ object TextFunctions {
     * sequence; empty result for texts shorter than k tokens.
     */
   def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    // BIND the token array as a lambda variable (the array-of-one +
+    // element_at trick) instead of embedding the `tokens(text)` subtree
+    // in the inner lambda: higher-order functions are interpreted (no
+    // codegen, no common-subexpression elimination), so an embedded
+    // subtree re-runs the full whitespace split ONCE PER ELEMENT —
+    // O(n_tokens × doc_len) per row. Harmless on prose, catastrophic on
+    // the degenerate token streams every crawl eventually ingests (a
+    // 20k-token uniform doc made this the long pole of a whole
+    // registry sweep — UniformTokenSpec). With the binding, the split
+    // runs once per row and lambda references are O(1) variable reads.
+    element_at(
+      transform(array(tokens(text)), toks =>
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))),
+      1)
   }
 
   /** Distinct shingles — the set form used by Jaccard/MinHash. Backed by

@@ -1535,10 +1535,7 @@ object TextQueries {
     Q("q133_bpe_train_apply",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val trained = bpeTrain(docs, 16)
-          .select(col("a"), col("b"))
-          .collect() // O(model): 16 trained merge rows, never data
-          .toSeq.map(r => (r.getString(0), r.getString(1)))
+        val trained = trainedMergePairs(docs, 16)
         docs.select(col("doc_id"),
             size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
             graft.functions.BpeApply.bpeApply(col("text"), trained).as("st"))
@@ -1549,8 +1546,58 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(bpeTrainApplyOracleSql(16)),
-      doc = "Trained-table BPE application (q131 table through BpeApply in rank order — Sennrich apply_bpe).")
+      doc = "Trained-table BPE application (q131 table through BpeApply in rank order — Sennrich apply_bpe)."),
+
+    // ------------------------------------------------------------------
+    // q134: BPE-TOKEN SEQUENCE PACKING — the composition the q74/q119
+    // batch-shape operators were waiting for: q74 packs documents into
+    // fixed-budget training chunks by WHITESPACE token counts (the
+    // approximation every tokenization-dependent operator used before a
+    // trained tokenizer existed); with q131's trainer and q133's
+    // rank-order application landed, this prices the SAME packing plan
+    // in REAL trained-BPE tokens. Dataflow: train (O(model) driver
+    // rows) → row-local BpeApply count per doc → q74's per-source
+    // cumulative-sum window (partitioned by the shard key, never
+    // global). Chunk counts shift versus q74 exactly where BPE
+    // compresses best — the delta a training-cost estimate actually
+    // needs. The oracle replays training stage-for-stage, derives each
+    // doc's BPE token count from the trained vocab segmentation, and
+    // re-runs the q74 packing SQL over those counts.
+    Q("q134_bpe_sequence_pack",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val trained = trainedMergePairs(docs, 16)
+        val budget = 1024L
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.select(col("source"), col("doc_id"),
+            graft.functions.BpeApply.bpeApply(col("text"), trained)
+              .getField("n_bpe").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("chunk_id", ((col("cum") - col("n_tok")) / budget)
+            .cast("long"))
+          .groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("chunk_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("chunk_id"))
+      },
+      Some(bpePackOracleSql(16, 1024L)),
+      doc = "Sequence packing priced in trained-BPE tokens (q131 train -> q133 apply -> q74 pack).")
   )
+
+  /** q133/q134's trained merge table: the q131 trainer's result,
+    * COLLECTED in rank order — O(model) driver rows (16 trained merge
+    * pairs), never data; baked into the fused BpeApply constant (the
+    * q110 inlined-model MO).
+    */
+  private def trainedMergePairs(docs: DataFrame, n: Int): Seq[(String, String)] =
+    bpeTrain(docs, n)
+      .select(col("a"), col("b"))
+      .collect() // O(model): n trained merge rows, never data
+      .toSeq.map(r => (r.getString(0), r.getString(1)))
 
   /** The q126 filter stack as a library entry point over any (doc_id,
     * lang, text) frame: every raw signal plus the fixed-precedence
@@ -1620,15 +1667,26 @@ object TextQueries {
     var r = 0
     var exhausted = false
     while (r < n && !exhausted) {
-      val syms = split(expr("substring(s, 2, length(s) - 2)"), BrC + BrO)
-      // adjacent-pair extraction; guard size>=2 (Spark's sequence(1,0)
-      // DESCENDS instead of returning empty)
-      val pairs = when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => struct(element_at(syms, i).as("a"),
-            element_at(syms, i + 1).as("b"))))
+      // adjacent-pair extraction. The symbol array is MATERIALIZED as a
+      // column in its own projection BEFORE the lambda references it:
+      // transform() is interpreted (no codegen, no common-subexpression
+      // elimination), so a split subtree embedded in the lambda would
+      // re-split the whole bracketed string once per element —
+      // O(word_len²) per vocab row per round, which turns a single 60k
+      // char unbroken token (minified blob) into an hours-long training
+      // round (caught by UniformTokenSpec). As an attribute, the split
+      // runs once per row and element_at is an O(1) array read.
+      // Guard size>=2 (Spark's sequence(1,0) DESCENDS instead of
+      // returning empty).
+      val pairs = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b"))))
         .otherwise(array().cast("array<struct<a:string,b:string>>"))
       val top: Array[Row] = seg
+        .select(col("wcnt"),
+          split(expr("substring(s, 2, length(s) - 2)"), BrC + BrO)
+            .as("syms"))
         .select(col("wcnt"), explode(pairs).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("wcnt")).as("cnt"))
@@ -1699,16 +1757,15 @@ object TextQueries {
       SELECT * FROM ($out) ORDER BY rank"""
   }
 
-  /** The q133 oracle: the q131 training replay (same `n` unrolled
-    * MATERIALIZED stages, same bracketed encoding and (cnt DESC, a, b)
-    * total order) with `word` carried through the segmentation chain,
-    * so the final frame v_n IS the trained tokenization of the vocab —
-    * each word's post-merge symbol count is the number of opening
-    * brackets left in its segmentation string. Per-doc counts join the
-    * vocab-sized result back to the token stream (the oracle may be
-    * vocab-joined; the ENGINE side is row-local — see q133's doc).
+  /** The shared WITH-prefix of the q133/q134 oracles: the q131
+    * training replay (same `n` unrolled MATERIALIZED stages, same
+    * bracketed encoding and (cnt DESC, a, b) total order) with `word`
+    * carried through the segmentation chain, so the final frame v_n IS
+    * the trained tokenization of the vocab; `fin` exposes each word's
+    * post-merge symbol count (the opening brackets left in its
+    * segmentation string). Consumers append their own per-doc joins.
     */
-  private def bpeTrainApplyOracleSql(n: Int): String = {
+  private[operators] def bpeTrainedSegSql(n: Int): String = {
     val enc = s"regexp_replace(word, '(.)', chr(31) || '\\1' || chr(30), 'g')"
     // MATERIALIZED for the same reason as bpeTrainOracleSql: inlined
     // single-reference CTEs re-expand exponentially across the stages
@@ -1734,7 +1791,7 @@ object TextQueries {
                    (SELECT b FROM m$i) || chr(30)) AS s
         FROM v$i)"""
     }.mkString(",\n      ")
-    s"""WITH tk0 AS (
+    s"""tk0 AS (
         SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
         FROM documents),
       wc AS (SELECT word, count(*) AS wcnt FROM tk0 GROUP BY word),
@@ -1744,7 +1801,15 @@ object TextQueries {
         SELECT word,
                CAST(length(s) - length(replace(s, chr(31), '')) AS BIGINT)
                  AS n_sym
-        FROM v$n),
+        FROM v$n)"""
+  }
+
+  /** The q133 oracle: [[bpeTrainedSegSql]] + per-doc counts joined back
+    * to the token stream (the oracle may be vocab-joined; the ENGINE
+    * side is row-local — see q133's doc).
+    */
+  private def bpeTrainApplyOracleSql(n: Int): String =
+    s"""WITH ${bpeTrainedSegSql(n)},
       dtk AS (
         SELECT doc_id,
                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
@@ -1757,7 +1822,34 @@ object TextQueries {
                AS tokens_saved
       FROM dtk d LEFT JOIN fin f ON f.word = d.word
       GROUP BY d.doc_id ORDER BY d.doc_id"""
-  }
+
+  /** The q134 oracle: [[bpeTrainedSegSql]] → per-doc BPE token counts →
+    * the q74 per-source packing replay over them.
+    */
+  private def bpePackOracleSql(n: Int, budget: Long): String =
+    s"""WITH ${bpeTrainedSegSql(n)},
+      dtk AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      docbpe AS (
+        SELECT d.doc_id, any_value(d.source) AS source,
+               CAST(sum(coalesce(f.n_sym, 0)) AS BIGINT) AS n_tok
+        FROM dtk d LEFT JOIN fin f ON f.word = d.word
+        GROUP BY d.doc_id),
+      packed AS (
+        SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM docbpe)
+      SELECT source,
+             CAST((cum - n_tok) // $budget AS BIGINT) AS chunk_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(max(doc_id) AS BIGINT) AS last_doc
+      FROM packed GROUP BY source, chunk_id
+      ORDER BY source, chunk_id"""
 
   /** q129's merge table: q109's pair aggregation, top-`topN` by the
     * total order (cnt DESC, a, b), COLLECTED — O(model) driver rows

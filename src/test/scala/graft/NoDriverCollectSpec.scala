@@ -38,9 +38,10 @@ class NoDriverCollectSpec extends AnyFunSuite {
         "(top-50 pair rows from the vocab-sized q109 aggregation, baked " +
         "into the fused BpeApply expression), q131's per-round " +
         "training argmax (limit(1) — exactly ONE row per round, 16 " +
-        "rows total, the q122 TakeOrdered(1) MO), and q133's trained " +
-        "merge table (the 16 q131 argmax rows re-collected for the " +
-        "BpeApply constant — O(model), bounded by the round count)")
+        "rows total, the q122 TakeOrdered(1) MO), and q133/q134's " +
+        "shared trained merge table (the 16 q131 argmax rows " +
+        "re-collected for the BpeApply constant — O(model), bounded " +
+        "by the round count)")
   )
 
   private val patterns = Seq(".collect()", ".collectAsList(", ".toLocalIterator")

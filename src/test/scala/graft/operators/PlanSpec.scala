@@ -359,6 +359,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("bpe_apply"), plan.take(3000))
   }
 
+  test("q133: trained-table application stays one map pass — same shape as q129") {
+    // training runs at BUILD time (16 argmax rows to the driver); the
+    // query plan itself must remain corpus-scan → fused kernel → sort,
+    // exactly q129's row-local shape — the trained multi-char table
+    // changes the kernel's constant, never the dataflow
+    val plan = planOf("q133_bpe_train_apply")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(plan.contains("bpe_apply"), plan.take(3000))
+  }
+
+  test("q134: BPE packing is the q74 shard-key window — partitioned, never global") {
+    // per-source cumulative sum: the window must partition on source
+    // (one exchange on the shard key), with no join and no global sort
+    // before the aggregation — the q74 scale shape priced in trained
+    // tokens
+    val plan = planOf("q134_bpe_sequence_pack")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(plan.contains("bpe_apply"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+  }
+
   test("fact reads prune partitions on the month key") {
     // partition-pruning smoke on the pipeline's partitioned fact output
     import org.apache.spark.sql.functions._
