@@ -30,6 +30,19 @@ object TrainingQueries {
     */
   private val EpochShuffleShards = 16
 
+  /** q135 constants — ONE definition interpolated into both the Spark
+    * trainer and the oracle SQL so the two sides can't fork: training
+    * rounds, learning rate, and the curated-source positive-label set
+    * (the weak supervision: GPT-3's classifier labeled WebText/Wiki/
+    * books positive and raw CommonCrawl negative the same way).
+    * Declared BEFORE the `all` registry list, which interpolates them
+    * at object init (declared-after vals would still be null/0 there).
+    */
+  private[operators] val QcRounds = 8
+  private[operators] val QcLr = 0.5
+  private[operators] val QcPositiveSources =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
   /** q132's span-fraction decontamination constants (the GPT-3/PaLM
     * 13-gram convention) and their winnow decomposition: fingerprint
     * [[DecontamGramK]]-grams with window [[DecontamWinnowW]] — the
@@ -1179,6 +1192,171 @@ object TrainingQueries {
         FROM tk LEFT JOIN cov USING (doc_id)
         WHERE tk.doc_id % 20 <> 0
         ORDER BY tk.doc_id"""),
-      doc = "Span-fraction eval decontamination (GPT-3/PaLM 13-gram convention, 5% gate).")
+      doc = "Span-fraction eval decontamination (GPT-3/PaLM 13-gram convention, 5% gate)."),
+
+    // ------------------------------------------------------------------
+    // q135: TRAINED QUALITY CLASSIFIER — the GPT-3-style learned quality
+    // gate (Brown et al. 2005.14165 Appendix A trained curated-vs-raw
+    // document classifiers; CCNet, Wenzek et al. 1911.00359): train a
+    // linear classifier to tell curated sources from the rest on cheap
+    // per-doc features, then score EVERY document — the learned
+    // replacement for the hand-tuned q30 threshold gate and the model
+    // the q118 quality-sampling stage would consume. Training is
+    // [[QcRounds]] rounds of FULL-BATCH gradient descent, distributed:
+    // the state is the per-doc feature frame (computed once, O(docs) ×
+    // 5 columns, checkpointed); each round is one map-side-combinable
+    // five-column aggregate whose output is ONE gradient row to the
+    // driver (the q131 per-round-argmax MO — O(rounds) driver rows,
+    // model parameters, never data); the O(d) weight update is driver
+    // arithmetic and the final scoring pass is row-local. Cross-engine
+    // determinism (what lets a TRAINED model sit under the hash gate at
+    // all): the link is a RATIONAL sigmoid p = 0.5 + 0.5·m/(1+|m|) —
+    // IEEE +,-,×,÷,abs only, bit-identical in any engine, never libm
+    // exp (the q90 lesson: transcendentals are only 1-ulp portable
+    // across libms); per-row gradient terms are floor-quantized to
+    // integer micro-units BEFORE the sum, so the cross-partition fold
+    // is exact integer arithmetic — order-independent under any
+    // partitioning or merge tree — and the quantization is part of the
+    // operator's DEFINED semantics (a quantized-gradient method), not
+    // an approximation of some unquantized "truth". The oracle unrolls
+    // every round CTE-for-CTE (the q131/q43 replay MO), value-pinning
+    // the whole training TRAJECTORY, not just the final scores.
+    Q("q135_quality_classifier",
+      (s, dir) => qualityClassifier(t(s, dir, "documents"), QcRounds),
+      Some(qcOracleSql(QcRounds)),
+      doc = "Trained quality classifier: full-batch quantized-gradient descent, one gradient row per round; rational sigmoid keeps the trained model cross-engine exact.")
   )
+
+  /** Per-doc features + weak label for q135. Every feature is a single
+    * IEEE division of exact integers (token count / 256, type-token
+    * ratio, mean token length / 8), so the doubles are bit-identical
+    * across engines with no fold-order concern. Total on hostile
+    * inputs: text coalesced to '', token divisor floored at 1, NULL
+    * source labels 0.
+    */
+  private[operators] def qcFeatures(docs: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val tks = toks(txt)
+    val ntok = size(tks)
+    val ntg = greatest(ntok, lit(1)).cast("double")
+    docs.select(col("doc_id"),
+      when(col("source").isin(QcPositiveSources: _*), 1.0)
+        .otherwise(0.0).as("y"),
+      (ntok.cast("double") / lit(256.0)).as("f1"),
+      (size(array_distinct(tks)).cast("double") / ntg).as("f2"),
+      (length(txt).cast("double") / (ntg * lit(8.0))).as("f3"))
+  }
+
+  /** The rational-sigmoid probability for margin `m`: IEEE ops only, in
+    * the exact association order the oracle SQL writes out.
+    */
+  private def qcProb(m: org.apache.spark.sql.Column) =
+    lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
+
+  /** The margin w·(1,f1,f2,f3) with the oracle's association order. */
+  private def qcMargin(w: Array[Double]) =
+    ((lit(w(0)) + lit(w(1)) * col("f1")) + lit(w(2)) * col("f2")) +
+      lit(w(3)) * col("f3")
+
+  /** q135 end-to-end: featurize, train, score. The returned frame is
+    * the row-local scoring pass with the trained weights inlined as
+    * literals (the q110/q133 inlined-model MO).
+    */
+  private[operators] def qualityClassifier(docs: DataFrame, rounds: Int): DataFrame = {
+    val feat = qcFeatures(docs).localCheckpoint()
+    val w = qcTrain(feat, rounds)
+    val smu = floor(qcProb(qcMargin(w)) * lit(1000000.0))
+    feat.select(col("doc_id"), col("y").cast("long").as("label"),
+        smu.as("smu"),
+        when(smu >= 500000L, 1L).otherwise(0L).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q135's training loop over a (doc_id, y, f1, f2, f3) frame:
+    * full-batch quantized-gradient descent. Per round, per row:
+    * e = p(w·x) − y, each gradient term floor(e·f_j·1e6) summed as
+    * exact integers; the update w_j ← w_j − lr·(S_j/1e6)/n happens on
+    * the driver from ONE collected row. An empty frame (n = 0) leaves
+    * the weights unchanged — the query stays total and returns the
+    * empty scoring frame.
+    */
+  private[operators] def qcTrain(feat: DataFrame, rounds: Int): Array[Double] = {
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    var r = 0
+    while (r < rounds) {
+      val e = qcProb(qcMargin(w)) - col("y")
+      val row = feat.agg(
+        sum(floor(e * lit(1000000.0))).as("s0"),
+        sum(floor((e * col("f1")) * lit(1000000.0))).as("s1"),
+        sum(floor((e * col("f2")) * lit(1000000.0))).as("s2"),
+        sum(floor((e * col("f3")) * lit(1000000.0))).as("s3"),
+        count(lit(1)).as("n"))
+        .collect()(0) // ONE gradient row per round — model parameters, never data
+      val n = row.getLong(4)
+      if (n > 0L) {
+        val nD = n.toDouble
+        var j = 0
+        while (j < 4) {
+          w(j) = w(j) - QcLr * ((row.getLong(j).toDouble / 1000000.0) / nD)
+          j += 1
+        }
+      }
+      r += 1
+    }
+    w
+  }
+
+  /** The q135 oracle: the identical featurization, then every training
+    * round unrolled as a (gradient-sum, weight-update) CTE pair —
+    * MATERIALIZED for the q131 reason (DuckDB inlines single-reference
+    * CTEs and the chain re-expands exponentially across rounds) — then
+    * the same row-local scoring. Every double op carries the Spark
+    * side's association order, every gradient crosses engines as an
+    * exact integer, so the trained weights and scores hash-match.
+    */
+  private def qcOracleSql(rounds: Int): String = {
+    val posList = QcPositiveSources.map(s => s"'$s'").mkString(", ")
+    val feat = s"""feat AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN source IN ($posList) THEN 1.0 ELSE 0.0 END AS y,
+               CAST(len(tk) AS DOUBLE) / 256.0 AS f1,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(greatest(len(tk), 1) AS DOUBLE) AS f2,
+               CAST(length(txt) AS DOUBLE)
+                 / (CAST(greatest(len(tk), 1) AS DOUBLE) * 8.0) AS f3
+        FROM (SELECT doc_id, source, coalesce(text, '') AS txt,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS tk
+              FROM documents) t0),
+      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    val stages = (0 until rounds).map { i =>
+      s"""g$i AS MATERIALIZED (
+        SELECT CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
+               CAST(sum(CAST(floor((e * f1) * 1000000.0) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor((e * f2) * 1000000.0) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(floor((e * f3) * 1000000.0) AS BIGINT)) AS BIGINT) AS s3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT f1, f2, f3,
+                     (0.5 + (0.5 * m) / (1.0 + abs(m))) - y AS e
+              FROM (SELECT y, f1, f2, f3,
+                           ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+                    FROM feat CROSS JOIN w$i) t1) t2),
+      w${i + 1} AS MATERIALIZED (
+        SELECT w0 - $QcLr * ((CAST(s0 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w0,
+               w1 - $QcLr * ((CAST(s1 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w1,
+               w2 - $QcLr * ((CAST(s2 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w2,
+               w3 - $QcLr * ((CAST(s3 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w3
+        FROM w$i CROSS JOIN g$i)"""
+    }.mkString(",\n      ")
+    s"""WITH $feat,
+      $stages
+      SELECT doc_id, CAST(y AS BIGINT) AS label,
+             CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
+             CAST(CASE WHEN floor(p * 1000000.0) >= 500000
+                       THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM (SELECT doc_id, y, 0.5 + (0.5 * m) / (1.0 + abs(m)) AS p
+            FROM (SELECT doc_id, y,
+                         ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+                  FROM feat CROSS JOIN w$rounds) t3) t4
+      ORDER BY doc_id"""
+  }
 }

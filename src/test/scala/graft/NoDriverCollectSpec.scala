@@ -41,7 +41,12 @@ class NoDriverCollectSpec extends AnyFunSuite {
         "rows total, the q122 TakeOrdered(1) MO), and q133/q134's " +
         "shared trained merge table (the 16 q131 argmax rows " +
         "re-collected for the BpeApply constant — O(model), bounded " +
-        "by the round count)")
+        "by the round count)"),
+    "operators/TrainingQueries.scala" -> (1,
+      "q135's per-round gradient row: an ungrouped five-column " +
+        "aggregate collects exactly ONE row per training round " +
+        "(QcRounds total) — model parameters, never data; the weight " +
+        "update it feeds is O(d) driver arithmetic")
   )
 
   private val patterns = Seq(".collect()", ".collectAsList(", ".toLocalIterator")

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q135 trained-quality-classifier invariants beyond the DuckDB value
+  * gate: the trainer actually LEARNS (a separable curated-vs-junk
+  * fixture is classified correctly), training is bit-deterministic
+  * across runs and partitionings (the integer-quantized gradient
+  * contract), and the scoring output is internally consistent.
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Separable fixture: curated docs (src0/src1 — long, lexically
+    * diverse) vs junk docs (src9 — short, one token repeated). The
+    * feature gap is exactly what q135's f1 (length) and f2 (type-token
+    * ratio) measure, so a working trainer must separate them.
+    */
+  private def fixture(n: Int = 24) = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    val rows = (0 until n).map { i =>
+      if (i % 2 == 0) {
+        // curated: 40 distinct-ish tokens, rotated start
+        val txt = (0 until 40).map(j => words((i / 2 + j) % words.length))
+          .mkString(" ")
+        (i.toLong, txt, "en", "src" + (i % 2), txt.length.toLong)
+      } else {
+        // junk: 5 copies of one token
+        val w = words(i % words.length)
+        val txt = Seq.fill(5)(w).mkString(" ")
+        (i.toLong, txt, "en", "src9", txt.length.toLong)
+      }
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("trained classifier separates the curated/junk fixture") {
+    val docs = fixture()
+    val scored = TrainingQueries
+      .qualityClassifier(docs, TrainingQueries.QcRounds).cache()
+    val n = scored.count()
+    assert(n == 24)
+    // every curated doc outranks every junk doc (scores separate)
+    val minPos = scored.filter($"label" === 1L).agg(min($"smu")).head.getLong(0)
+    val maxNeg = scored.filter($"label" === 0L).agg(max($"smu")).head.getLong(0)
+    assert(minPos > maxNeg,
+      s"curated min score $minPos must exceed junk max score $maxNeg")
+    // pred is the thresholded score, and the fixture is cleanly learnable
+    assert(scored.filter(($"smu" >= 500000L) =!= ($"pred" === 1L)).count() == 0)
+    assert(scored.filter($"pred" =!= $"label").count() == 0,
+      "a separable fixture must be classified perfectly")
+    scored.unpersist()
+  }
+
+  test("training is bit-deterministic across runs and partitionings") {
+    val docs = fixture()
+    def weights(parts: Int): Seq[Double] = {
+      val feat = TrainingQueries.qcFeatures(docs.repartition(parts))
+        .localCheckpoint()
+      TrainingQueries.qcTrain(feat, TrainingQueries.QcRounds).toSeq
+    }
+    val a = weights(1)
+    val b = weights(7)
+    val c = weights(7)
+    // exact bit equality — the integer-quantized gradient sums make the
+    // fold order irrelevant, so ANY partitioning trains the same model
+    assert(a == b, s"1-partition $a != 7-partition $b")
+    assert(b == c, "same-partitioning rerun must be identical")
+    // and the model is non-trivial: the length + diversity features
+    // carry positive weight on this fixture
+    assert(a(1) > 0.0 && a(2) > 0.0, s"expected positive f1/f2 weights, got $a")
+  }
+
+  test("trainer is total on empty and degenerate frames") {
+    val empty = fixture().filter($"doc_id" < 0L)
+    val w = TrainingQueries.qcTrain(
+      TrainingQueries.qcFeatures(empty), TrainingQueries.QcRounds)
+    assert(w.toSeq == Seq(0.0, 0.0, 0.0, 0.0),
+      "empty corpus must leave the weights at init")
+    assert(TrainingQueries
+      .qualityClassifier(empty, TrainingQueries.QcRounds).count() == 0)
+    // single-class corpus (all positive): trains without error, and the
+    // bias moves the scores toward the only label present
+    val onlyPos = fixture().filter($"source" =!= "src9")
+    val scored = TrainingQueries
+      .qualityClassifier(onlyPos, TrainingQueries.QcRounds)
+    assert(scored.filter($"pred" =!= 1L).count() == 0,
+      "an all-positive corpus must score everything positive")
+  }
+}
