@@ -113,12 +113,18 @@ object VectorQueries {
     * a centroid, join a codebook, or be selected — and the driver-side
     * model builds (strideInit, PQ seeds, q122's argmax) dereference the
     * collected arrays, so a null row NPEs at executor depth on a dirty
-    * feed (NullableInputSpec). Model-building queries therefore define
-    * their corpus as the non-null-embedding rows; the gate tables carry
-    * no null embeddings, so oracles are unaffected.
+    * feed (NullableInputSpec). The same holds for a WRONG-DIMENSION
+    * embedding (an encoder that emitted nothing, or a row truncated
+    * mid-write): fixed-dim kernels (q106's JL components, q112's PC
+    * projection, q100's subspace slices) index past its end at executor
+    * depth (EmbeddingEdgeSpec). Model-building queries therefore define
+    * their corpus as the well-formed rows — non-null, exactly
+    * [[Dims]]-dimensional; the gate tables carry only such rows, so
+    * oracles are unaffected.
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+    t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dims)
       .select(col("vec_id"), col("embedding"),
         quantize(col("embedding")).as("qv"))
 
@@ -322,10 +328,15 @@ object VectorQueries {
 
   /** Integer cosine-argmax score against a cell's sum vector, with the
     * cell norm precomputed per cell — the per-row work is one fused
-    * integer dot, one long→double cast, one divide.
+    * integer dot, one long→double cast, one divide. The divisor floor
+    * at Double.MIN_VALUE is inert on any non-degenerate cell (real
+    * norms are ≥ 1) and defines the all-zero-cell score as exactly 0
+    * (the dot is 0 too) instead of an ANSI divide-by-zero at executor
+    * depth (EmbeddingEdgeSpec's zero-vector feed).
     */
   private def intScore(qv: Column, cs: Column, norm: Column): Column =
-    intDot(qv, cs).cast("double") / norm
+    intDot(qv, cs).cast("double") /
+      greatest(norm, lit(java.lang.Double.MIN_VALUE))
 
   private def cellsDf(spark: SparkSession, cells: Seq[(Long, Array[Long])]): DataFrame = {
     import spark.implicits._
@@ -765,8 +776,14 @@ object VectorQueries {
         q8.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), col("q_vec"), col("embedding"),
+            // divisor floored at Double.MIN_VALUE: inert whenever both
+            // int8 norms are nonzero (always, on real embeddings —
+            // max-abs scaling maps any nonzero vector to a nonzero v8);
+            // an all-zero vector scores exactly 0 (dot is 0) instead of
+            // throwing ANSI /0 (EmbeddingEdgeSpec)
             (intDot(col("q_v8"), col("v8")).cast("double") /
-              (col("q_n8") * col("n8"))).as("approx_cos"))
+              greatest(col("q_n8") * col("n8"),
+                lit(java.lang.Double.MIN_VALUE))).as("approx_cos"))
           .withColumn("arn", row_number().over(w))
           .filter(col("arn") <= 5)
           .select(col("q_id"), col("vec_id"), col("approx_cos"),
@@ -1219,9 +1236,14 @@ object VectorQueries {
           .agg(sum(col("term")).as("int_dot"), sum(col("n2t")).as("int_n2"))
           .join(broadcast(qn), Seq("q_id"))
           .withColumn("approx_cos",
+            // divisor floored at Double.MIN_VALUE: inert on real data
+            // (both norms ≥ 1); an all-zero query or candidate scores
+            // exactly 0 instead of ANSI /0 (EmbeddingEdgeSpec)
             col("int_dot").cast("double")
-              / (sqrt(col("qn2").cast("double"))
-                * sqrt(col("int_n2").cast("double")) * lit(1000.0)))
+              / greatest(
+                sqrt(col("qn2").cast("double"))
+                  * sqrt(col("int_n2").cast("double")) * lit(1000.0),
+                lit(java.lang.Double.MIN_VALUE)))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("vec_id"), col("approx_cos"), col("rnk"))
