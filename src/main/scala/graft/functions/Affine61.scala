@@ -73,4 +73,14 @@ object Affine61 {
     ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
       (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
   }
+
+  /** Constants for the q136 classifier-Pareto acceptance draw — its own
+    * family so "kept by the trained-quality sample" never correlates
+    * with the q73/q118/q124 decisions on the same doc ids.
+    */
+  val (parA, parB): (Long, Long) = {
+    val rnd = new java.util.Random(20261101L)
+    ((rnd.nextLong() & Long.MaxValue) % (MulMod61.P - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % MulMod61.P)
+  }
 }

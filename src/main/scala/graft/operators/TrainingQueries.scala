@@ -1224,8 +1224,74 @@ object TrainingQueries {
     Q("q135_quality_classifier",
       (s, dir) => qualityClassifier(t(s, dir, "documents"), QcRounds),
       Some(qcOracleSql(QcRounds)),
-      doc = "Trained quality classifier: full-batch quantized-gradient descent, one gradient row per round; rational sigmoid keeps the trained model cross-engine exact.")
+      doc = "Trained quality classifier: full-batch quantized-gradient descent, one gradient row per round; rational sigmoid keeps the trained model cross-engine exact."),
+
+    // ------------------------------------------------------------------
+    // q136: CLASSIFIER-PARETO CORPUS SAMPLING — the step GPT-3 actually
+    // ran with its trained quality classifier (Brown et al. 2005.14165
+    // Appendix A): keep a document iff a Pareto(α) draw exceeds
+    // 1 − score, which retains most high-scoring docs while keeping a
+    // long tail of low-scoring ones (out-of-distribution coverage a
+    // hard threshold destroys). Draw determinism: u comes from the low
+    // decimal digits of the affine61-permuted POLYHASH of the id string
+    // (see paretoSample's scaladoc for why a bare affine's high bits
+    // are NOT uniform over consecutive ids), on q136's OWN constant
+    // family — a pure function of the row, independent of partitioning,
+    // cluster size, and the q73/q118/q124 sampling decisions. Exactness:
+    // "pareto(α) = u^(−1/α) − 1 > 1 − p" needs a fractional pow (libm,
+    // not portable) — but raising both sides to the α-th power gives
+    // the EQUIVALENT integer-power test u·(2−p)^α < 1, and with α = 9
+    // (GPT-3's published value) (2−p)^9 is a fixed multiplication
+    // chain: rational IEEE ops only, bit-identical in any engine. The
+    // operator is DEFINED by that op-for-op form (the two algebraic
+    // forms round differently at the boundary; both engines compute
+    // the same one). Composes q135 end-to-end: train (O(rounds) driver
+    // rows) → row-local score → row-local draw+filter; at 100 TB the
+    // whole sampler is one map stage over the corpus scan, no shuffle
+    // before the output sort. The oracle replays training CTE-for-CTE
+    // and the draw op-for-op.
+    Q("q136_classifier_pareto_sample",
+      (s, dir) => paretoSample(t(s, dir, "documents"), QcRounds),
+      Some(qcParetoOracleSql(QcRounds)),
+      doc = "GPT-3 classifier-Pareto sampling (keep iff pareto(9) > 1 - score), exact via the integer-power form u*(2-p)^9 < 1.")
   )
+
+  /** q136 end-to-end: train the q135 classifier, then the row-local
+    * Pareto(9) acceptance draw — keep iff u·(2−p)⁹ < 1 (see the q136
+    * registry comment for the algebra and determinism argument).
+    *
+    * The uniform u is the LOW six decimal digits of the affine-permuted
+    * POLYHASH of the id string (the q73 low-bits convention over the
+    * q88 KMV mixer), NOT the affine permutation's high bits: on the
+    * CONSECUTIVE ids every real table has, a bare affine draw
+    * h = (a·x + b) mod p is an arithmetic progression, so its high
+    * bits u = h/p step by the constant a/p — a few hundred consecutive
+    * even ids land in one narrow band and their acceptance rate bears
+    * no relation to u's nominal uniformity (caught by
+    * QualityClassifierSpec's fixture: 0 of 200 curated docs kept at a
+    * 3.4% nominal rate). Hashing the id's digit string first breaks
+    * the progression; taking low digits guards the residual structure
+    * the same way every q73-family sampler does.
+    */
+  private[operators] def paretoSample(docs: DataFrame, rounds: Int): DataFrame = {
+    import graft.functions.Affine61.{affine61, parA, parB}
+    import graft.functions.PolyHash61Str.polyHash61Str
+    val feat = qcFeatures(docs).localCheckpoint()
+    val w = qcTrain(feat, rounds)
+    val p = qcProb(qcMargin(w))
+    val umu = affine61(polyHash61Str(col("doc_id").cast("string")),
+      parA, parB) % lit(1000000L)
+    val u = (umu.cast("double") + lit(0.5)) / lit(1000000.0) // u ∈ (0,1)
+    val t0 = lit(2.0) - p
+    val t2 = t0 * t0
+    val t4 = t2 * t2
+    val t9 = (t4 * t4) * t0
+    feat.select(col("doc_id"),
+        floor(p * lit(1000000.0)).as("smu"),
+        umu.as("umu"),
+        (u * t9 < lit(1.0)).cast("long").as("kept"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Per-doc features + weak label for q135. Every feature is a single
     * IEEE division of exact integers (token count / 256, type-token
@@ -1306,15 +1372,17 @@ object TrainingQueries {
     w
   }
 
-  /** The q135 oracle: the identical featurization, then every training
-    * round unrolled as a (gradient-sum, weight-update) CTE pair —
-    * MATERIALIZED for the q131 reason (DuckDB inlines single-reference
-    * CTEs and the chain re-expands exponentially across rounds) — then
-    * the same row-local scoring. Every double op carries the Spark
-    * side's association order, every gradient crosses engines as an
-    * exact integer, so the trained weights and scores hash-match.
+  /** The shared WITH-prefix of the q135/q136 oracles: the identical
+    * featurization, then every training round unrolled as a
+    * (gradient-sum, weight-update) CTE pair — MATERIALIZED for the q131
+    * reason (DuckDB inlines single-reference CTEs and the chain
+    * re-expands exponentially across rounds). Every double op carries
+    * the Spark side's association order and every gradient crosses
+    * engines as an exact integer, so the trained weights hash-match;
+    * consumers append their own scoring SELECT over
+    * `feat CROSS JOIN w<rounds>`.
     */
-  private def qcOracleSql(rounds: Int): String = {
+  private def qcTrainedSqlPrefix(rounds: Int): String = {
     val posList = QcPositiveSources.map(s => s"'$s'").mkString(", ")
     val feat = s"""feat AS MATERIALIZED (
         SELECT doc_id,
@@ -1348,7 +1416,12 @@ object TrainingQueries {
         FROM w$i CROSS JOIN g$i)"""
     }.mkString(",\n      ")
     s"""WITH $feat,
-      $stages
+      $stages"""
+  }
+
+  /** The q135 oracle: trained prefix + the same row-local scoring. */
+  private def qcOracleSql(rounds: Int): String =
+    s"""${qcTrainedSqlPrefix(rounds)}
       SELECT doc_id, CAST(y AS BIGINT) AS label,
              CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
              CAST(CASE WHEN floor(p * 1000000.0) >= 500000
@@ -1357,6 +1430,34 @@ object TrainingQueries {
             FROM (SELECT doc_id, y,
                          ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
                   FROM feat CROSS JOIN w$rounds) t3) t4
+      ORDER BY doc_id"""
+
+  /** The q136 oracle: trained prefix + the Pareto acceptance draw.
+    * The power chain (t2=t0², t4=t2², t8=t4², t9=t8·t0) and the
+    * `u·(2−p)^α < 1` comparison mirror the Spark expressions op-for-op.
+    */
+  private def qcParetoOracleSql(rounds: Int): String = {
+    import graft.functions.Affine61.{parA, parB}
+    import graft.functions.MulMod61.P
+    s"""${qcTrainedSqlPrefix(rounds)}
+      SELECT doc_id,
+             CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
+             umu,
+             CAST(CASE WHEN u * t9 < 1.0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM (SELECT doc_id, p, umu, u, t8 * t0 AS t9
+        FROM (SELECT doc_id, p, umu, u, t0, t4 * t4 AS t8
+          FROM (SELECT doc_id, p, umu, u, t0, t2 * t2 AS t4
+            FROM (SELECT doc_id, p, umu, u, t0, t0 * t0 AS t2
+              FROM (SELECT doc_id, p, umu, 2.0 - p AS t0,
+                           (CAST(umu AS DOUBLE) + 0.5) / 1000000.0 AS u
+                FROM (SELECT doc_id, p,
+                             CAST((($parA::HUGEINT
+                                    * ${graft.functions.MulMod61.sqlPh61("CAST(doc_id AS VARCHAR)")}
+                                    + $parB) % $P) % 1000000 AS BIGINT) AS umu
+                  FROM (SELECT doc_id, 0.5 + (0.5 * m) / (1.0 + abs(m)) AS p
+                    FROM (SELECT doc_id,
+                                 ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+                          FROM feat CROSS JOIN w$rounds) s1) s2) s3) s4) s5) s6) s7) s8
       ORDER BY doc_id"""
   }
 }

@@ -92,4 +92,27 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(scored.filter($"pred" =!= 1L).count() == 0,
       "an all-positive corpus must score everything positive")
   }
+
+  test("pareto sample keeps high-scorers at a higher rate, deterministically") {
+    val docs = fixture(400)
+    val s1 = TrainingQueries.paretoSample(docs, TrainingQueries.QcRounds)
+      .cache()
+    assert(s1.count() == 400, "one decision row per doc, none dropped")
+    // the draw is a pure function of doc_id: a rerun keeps the SAME set
+    val s2 = TrainingQueries.paretoSample(docs, TrainingQueries.QcRounds)
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0,
+      "pareto sampling must be replay-identical")
+    // Pareto(9) acceptance is monotone in score: the curated half (high
+    // p ⇒ small (2−p)⁹) must keep strictly more than the junk half, and
+    // the sample must be neither empty nor everything (the long-tail
+    // property the GPT-3 sampler exists for)
+    val curated = docs.filter($"source" =!= "src9").select("doc_id")
+    val keptCur = s1.join(curated, "doc_id").filter($"kept" === 1L).count()
+    val keptJunk = s1.filter($"kept" === 1L).count() - keptCur
+    assert(keptCur > keptJunk,
+      s"curated keeps $keptCur must exceed junk keeps $keptJunk")
+    val kept = keptCur + keptJunk
+    assert(kept > 0 && kept < 400, s"kept $kept must be a strict subset")
+    s1.unpersist()
+  }
 }
