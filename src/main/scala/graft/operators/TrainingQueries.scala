@@ -38,7 +38,7 @@ object TrainingQueries {
     * Declared BEFORE the `all` registry list, which interpolates them
     * at object init (declared-after vals would still be null/0 there).
     */
-  private[operators] val QcRounds = 8
+  private[graft] val QcRounds = 8
   private[operators] val QcLr = 0.5
   private[operators] val QcPositiveSources =
     Seq("src0", "src1", "src2", "src3", "src4")
@@ -1300,7 +1300,7 @@ object TrainingQueries {
     * inputs: text coalesced to '', token divisor floored at 1, NULL
     * source labels 0.
     */
-  private[operators] def qcFeatures(docs: DataFrame): DataFrame = {
+  private[graft] def qcFeatures(docs: DataFrame): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
     val tks = toks(txt)
     val ntok = size(tks)
@@ -1330,13 +1330,29 @@ object TrainingQueries {
     */
   private[operators] def qualityClassifier(docs: DataFrame, rounds: Int): DataFrame = {
     val feat = qcFeatures(docs).localCheckpoint()
-    val w = qcTrain(feat, rounds)
+    scoreFeatures(feat, qcTrain(feat, rounds)).orderBy(col("doc_id"))
+  }
+
+  /** The q135 scoring pass over a prepared feature frame with a FROZEN
+    * weight vector (inlined as literals — the q110/q133 MO).
+    */
+  private def scoreFeatures(feat: DataFrame, w: Array[Double]): DataFrame = {
     val smu = floor(qcProb(qcMargin(w)) * lit(1000000.0))
     feat.select(col("doc_id"), col("y").cast("long").as("label"),
-        smu.as("smu"),
-        when(smu >= 500000L, 1L).otherwise(0L).as("pred"))
-      .orderBy(col("doc_id"))
+      smu.as("smu"),
+      when(smu >= 500000L, 1L).otherwise(0L).as("pred"))
   }
+
+  /** Serve-time scoring: featurize + score `docs` with a frozen,
+    * offline-trained weight vector — the deployment shape a production
+    * pipeline runs (train on the batch corpus with [[qcTrain]], freeze,
+    * apply on the ingest path). Fully ROW-LOCAL, which is what lets the
+    * SAME function ride a streaming micro-batch
+    * ([[graft.streaming.DocStream.scoreStream]]) with provably
+    * batch-identical labels.
+    */
+  private[graft] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame =
+    scoreFeatures(qcFeatures(docs), w)
 
   /** q135's training loop over a (doc_id, y, f1, f2, f3) frame:
     * full-batch quantized-gradient descent. Per round, per row:
@@ -1346,7 +1362,7 @@ object TrainingQueries {
     * the weights unchanged — the query stays total and returns the
     * empty scoring frame.
     */
-  private[operators] def qcTrain(feat: DataFrame, rounds: Int): Array[Double] = {
+  private[graft] def qcTrain(feat: DataFrame, rounds: Int): Array[Double] = {
     val w = Array(0.0, 0.0, 0.0, 0.0)
     var r = 0
     while (r < rounds) {

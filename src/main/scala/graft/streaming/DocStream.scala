@@ -201,6 +201,30 @@ object DocStream {
           .parquet(s"$outPath/reasons/batch=$batchId")
       })
 
+  /** Streaming TRAINED-MODEL scoring: apply a FROZEN q135 weight vector
+    * ([[graft.operators.TrainingQueries.qcTrain]] output — trained
+    * offline on the batch corpus, deployed as O(d) literals) to every
+    * ingest micro-batch — the serve-time shape of the learned quality
+    * gate, and the production division of labor: training stays a
+    * batch job over the full corpus, the stream pays only one stateless
+    * row-local map per document. Batch-keyed overwrite partitions keep
+    * replays idempotent (the filterStream convention). Because scoring
+    * is row-local with frozen weights, stream and batch scores are
+    * IDENTICAL by construction — DocStreamSpec pins parity across
+    * trigger schedules.
+    */
+  def scoreStream(docs: DataFrame, weights: Array[Double],
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => {
+        graft.operators.TrainingQueries.scoreWith(
+            batch.select(col("doc_id"), col("source"), col("text")),
+            weights)
+          .write.mode("overwrite")
+          .parquet(s"$outPath/scored/batch=$batchId")
+      })
+
   /** Where streaming exact-substring dedup keeps its persisted state:
     * the fp-bucketed [[graft.operators.SpanIndex]] base table, the
     * admitted-docs store, per-batch flag output, and fingerprint

@@ -389,4 +389,46 @@ class DocStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/out/labeled").count() == total)
     docs.unpersist()
   }
+
+  test("score stream: frozen-model scores equal the batch scoring pass") {
+    // the serve-time shape: train ONCE on the batch corpus, freeze the
+    // weights, score every micro-batch row-locally — streamed scores
+    // must equal one batch pass with the same weights, however the
+    // corpus is cut into drops, and a replay must not change anything.
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    val w = graft.operators.TrainingQueries.qcTrain(
+      graft.operators.TrainingQueries.qcFeatures(docs).localCheckpoint(),
+      graft.operators.TrainingQueries.QcRounds)
+    val base = Files.createTempDirectory("graft_scorestream").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val q = DocStream.scoreStream(DocStream.read(spark, dropDir), w,
+        s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      for (m <- 0L to 2L) {
+        docs.filter($"doc_id" % 3 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cols = Seq("doc_id", "label", "smu", "pred").map(col)
+    val streamed = spark.read.parquet(s"$base/out/scored")
+    val batch = graft.operators.TrainingQueries.scoreWith(docs, w)
+    assert(streamed.select(cols: _*).collect().map(_.toSeq).toSet ==
+      batch.select(cols: _*).collect().map(_.toSeq).toSet,
+      "streamed frozen-model scores must equal the batch pass")
+    assert(streamed.count() == docs.count())
+    // at-least-once redelivery rewrites its partition, never doubles
+    val again = DocStream.scoreStream(
+        DocStream.read(spark, dropDir), w, s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try again.processAllAvailable() finally again.stop()
+    assert(spark.read.parquet(s"$base/out/scored").select(cols: _*)
+      .collect().map(_.toSeq).toSet ==
+      batch.select(cols: _*).collect().map(_.toSeq).toSet,
+      "replay must be value-idempotent")
+    docs.unpersist()
+  }
 }
