@@ -43,6 +43,49 @@ object TrainingQueries {
   private[operators] val QcPositiveSources =
     Seq("src0", "src1", "src2", "src3", "src4")
 
+  /** The classifier feature sets as DuckDB SQL, in the feat-CTE scope
+    * (`txt` = coalesce(text,''), `tk` = its whitespace tokens, plus
+    * `source`/`lang`). Each list is the oracle twin of ONE Spark
+    * featurizer ([[qcFeatures]] / [[qcFullFeatures]]) and drives the
+    * w/g CTE widths and the margin fold, so the two engines cannot
+    * fork on dimensionality. Declared before `all` (object-init order).
+    */
+  private[operators] val QcTrioSql: Seq[String] = Seq(
+    "CAST(len(tk) AS DOUBLE) / 256.0",
+    "CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE)",
+    "CAST(length(txt) AS DOUBLE) / (CAST(greatest(len(tk), 1) AS DOUBLE) * 8.0)")
+
+  private val QcStopSql =
+    graft.functions.TextFunctions.EnStopwords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** q31's lang-id argmax chain rebuilt over `tk` (marker hits per
+    * language, fixed tie order, 'und' when nothing hits) — the exact
+    * construction q31's hash-green oracle proved against langIdFused.
+    */
+  private val QcLangIdSql: String = {
+    val hits = graft.functions.TextFunctions.LangMarkers.map {
+      case (lang, markers) =>
+        val lst = markers.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter(tk, x -> list_contains($lst, x)))"
+    }
+    val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+    val chain = hits
+      .map { case (lang, e) => s"WHEN $e > 0 AND $e = $best THEN '$lang'" }
+      .mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  /** q137's production feature set: the trio + q28's punctuation and
+    * stopword ratios (single IEEE divisions of exact integer counts,
+    * bit-identical across engines — q28's three-scale hash-green
+    * ratios are the proof) + the q31 lang-id agreement indicator.
+    */
+  private[operators] val QcFullSql: Seq[String] = QcTrioSql ++ Seq(
+    s"CAST(length(regexp_replace(txt, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(txt), 1) AS DOUBLE)",
+    s"CAST(len(list_filter(tk, x -> list_contains($QcStopSql, x))) AS DOUBLE) / len(tk)",
+    s"CASE WHEN ($QcLangIdSql) = coalesce(lang, '') THEN 1.0 ELSE 0.0 END")
+
   /** q132's span-fraction decontamination constants (the GPT-3/PaLM
     * 13-gram convention) and their winnow decomposition: fingerprint
     * [[DecontamGramK]]-grams with window [[DecontamWinnowW]] — the
@@ -1223,7 +1266,7 @@ object TrainingQueries {
     // the whole training TRAJECTORY, not just the final scores.
     Q("q135_quality_classifier",
       (s, dir) => qualityClassifier(t(s, dir, "documents"), QcRounds),
-      Some(qcOracleSql(QcRounds)),
+      Some(qcOracleSql(QcRounds, QcTrioSql)),
       doc = "Trained quality classifier: full-batch quantized-gradient descent, one gradient row per round; rational sigmoid keeps the trained model cross-engine exact."),
 
     // ------------------------------------------------------------------
@@ -1252,8 +1295,33 @@ object TrainingQueries {
     // and the draw op-for-op.
     Q("q136_classifier_pareto_sample",
       (s, dir) => paretoSample(t(s, dir, "documents"), QcRounds),
-      Some(qcParetoOracleSql(QcRounds)),
-      doc = "GPT-3 classifier-Pareto sampling (keep iff pareto(9) > 1 - score), exact via the integer-power form u*(2-p)^9 < 1.")
+      Some(qcParetoOracleSql(QcRounds, QcTrioSql)),
+      doc = "GPT-3 classifier-Pareto sampling (keep iff pareto(9) > 1 - score), exact via the integer-power form u*(2-p)^9 < 1."),
+
+    // ------------------------------------------------------------------
+    // q137: PRODUCTION-FEATURE QUALITY CLASSIFIER — q135's trainer on
+    // the feature set a deployed gate actually runs (the CCNet/GPT-3
+    // MO): the cheap trio PLUS q28's quality stats (punctuation ratio,
+    // stopword ratio — crawl-noise signals) and a q31 lang-id agreement
+    // indicator (predicted vs labeled language: a metadata-trust
+    // signal; mislabeled-language docs are a known crawl-quality
+    // failure). Every added feature keeps the cross-engine exactness
+    // contract that lets a TRAINED model sit under the hash gate:
+    // single IEEE divisions of exact integer counts (punct/stopword —
+    // proven bit-identical at three scales by q28's hash-green ratios)
+    // or a {0,1} indicator (lang match — proven by q31). The
+    // trainer/scorer/oracle machinery is SHARED with q135, generalized
+    // over dimensionality (k from the feature frame; w/g CTE widths
+    // and the margin fold from ONE SQL list), so the trio and full
+    // entries provably train through identical logic. Scale posture is
+    // q135's: featurize is one fused row-local pass (textStats +
+    // langIdFused + one regex — no extra scan, no shuffle), training
+    // is O(rounds) map-side-combinable aggregates emitting ONE gradient
+    // row each, scoring is row-local with the weights inlined.
+    Q("q137_classifier_full",
+      (s, dir) => qualityClassifierFull(t(s, dir, "documents"), QcRounds),
+      Some(qcOracleSql(QcRounds, QcFullSql)),
+      doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
   )
 
   /** q136 end-to-end: train the q135 classifier, then the row-local
@@ -1313,16 +1381,47 @@ object TrainingQueries {
       (length(txt).cast("double") / (ntg * lit(8.0))).as("f3"))
   }
 
+  /** q137's production feature set ([[QcFullSql]]'s Spark twin): the
+    * trio + q28's punctuation/stopword ratios (fused single-pass
+    * kernels; the ratios' cross-engine bit-parity is proven by q28's
+    * three-scale hash-green gate) + the q31 lang-id agreement
+    * indicator (predicted language == labeled language, both coalesced
+    * so NULL/unknown metadata classifies as a miss, never a throw).
+    */
+  private[graft] def qcFullFeatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{langIdFused, punctRatio, stopwordRatioOf, textStats}
+    val txt = coalesce(col("text"), lit(""))
+    val tks = toks(txt)
+    val ntok = size(tks)
+    val ntg = greatest(ntok, lit(1)).cast("double")
+    docs.select(col("doc_id"),
+      when(col("source").isin(QcPositiveSources: _*), 1.0)
+        .otherwise(0.0).as("y"),
+      (ntok.cast("double") / lit(256.0)).as("f1"),
+      (size(array_distinct(tks)).cast("double") / ntg).as("f2"),
+      (length(txt).cast("double") / (ntg * lit(8.0))).as("f3"),
+      punctRatio(txt).as("f4"),
+      stopwordRatioOf(textStats(txt)).as("f5"),
+      when(langIdFused(txt) === coalesce(col("lang"), lit("")), 1.0)
+        .otherwise(0.0).as("f6"))
+  }
+
   /** The rational-sigmoid probability for margin `m`: IEEE ops only, in
     * the exact association order the oracle SQL writes out.
     */
   private def qcProb(m: org.apache.spark.sql.Column) =
     lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
 
-  /** The margin w·(1,f1,f2,f3) with the oracle's association order. */
+  /** The margin w·(1,f1..fk) — a LEFT FOLD over the feature index, the
+    * association order [[qcMarginSql]] writes out, for any k.
+    */
   private def qcMargin(w: Array[Double]) =
-    ((lit(w(0)) + lit(w(1)) * col("f1")) + lit(w(2)) * col("f2")) +
-      lit(w(3)) * col("f3")
+    (1 until w.length).foldLeft(lit(w(0)))(
+      (acc, j) => acc + lit(w(j)) * col(s"f$j"))
+
+  /** [[qcMargin]]'s SQL twin: `((w0 + w1 * f1) + w2 * f2) + ...`. */
+  private def qcMarginSql(k: Int): String =
+    (2 to k).foldLeft("w0 + w1 * f1")((acc, j) => s"($acc) + w$j * f$j")
 
   /** q135 end-to-end: featurize, train, score. The returned frame is
     * the row-local scoring pass with the trained weights inlined as
@@ -1330,6 +1429,15 @@ object TrainingQueries {
     */
   private[operators] def qualityClassifier(docs: DataFrame, rounds: Int): DataFrame = {
     val feat = qcFeatures(docs).localCheckpoint()
+    scoreFeatures(feat, qcTrain(feat, rounds)).orderBy(col("doc_id"))
+  }
+
+  /** q137 end-to-end: [[qualityClassifier]] on the production feature
+    * set — the shared trainer/scorer generalize over k, so the two
+    * registry entries provably train through identical logic.
+    */
+  private[operators] def qualityClassifierFull(docs: DataFrame, rounds: Int): DataFrame = {
+    val feat = qcFullFeatures(docs).localCheckpoint()
     scoreFeatures(feat, qcTrain(feat, rounds)).orderBy(col("doc_id"))
   }
 
@@ -1363,22 +1471,24 @@ object TrainingQueries {
     * empty scoring frame.
     */
   private[graft] def qcTrain(feat: DataFrame, rounds: Int): Array[Double] = {
-    val w = Array(0.0, 0.0, 0.0, 0.0)
+    // dimensionality comes from the feature frame itself (f1..fk), so
+    // the same trainer serves the q135 trio and the q137 full set
+    val k = feat.columns.count(_.matches("f\\d+"))
+    val w = Array.fill(k + 1)(0.0)
     var r = 0
     while (r < rounds) {
       val e = qcProb(qcMargin(w)) - col("y")
-      val row = feat.agg(
-        sum(floor(e * lit(1000000.0))).as("s0"),
-        sum(floor((e * col("f1")) * lit(1000000.0))).as("s1"),
-        sum(floor((e * col("f2")) * lit(1000000.0))).as("s2"),
-        sum(floor((e * col("f3")) * lit(1000000.0))).as("s3"),
-        count(lit(1)).as("n"))
+      val aggs = (sum(floor(e * lit(1000000.0))).as("s0") +:
+        (1 to k).map(j =>
+          sum(floor((e * col(s"f$j")) * lit(1000000.0))).as(s"s$j"))) :+
+        count(lit(1)).as("n")
+      val row = feat.agg(aggs.head, aggs.tail: _*)
         .collect()(0) // ONE gradient row per round — model parameters, never data
-      val n = row.getLong(4)
+      val n = row.getLong(k + 1)
       if (n > 0L) {
         val nD = n.toDouble
         var j = 0
-        while (j < 4) {
+        while (j <= k) {
           w(j) = w(j) - QcLr * ((row.getLong(j).toDouble / 1000000.0) / nD)
           j += 1
         }
@@ -1398,53 +1508,55 @@ object TrainingQueries {
     * consumers append their own scoring SELECT over
     * `feat CROSS JOIN w<rounds>`.
     */
-  private def qcTrainedSqlPrefix(rounds: Int): String = {
+  private def qcTrainedSqlPrefix(rounds: Int, featSql: Seq[String]): String = {
+    val k = featSql.length
     val posList = QcPositiveSources.map(s => s"'$s'").mkString(", ")
+    val fcols = featSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }
+      .mkString(",\n               ")
+    val flist = (1 to k).map(j => s"f$j").mkString(", ")
     val feat = s"""feat AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN source IN ($posList) THEN 1.0 ELSE 0.0 END AS y,
-               CAST(len(tk) AS DOUBLE) / 256.0 AS f1,
-               CAST(len(list_distinct(tk)) AS DOUBLE)
-                 / CAST(greatest(len(tk), 1) AS DOUBLE) AS f2,
-               CAST(length(txt) AS DOUBLE)
-                 / (CAST(greatest(len(tk), 1) AS DOUBLE) * 8.0) AS f3
-        FROM (SELECT doc_id, source, coalesce(text, '') AS txt,
+               $fcols
+        FROM (SELECT doc_id, source, lang, coalesce(text, '') AS txt,
                      string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS tk
               FROM documents) t0),
-      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+      w0 AS (SELECT ${(0 to k).map(j => s"0.0 AS w$j").mkString(", ")})"""
     val stages = (0 until rounds).map { i =>
+      val gsums = (1 to k).map(j =>
+        s"CAST(sum(CAST(floor((e * f$j) * 1000000.0) AS BIGINT)) AS BIGINT) AS s$j")
+        .mkString(",\n               ")
+      val wupd = (0 to k).map(j =>
+        s"w$j - $QcLr * ((CAST(s$j AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w$j")
+        .mkString(",\n               ")
       s"""g$i AS MATERIALIZED (
         SELECT CAST(sum(CAST(floor(e * 1000000.0) AS BIGINT)) AS BIGINT) AS s0,
-               CAST(sum(CAST(floor((e * f1) * 1000000.0) AS BIGINT)) AS BIGINT) AS s1,
-               CAST(sum(CAST(floor((e * f2) * 1000000.0) AS BIGINT)) AS BIGINT) AS s2,
-               CAST(sum(CAST(floor((e * f3) * 1000000.0) AS BIGINT)) AS BIGINT) AS s3,
+               $gsums,
                CAST(count(*) AS BIGINT) AS n
-        FROM (SELECT f1, f2, f3,
+        FROM (SELECT $flist,
                      (0.5 + (0.5 * m) / (1.0 + abs(m))) - y AS e
-              FROM (SELECT y, f1, f2, f3,
-                           ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+              FROM (SELECT y, $flist,
+                           ${qcMarginSql(k)} AS m
                     FROM feat CROSS JOIN w$i) t1) t2),
       w${i + 1} AS MATERIALIZED (
-        SELECT w0 - $QcLr * ((CAST(s0 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w0,
-               w1 - $QcLr * ((CAST(s1 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w1,
-               w2 - $QcLr * ((CAST(s2 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w2,
-               w3 - $QcLr * ((CAST(s3 AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS w3
+        SELECT $wupd
         FROM w$i CROSS JOIN g$i)"""
     }.mkString(",\n      ")
     s"""WITH $feat,
       $stages"""
   }
 
-  /** The q135 oracle: trained prefix + the same row-local scoring. */
-  private def qcOracleSql(rounds: Int): String =
-    s"""${qcTrainedSqlPrefix(rounds)}
+  /** The q135/q137 oracle: trained prefix + the same row-local scoring. */
+  private def qcOracleSql(rounds: Int, featSql: Seq[String]): String =
+    s"""${qcTrainedSqlPrefix(rounds, featSql)}
       SELECT doc_id, CAST(y AS BIGINT) AS label,
              CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
              CAST(CASE WHEN floor(p * 1000000.0) >= 500000
                        THEN 1 ELSE 0 END AS BIGINT) AS pred
       FROM (SELECT doc_id, y, 0.5 + (0.5 * m) / (1.0 + abs(m)) AS p
             FROM (SELECT doc_id, y,
-                         ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+                         ${qcMarginSql(featSql.length)} AS m
                   FROM feat CROSS JOIN w$rounds) t3) t4
       ORDER BY doc_id"""
 
@@ -1452,10 +1564,10 @@ object TrainingQueries {
     * The power chain (t2=t0², t4=t2², t8=t4², t9=t8·t0) and the
     * `u·(2−p)^α < 1` comparison mirror the Spark expressions op-for-op.
     */
-  private def qcParetoOracleSql(rounds: Int): String = {
+  private def qcParetoOracleSql(rounds: Int, featSql: Seq[String]): String = {
     import graft.functions.Affine61.{parA, parB}
     import graft.functions.MulMod61.P
-    s"""${qcTrainedSqlPrefix(rounds)}
+    s"""${qcTrainedSqlPrefix(rounds, featSql)}
       SELECT doc_id,
              CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
              umu,
@@ -1472,7 +1584,7 @@ object TrainingQueries {
                                     + $parB) % $P) % 1000000 AS BIGINT) AS umu
                   FROM (SELECT doc_id, 0.5 + (0.5 * m) / (1.0 + abs(m)) AS p
                     FROM (SELECT doc_id,
-                                 ((w0 + w1 * f1) + w2 * f2) + w3 * f3 AS m
+                                 ${qcMarginSql(featSql.length)} AS m
                           FROM feat CROSS JOIN w$rounds) s1) s2) s3) s4) s5) s6) s7) s8
       ORDER BY doc_id"""
   }

@@ -396,14 +396,15 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
-  test("q135/q136: trained-model scoring is one row-local map — no join, no agg") {
+  test("q135/q136/q137: trained-model scoring is one row-local map — no join, no agg") {
     // training runs as separate tiny jobs at construction (one gradient
     // row per round); the RETURNED plan is the scoring/sampling pass
     // with the weights inlined as literals — it must read the
     // checkpointed feature frame and touch no join, no aggregate, no
     // explode before the output sort (at 100 TB: one map stage riding
     // the corpus scan)
-    for (q <- Seq("q135_quality_classifier", "q136_classifier_pareto_sample")) {
+    for (q <- Seq("q135_quality_classifier", "q136_classifier_pareto_sample",
+        "q137_classifier_full")) {
       val plan = planOf(q)
       assert(!plan.contains("Join"), s"$q:\n${plan.take(3000)}")
       assert(!plan.contains("HashAggregate"), s"$q:\n${plan.take(3000)}")

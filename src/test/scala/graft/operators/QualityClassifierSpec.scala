@@ -93,6 +93,53 @@ class QualityClassifierSpec extends AnyFunSuite {
       "an all-positive corpus must score everything positive")
   }
 
+  test("q137 full features separate a fixture the trio cannot see") {
+    // Both classes get ~13 tokens of similar length and diversity, so
+    // f1/f2/f3 carry almost no signal. The curated half is English
+    // prose (stopwords present, lang-id agrees with the 'en' label);
+    // the junk half is same-shaped gibberish (no stopwords, lang-id
+    // says 'und' under an 'en' label — the metadata-mistrust signal).
+    // Only the q137 features (f5 stopword ratio, f6 lang agreement)
+    // can separate them.
+    val fillers = Seq("cat", "dog", "sun", "map", "key", "jar", "owl",
+      "fox", "elm", "sky", "oak", "fig")
+    val junkWords = Seq("zorp", "blex", "quam", "vrix", "nolt", "karv",
+      "zuln", "drep", "molv", "trag", "helx", "brap")
+    val rows = (0 until 24).map { i =>
+      if (i % 2 == 0) {
+        val f = (0 until 4).map(j => fillers((i / 2 + j) % fillers.length))
+        val txt = s"the ${f(0)} and the ${f(1)} sat in the warm ${f(2)} of ${f(3)} arthur"
+        (i.toLong, txt, "en", "src0", txt.length.toLong)
+      } else {
+        val txt = (0 until 13).map(j => junkWords((i + j) % junkWords.length))
+          .mkString(" ")
+        (i.toLong, txt, "en", "src9", txt.length.toLong)
+      }
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scored = TrainingQueries
+      .qualityClassifierFull(docs, TrainingQueries.QcRounds).cache()
+    val minPos = scored.filter($"label" === 1L).agg(min($"smu")).head.getLong(0)
+    val maxNeg = scored.filter($"label" === 0L).agg(max($"smu")).head.getLong(0)
+    assert(minPos > maxNeg,
+      s"curated min score $minPos must exceed junk max score $maxNeg")
+    assert(scored.filter($"pred" =!= $"label").count() == 0,
+      "the full feature set must classify the fixture perfectly")
+    scored.unpersist()
+    // and the 7-dim trainer is bit-deterministic across partitionings,
+    // same as the trio (the integer-quantized gradient contract is
+    // dimension-agnostic)
+    def weights(parts: Int): Seq[Double] = {
+      val feat = TrainingQueries.qcFullFeatures(docs.repartition(parts))
+        .localCheckpoint()
+      TrainingQueries.qcTrain(feat, TrainingQueries.QcRounds).toSeq
+    }
+    val a = weights(1)
+    val b = weights(7)
+    assert(a.length == 7, s"trio+3 features must train 7 weights, got $a")
+    assert(a == b, s"1-partition $a != 7-partition $b")
+  }
+
   test("pareto sample keeps high-scorers at a higher rate, deterministically") {
     val docs = fixture(400)
     val s1 = TrainingQueries.paretoSample(docs, TrainingQueries.QcRounds)
