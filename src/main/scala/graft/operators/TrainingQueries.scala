@@ -1457,10 +1457,19 @@ object TrainingQueries {
     * apply on the ingest path). Fully ROW-LOCAL, which is what lets the
     * SAME function ride a streaming micro-batch
     * ([[graft.streaming.DocStream.scoreStream]]) with provably
-    * batch-identical labels.
+    * batch-identical labels. The weight DIMENSION selects the
+    * featurizer (4 → the q135 trio, 7 → the q137 production set), so
+    * one serve path deploys either trained model.
     */
-  private[graft] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame =
-    scoreFeatures(qcFeatures(docs), w)
+  private[graft] def scoreWith(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val feat = w.length match {
+      case 4 => qcFeatures(docs)
+      case 7 => qcFullFeatures(docs)
+      case k => throw new IllegalArgumentException(
+        s"frozen weight vector has ${k} dims; trained models are 4 (trio) or 7 (full)")
+    }
+    scoreFeatures(feat, w)
+  }
 
   /** q135's training loop over a (doc_id, y, f1, f2, f3) frame:
     * full-batch quantized-gradient descent. Per round, per row:

@@ -201,17 +201,19 @@ object DocStream {
           .parquet(s"$outPath/reasons/batch=$batchId")
       })
 
-  /** Streaming TRAINED-MODEL scoring: apply a FROZEN q135 weight vector
+  /** Streaming TRAINED-MODEL scoring: apply a FROZEN weight vector
     * ([[graft.operators.TrainingQueries.qcTrain]] output — trained
-    * offline on the batch corpus, deployed as O(d) literals) to every
-    * ingest micro-batch — the serve-time shape of the learned quality
-    * gate, and the production division of labor: training stays a
-    * batch job over the full corpus, the stream pays only one stateless
-    * row-local map per document. Batch-keyed overwrite partitions keep
-    * replays idempotent (the filterStream convention). Because scoring
-    * is row-local with frozen weights, stream and batch scores are
+    * offline on the batch corpus, deployed as O(d) literals; 4 dims =
+    * the q135 trio, 7 = the q137 production feature set — the weight
+    * dimension selects the featurizer) to every ingest micro-batch —
+    * the serve-time shape of the learned quality gate, and the
+    * production division of labor: training stays a batch job over the
+    * full corpus, the stream pays only one stateless row-local map per
+    * document. Batch-keyed overwrite partitions keep replays
+    * idempotent (the filterStream convention). Because scoring is
+    * row-local with frozen weights, stream and batch scores are
     * IDENTICAL by construction — DocStreamSpec pins parity across
-    * trigger schedules.
+    * trigger schedules for both models.
     */
   def scoreStream(docs: DataFrame, weights: Array[Double],
       outPath: String): DataStreamWriter[Row] =
@@ -219,7 +221,8 @@ object DocStream {
       .outputMode("append")
       .foreachBatch((batch: DataFrame, batchId: Long) => {
         graft.operators.TrainingQueries.scoreWith(
-            batch.select(col("doc_id"), col("source"), col("text")),
+            batch.select(col("doc_id"), col("source"), col("lang"),
+              col("text")),
             weights)
           .write.mode("overwrite")
           .parquet(s"$outPath/scored/batch=$batchId")

@@ -431,4 +431,38 @@ class DocStreamSpec extends AnyFunSuite {
       "replay must be value-idempotent")
     docs.unpersist()
   }
+
+  test("score stream: the 7-dim full-feature model deploys on the same face") {
+    // the q137 production model rides the identical serve path — the
+    // frozen weight DIMENSION selects the featurizer, so deploying the
+    // richer gate is a weights swap, not a code change; parity with
+    // the batch pass must hold the same way it does for the trio
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    val w = graft.operators.TrainingQueries.qcTrain(
+      graft.operators.TrainingQueries.qcFullFeatures(docs).localCheckpoint(),
+      graft.operators.TrainingQueries.QcRounds)
+    assert(w.length == 7)
+    val base = Files.createTempDirectory("graft_scorefull").toString
+    val dropDir = s"$base/drops"
+    Files.createDirectories(java.nio.file.Paths.get(dropDir))
+    val q = DocStream.scoreStream(DocStream.read(spark, dropDir), w,
+        s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      for (m <- 0L to 1L) {
+        docs.filter($"doc_id" % 2 === m).coalesce(1)
+          .write.mode("append").parquet(dropDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cols = Seq("doc_id", "label", "smu", "pred").map(col)
+    val streamed = spark.read.parquet(s"$base/out/scored")
+    val batch = graft.operators.TrainingQueries.scoreWith(docs, w)
+    assert(streamed.select(cols: _*).collect().map(_.toSeq).toSet ==
+      batch.select(cols: _*).collect().map(_.toSeq).toSet,
+      "streamed full-feature scores must equal the batch pass")
+    assert(streamed.count() == docs.count())
+    docs.unpersist()
+  }
 }
