@@ -110,7 +110,8 @@ object DataSplit {
           .agg(
             count(lit(1)).as("n_docs"),
             count(when(kept, lit(1))).as("n_kept"),
-            coalesce(sum(when(kept, col("doc_id"))), lit(0L)).as("sum_kept_ids"))
+            coalesce(graft.functions.IdSum.idSum(when(kept, col("doc_id"))),
+              lit(0L)).as("sum_kept_ids"))
           .select(
             col("source"),
             (col("ppm").cast("double") / 1000000.0).as("target_rate"),
@@ -134,7 +135,7 @@ object DataSplit {
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
                  CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate,
-                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
+                 coalesce(${graft.functions.IdSum.sql("CASE WHEN kept THEN doc_id END")}, 0) AS sum_kept_ids
           FROM flagged GROUP BY source, ppm ORDER BY source""")
       }),
 
@@ -194,8 +195,8 @@ object DataSplit {
             count(when(kept, lit(1))).as("n_kept"),
             coalesce(sum(when(kept, col("n_tokens"))), lit(0L))
               .as("kept_tokens"),
-            coalesce(sum(when(kept, col("doc_id"))), lit(0L))
-              .as("sum_kept_ids"))
+            coalesce(graft.functions.IdSum.idSum(when(kept, col("doc_id"))),
+              lit(0L)).as("sum_kept_ids"))
           .select(col("source"), col("total_tokens"),
             (col("ppm").cast("double") / 1000000.0).as("sample_rate"),
             col("n_docs"), col("n_kept"), col("kept_tokens"),
@@ -225,7 +226,7 @@ object DataSplit {
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
                  CAST(coalesce(sum(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
-                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids
+                 coalesce(${graft.functions.IdSum.sql("CASE WHEN kept THEN doc_id END")}, 0) AS sum_kept_ids
           FROM flagged GROUP BY source, total_tokens, ppm
           ORDER BY source""")
       }),
@@ -258,8 +259,8 @@ object DataSplit {
           .agg(
             count(lit(1)).as("n_docs"),
             count(when(kept, lit(1))).as("n_kept"),
-            coalesce(sum(when(kept, col("doc_id"))), lit(0L))
-              .as("sum_kept_ids"),
+            coalesce(graft.functions.IdSum.idSum(when(kept, col("doc_id"))),
+              lit(0L)).as("sum_kept_ids"),
             coalesce(sum(when(kept, col("qmu"))), lit(0L))
               .as("kept_quality_mu"),
             sum(col("qmu")).as("total_quality_mu"))
@@ -281,7 +282,7 @@ object DataSplit {
           SELECT source,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
-                 CAST(coalesce(sum(CASE WHEN kept THEN doc_id END), 0) AS BIGINT) AS sum_kept_ids,
+                 coalesce(${graft.functions.IdSum.sql("CASE WHEN kept THEN doc_id END")}, 0) AS sum_kept_ids,
                  CAST(coalesce(sum(CASE WHEN kept THEN qmu END), 0) AS BIGINT) AS kept_quality_mu,
                  CAST(sum(qmu) AS BIGINT) AS total_quality_mu,
                  CAST(count(CASE WHEN kept THEN 1 END) AS DOUBLE) / count(*) AS achieved_rate

@@ -770,7 +770,11 @@ object DedupQueries {
             splitOf(col("b_id")).as("split_b"))
           .groupBy(col("split_a"), col("split_b"))
           .agg(count(lit(1)).as("n_pairs"),
-            sum(col("a_id") + col("b_id")).as("pair_id_sum"))
+            // the per-row add ALSO overflows on snowflake-scale ids —
+            // widen to decimal before pairing, then checksum-reduce
+            graft.functions.IdSum.idSum(
+              col("a_id").cast("decimal(38,0)") + col("b_id"))
+              .as("pair_id_sum"))
           .withColumn("is_leak",
             (col("split_a") =!= col("split_b")).cast("int"))
           .select(col("split_a"), col("split_b"), col("is_leak"),
@@ -788,7 +792,7 @@ object DedupQueries {
         SELECT split_a, split_b,
                CAST(split_a <> split_b AS INTEGER) AS is_leak,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(a_id + b_id) AS BIGINT) AS pair_id_sum
+               ${graft.functions.IdSum.sql("CAST(a_id AS HUGEINT) + b_id")} AS pair_id_sum
         FROM lab GROUP BY split_a, split_b
         ORDER BY split_a, split_b"""),
       doc = "Near-dup pairs straddling the train/val/test boundary (eval leakage audit)."),
@@ -823,7 +827,7 @@ object DedupQueries {
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("canon")).as("n_clusters"),
-            sum(col("doc_id")).as("doc_id_sum"))
+            graft.functions.IdSum.idSum(col("doc_id")).as("doc_id_sum"))
           .orderBy(col("split"))
       },
       Some(s"""WITH RECURSIVE $pairCtes,
@@ -846,7 +850,7 @@ object DedupQueries {
                     WHEN canon % 10 = 8 THEN 'val' ELSE 'test' END AS split,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(count(DISTINCT canon) AS BIGINT) AS n_clusters,
-               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+               ${graft.functions.IdSum.sql("doc_id")} AS doc_id_sum
         FROM lab GROUP BY split ORDER BY split"""),
       doc = "Leakage-free splitting: the q45 hash split applied per near-dup cluster."),
 

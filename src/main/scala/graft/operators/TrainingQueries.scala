@@ -30,6 +30,15 @@ object TrainingQueries {
     */
   private val EpochShuffleShards = 16
 
+  /** q114's overflow-free epoch-salt domain (AdversarialIdSpec): ids
+    * reduce mod this cap before the ×4+epoch packing, so the mixer
+    * input stays below P in plain long arithmetic for ANY id
+    * (snowflake-scale, negative) under ANSI mode. Identity for every
+    * id < ~5.7e17, so gate values are unchanged; the oracle mirrors
+    * pmod as ((id % C) + C) % C.
+    */
+  private val EpochSaltCap: Long = (graft.functions.MulMod61.P - 3) / 4
+
   /** q135 constants — ONE definition interpolated into both the Spark
     * trainer and the oracle SQL so the two sides can't fork: training
     * rounds, learning rate, and the curated-source positive-label set
@@ -1116,7 +1125,8 @@ object TrainingQueries {
           .select(col("doc_id"),
             explode(sequence(lit(1), lit(2))).as("epoch"))
           .withColumn("h", Affine61.affine61(
-            col("doc_id") * lit(4L) + col("epoch").cast("long"), mixA, mixB))
+            pmod(col("doc_id"), lit(EpochSaltCap)) * lit(4L) +
+              col("epoch").cast("long"), mixA, mixB))
           .withColumn("shard", (col("h") % nShards).cast("int"))
           .select(col("epoch"), col("doc_id"), col("shard"),
             row_number().over(w).cast("long").as("pos"))
@@ -1127,7 +1137,7 @@ object TrainingQueries {
         import graft.functions.MulMod61.P
         Some(s"""WITH e AS (
             SELECT doc_id, epoch,
-                   (($mixA::HUGEINT * (doc_id * 4 + epoch) + $mixB) % $P) AS h
+                   (($mixA::HUGEINT * ((((doc_id % $EpochSaltCap) + $EpochSaltCap) % $EpochSaltCap) * 4 + epoch) + $mixB) % $P) AS h
             FROM documents, (SELECT unnest([1, 2]) AS epoch)),
           sh AS (
             SELECT epoch, doc_id,
