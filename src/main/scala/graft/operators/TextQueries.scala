@@ -1513,14 +1513,22 @@ object TextQueries {
     // trainer yields a merge table whose later ranks pair MULTI-
     // CHARACTER symbols; this query re-tokenizes the corpus with that
     // table applied in RANK order — Sennrich's `apply_bpe` convention.
-    // Rank-order single-pass-per-merge is EXACT for a trained table
-    // (not just the single-char q129 case): any multi-char symbol a
-    // merge references was created by an earlier-rank merge (symbols
-    // only exist after their creating merge is selected), and merging
-    // never deletes symbols, so no later merge can create a new
-    // occurrence of an earlier merge's pair — "apply each merge once,
-    // in rank order" equals the greedy "always merge the lowest-rank
-    // pair present" loop of the reference apply_bpe. Scale shape: the
+    // Rank-order single-pass-per-merge is EXACT for a UNIQUE-OUTPUT
+    // trained table (not just the single-char q129 case): when every
+    // merge's concatenated output string is distinct, each symbol has
+    // exactly one creating merge, whose rank precedes any merge
+    // referencing it, so no later merge can create a new occurrence of
+    // an earlier merge's pair — "apply each merge once, in rank order"
+    // equals the greedy "always merge the lowest-rank pair present"
+    // loop of the reference apply_bpe. The restriction is REAL
+    // (round-11 ScalaCheck find): two merges CAN concatenate to one
+    // string ((b,bb) early + (bb,b) late both make "bbb"), giving the
+    // symbol a second, later creation path that greedy revisits and a
+    // single pass cannot — Round11Props pins both the equivalence on
+    // unique-output tables and the divergence boundary; TrainingSpec
+    // checks the q131 tables this query ACTUALLY trains on the gate
+    // corpora are unique-output, and the single pass is the DEFINED,
+    // oracle-replayed semantics regardless. Scale shape: the
     // trained table is O(model) — 16 rows collected from the q131
     // trainer (ONE argmax row per round) and baked into the fused
     // BpeApply expression as a constant (the q110 inlined-model MO);

@@ -9,21 +9,29 @@ import org.scalacheck.Prop.forAll
   * table once-per-merge in RANK order (what the fused [[BpeApply]]
   * kernel does) equals the reference greedy `apply_bpe` loop (always
   * merge the lowest-rank pair present, all occurrences left-to-right,
-  * repeat). The argument in q133's scaladoc is structural — any
-  * multi-char symbol a merge references was created by an earlier-rank
-  * merge, and merging never deletes symbols, so a later merge can never
-  * create a new occurrence of an earlier pair — and this property
-  * checks it mechanically over random TRAINED-VALID tables (built the
-  * way training builds them: each merge pairs symbols already
-  * available, its output joining the pool) and random words, including
-  * the self-overlapping runs where left-to-right tie-breaking matters.
-  * NOTE the restriction to trained-valid tables is essential: for an
-  * ARBITRARY table the two strategies genuinely differ — rank 1 =
-  * (x,ab), rank 2 = (a,b) references symbol "ab" before any rank
-  * creates it; on "xab" rank-order gives x,(ab) = 2 symbols (rank 1
-  * finds no (x,ab) pair when it runs, rank 2 then creates one too
-  * late), while greedy re-scans after merging (a,b), finds (x,ab), and
-  * reaches 1 symbol. Pure JVM, full ScalaCheck volume, no Spark jobs.
+  * repeat) — on UNIQUE-OUTPUT trained tables: each merge pairs symbols
+  * already available AND its concatenated output string is new to the
+  * pool. The structural argument: with unique outputs, every symbol
+  * string has exactly ONE creating merge, whose rank precedes any
+  * merge referencing it, so by the time rank r runs every occurrence
+  * greedy would ever merge is already present.
+  *
+  * BOTH restrictions are essential, and ScalaCheck found the second
+  * one (round 11, seed dagvYY7…): the original property omitted the
+  * unique-output requirement and was falsified after 338 passes.
+  * Distinct merges CAN concatenate to the same string — (b,bb) at an
+  * early rank and (bb,b) at a late rank both output "bbb" — giving
+  * the symbol a SECOND, later creation path: on "abbb", greedy merges
+  * (b,b)→a·bb·b, then (bb,b)→a·bbb, then revisits the earlier-rank
+  * (a,bbb)→1 symbol, while the single rank-ordered pass ran (a,bbb)
+  * before any "bbb" existed and stops at 2. The first restriction
+  * (availability) fails similarly: rank 1 = (x,ab) before rank 2 =
+  * (a,b) creates "ab". The boundary regression below pins the
+  * duplicate-output divergence deterministically; q133's ACTUAL
+  * q131-trained tables are unique-output (TrainingSpec checks the
+  * gate corpora), so the kernel is exact apply_bpe where the registry
+  * runs it, and the DEFINED oracle-replayed semantics everywhere.
+  * Pure JVM, full ScalaCheck volume, no Spark jobs.
   */
 object Round11Props extends Properties("Round11Functions") {
 
@@ -32,11 +40,14 @@ object Round11Props extends Properties("Round11Functions") {
 
   private val alphabet = Vector("a", "b", "c")
 
-  /** Trained-valid merge table: start from the alphabet pool; each merge
-    * picks two symbols ALREADY in the pool (indices into it) and its
-    * output joins the pool — exactly the invariant a real training run
-    * maintains. Duplicate pairs are dropped (training never re-selects
-    * a merged pair: its occurrences were consumed when it won).
+  /** Unique-output trained-valid merge table: start from the alphabet
+    * pool; each merge picks two symbols ALREADY in the pool (indices
+    * into it) and its output joins the pool. Duplicate pairs are
+    * dropped (training never re-selects a merged pair), and so are
+    * merges whose concatenated OUTPUT string already names a pool
+    * symbol — the unique-creation invariant the equivalence proof
+    * needs (see the object scaladoc for the counterexample without
+    * it).
     */
   private val trainedTableGen: Gen[Seq[(String, String)]] =
     for {
@@ -48,7 +59,7 @@ object Round11Props extends Properties("Round11Functions") {
       for ((i, j) <- picks) {
         val a = pool(i % pool.length)
         val b = pool(j % pool.length)
-        if (!merges.contains((a, b))) {
+        if (!merges.contains((a, b)) && !pool.contains(a + b)) {
           merges += ((a, b))
           pool += a + b
         }
@@ -92,9 +103,23 @@ object Round11Props extends Properties("Round11Functions") {
     syms.length
   }
 
-  property("rank-order single-pass == greedy min-rank apply_bpe on trained-valid tables") =
+  property("rank-order single-pass == greedy min-rank apply_bpe on unique-output trained tables") =
     forAll(trainedTableGen, wordGen) { (merges, word) =>
       val kernel = BpeApply(ColumnInterop.expression(lit("x")), merges)
       word.isEmpty || kernel.applyWord(word) == greedyApply(word, merges)
     }
+
+  property("duplicate-output tables sit OUTSIDE the guarantee (scoping is tight)") = {
+    // ScalaCheck's round-11 counterexample, pinned deterministically:
+    // "bbb" is created at rank 1 by (b,bb) AND at rank 4 by (bb,b), so
+    // greedy reaches the rank-3 pair (a,bbb) only AFTER rank 4 runs —
+    // a single rank-ordered pass cannot revisit it. Single-pass is the
+    // DEFINED (oracle-replayed) semantics; this pin documents that the
+    // unique-output restriction above is necessary, not cosmetic.
+    val merges = Seq(("b", "b"), ("b", "bb"), ("bb", "c"),
+      ("a", "bbb"), ("bb", "b"))
+    val kernel = BpeApply(ColumnInterop.expression(lit("x")), merges)
+    val word = "abbb"
+    kernel.applyWord(word) == 2 && greedyApply(word, merges) == 1
+  }
 }

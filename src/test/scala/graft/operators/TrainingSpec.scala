@@ -570,4 +570,22 @@ class TrainingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
     assert(got == Seq((1L, 18L, 5L), (2L, 10L, 5L)), got.toString)
   }
+
+  test("q133's trained tables are unique-output on the gate corpora") {
+    // The single-pass == apply_bpe equivalence (Round11Props) holds
+    // for UNIQUE-OUTPUT tables: no two merges concatenating to the
+    // same string (else the symbol gains a second, later creation
+    // path and greedy revisits an earlier rank — the duplicate-output
+    // boundary pin). Real training CAN emit such twins, so check the
+    // tables q133/q134 actually run with: the 16-round q131 trainer's
+    // outputs on the gate corpora must be pairwise distinct.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.Tables.load(spark, s"/root/testdata/$sf", "documents")
+      val outs = TextQueries.bpeTrain(docs, 16)
+        .select($"a", $"b").as[(String, String)].collect()
+        .map { case (a, b) => a + b }
+      assert(outs.distinct.length == outs.length,
+        s"$sf trained table has duplicate-output merges: ${outs.mkString(",")}")
+    }
+  }
 }
