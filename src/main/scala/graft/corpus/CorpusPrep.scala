@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * the warehouse's `Pipeline.run`: one call composes the individually
   * oracle-checked operators into the standard assembly line
   *
-  *   normalize → quality gate → exact dedup → near-dup resolution →
-  *   exact-substring dedup → decontaminate → mix → split → pack
+  *   normalize → quality gate → classifier sample (opt-in) →
+  *   exact dedup → near-dup resolution → exact-substring dedup →
+  *   decontaminate → mix → split → pack
   *
   * Every stage is the same dataflow its registry query runs (q72, q30,
-  * q33, q36+q85 keep-best, q128, q50, q73, q45, q74), so each is
+  * q135→q136 classifier-Pareto, q33, q36+q85 keep-best, q128, q50,
+  * q73, q45, q74), so each is
   * value-verified by the DuckDB gate in isolation; CorpusPrepSpec
   * verifies the composition
   * (stage accounting, end-state invariants). The plain doc-id hash
@@ -28,6 +30,15 @@ import org.apache.spark.sql.functions._
   * registry twin.
   *
   * @param minQuality      quality-score gate (q30's score; 0 disables)
+  * @param classifierSample learned curation gate (q135→q136): train the
+  *                        quantized-gradient quality classifier on the
+  *                        gated corpus (weak labels from curated
+  *                        sources), score row-locally, keep iff the
+  *                        Pareto(9) draw admits — GPT-3's soft,
+  *                        long-tailed sampling where the hard threshold
+  *                        above is binary. Uses the q137 production
+  *                        features when the frame carries `lang`, the
+  *                        trio otherwise. Off by default.
   * @param nearDupJaccard  verified-Jaccard threshold for near-dup edges
   * @param spanDedup       drop docs sharing an exact ≥50-token run with
   *                        an earlier doc (q128, Lee et al. 2022) — the
@@ -39,6 +50,7 @@ import org.apache.spark.sql.functions._
   */
 final case class CorpusPrepConfig(
     minQuality: Double = 0.3,
+    classifierSample: Boolean = false,
     nearDupJaccard: Double = 0.8,
     spanDedup: Boolean = true,
     decontamShingleK: Int = 5,
@@ -93,12 +105,31 @@ object CorpusPrep {
         TextFunctions.qualityScoreFused(col("text"),
           TextFunctions.textStats(col("text"))) >= cfg.minQuality))
 
+    // 2b. learned curation gate (q135→q136, GPT-3's order: classifier
+    // sampling BEFORE dedup): train the quantized-gradient classifier
+    // on the gated corpus, score row-locally, keep iff the Pareto(9)
+    // draw admits — retains most high-scorers plus a long tail of
+    // low-scorers, which the binary threshold above cannot express.
+    // Training is O(rounds) one-row aggregates; the decision is a pure
+    // function of the row, so the stage is one broadcast-free filter
+    // pass. Production features (q137) when the frame carries lang.
+    val classified = stage("classifier_sample",
+      if (!cfg.classifierSample) gated
+      else {
+        val kept = graft.operators.TrainingQueries
+          .paretoSample(gated, graft.operators.TrainingQueries.QcRounds,
+            fullFeatures = gated.columns.contains("lang"))
+          .filter(col("kept") === 1L)
+          .select(col("doc_id"))
+        gated.join(kept, Seq("doc_id"))
+      })
+
     // 3. exact dedup: one shuffle on the content digest, keep min id
-    val exactKeep = gated
+    val exactKeep = classified
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = stage("exact_dedup", gated.join(exactKeep, Seq("doc_id")))
+    val exact = stage("exact_dedup", classified.join(exactKeep, Seq("doc_id")))
 
     // 4. near-dup resolution: LSH candidates → verified Jaccard edges →
     // connected components → keep the BEST copy per cluster (q85's

@@ -1351,10 +1351,12 @@ object TrainingQueries {
     * the progression; taking low digits guards the residual structure
     * the same way every q73-family sampler does.
     */
-  private[operators] def paretoSample(docs: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def paretoSample(docs: DataFrame, rounds: Int,
+      fullFeatures: Boolean = false): DataFrame = {
     import graft.functions.Affine61.{affine61, parA, parB}
     import graft.functions.PolyHash61Str.polyHash61Str
-    val feat = qcFeatures(docs).localCheckpoint()
+    val feat = (if (fullFeatures) qcFullFeatures(docs) else qcFeatures(docs))
+      .localCheckpoint()
     val w = qcTrain(feat, rounds)
     val p = qcProb(qcMargin(w))
     val umu = affine61(polyHash61Str(col("doc_id").cast("string")),

@@ -27,17 +27,50 @@ class CorpusPrepSpec extends AnyFunSuite {
   test("stage accounting: monotone, complete, normalization lossless") {
     val byStage = counts.map(c => c.stage -> c.rows).toMap
     assert(counts.map(_.stage) == Seq("input", "normalize", "quality_gate",
-      "exact_dedup", "near_dedup", "span_dedup", "decontaminate", "mix",
-      "pack"))
+      "classifier_sample", "exact_dedup", "near_dedup", "span_dedup",
+      "decontaminate", "mix", "pack"))
     assert(byStage("input") == 500)
     assert(byStage("normalize") == byStage("input"))
     counts.sliding(2).foreach {
       case Seq(a, b) => assert(b.rows <= a.rows, s"${b.stage} grew")
       case _ =>
     }
+    // classifier sampling off by default: pure pass-through
+    assert(byStage("classifier_sample") == byStage("quality_gate"))
     // mix disabled and packing only annotates: no rows move
     assert(byStage("mix") == byStage("decontaminate"))
     assert(byStage("pack") == byStage("mix"))
+  }
+
+  test("classifier_sample stage == its registry twin (q136 Pareto draw) on the same input") {
+    // Enable the learned gate with everything downstream that could
+    // mask it neutralized (no quality threshold so the stage input is
+    // exactly the normalized frame, which the twin can reconstruct).
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (out, stageCounts) = CorpusPrep.run(docs, None,
+      CorpusPrepConfig(minQuality = 0.0, classifierSample = true))
+    val byStage = stageCounts.map(c => c.stage -> c.rows).toMap
+
+    // the registry twin on the stage's exact input: normalize, then the
+    // q135→q136 train+draw — documents carries `lang`, so CorpusPrep
+    // must have routed to the q137 production feature set
+    val normalized = docs.withColumn("text",
+      graft.functions.UnicodeNorm.nfcNormalize($"text"))
+    val twinKept = graft.operators.TrainingQueries
+      .paretoSample(normalized, graft.operators.TrainingQueries.QcRounds,
+        fullFeatures = true)
+      .filter($"kept" === 1L)
+      .select($"doc_id").as[Long].collect().toSet
+
+    assert(byStage("classifier_sample") == twinKept.size,
+      s"stage kept ${byStage("classifier_sample")}, twin kept ${twinKept.size}")
+    assert(byStage("classifier_sample") < byStage("quality_gate"),
+      "Pareto draw must reject something on this corpus")
+    assert(byStage("classifier_sample") > 0,
+      "Pareto draw must keep something on this corpus")
+    // survivors of the whole pipeline are a subset of the twin's keeps
+    val survivors = out.select($"doc_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(twinKept))
   }
 
   test("no verified near-duplicate pair survives resolution") {
