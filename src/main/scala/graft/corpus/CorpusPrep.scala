@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   *                        above is binary. Uses the q137 production
   *                        features when the frame carries `lang`, the
   *                        trio otherwise. Off by default.
+  * @param classifierWeights frozen trained model for [[CorpusPrep
+  *                        .ingestBatch]]'s learned gate: a production
+  *                        ingest path trains ONCE at the periodic full
+  *                        rebuild ([[graft.operators.TrainingQueries
+  *                        .qcTrain]]), freezes the weights, and applies
+  *                        them per batch — the same deployment shape as
+  *                        `DocStream.scoreStream`. Dimension selects
+  *                        the featurizer (4 → trio, 7 → q137 full).
+  *                        None disables the stage (pass-through).
+  *                        Ignored by [[CorpusPrep.run]], which trains
+  *                        fresh on its own corpus (`classifierSample`).
   * @param nearDupJaccard  verified-Jaccard threshold for near-dup edges
   * @param spanDedup       drop docs sharing an exact ≥50-token run with
   *                        an earlier doc (q128, Lee et al. 2022) — the
@@ -51,6 +62,7 @@ import org.apache.spark.sql.functions._
 final case class CorpusPrepConfig(
     minQuality: Double = 0.3,
     classifierSample: Boolean = false,
+    classifierWeights: Option[Array[Double]] = None,
     nearDupJaccard: Double = 0.8,
     spanDedup: Boolean = true,
     decontamShingleK: Int = 5,
@@ -218,7 +230,11 @@ object CorpusPrep {
     * batch is driven through the three PERSISTED dedup artifacts the
     * library maintains between full rebuilds:
     *
-    *   1. normalize + quality gate (row-local, identical to [[run]]);
+    *   1. normalize + quality gate (row-local, identical to [[run]]),
+    *      then the learned gate with the FROZEN weights the last full
+    *      rebuild trained (`cfg.classifierWeights`; pass-through when
+    *      None) — score + Pareto draw are row-local, so the deployed
+    *      model rides the batch scan;
     *   2. batch-internal exact dedup (digest min-id — within the batch
     *      only; batch-vs-corpus exact dups verify at Jaccard 1.0 in the
     *      next stage);
@@ -270,11 +286,27 @@ object CorpusPrep {
       else normalized.filter(
         TextFunctions.qualityScoreFused(col("text"),
           TextFunctions.textStats(col("text"))) >= cfg.minQuality))
-    val exactKeep = gated
+
+    // 2b. learned curation gate, FROZEN-model form: [[run]] trains
+    // fresh at each full rebuild; the ingest path applies the weights
+    // that rebuild froze (the scoreStream deployment shape). Row-local
+    // score + draw, so the stage costs one map over the batch plus the
+    // doc_id semi-join — O(batch), like every other ingest tier.
+    val classified = stage("classifier_sample",
+      cfg.classifierWeights match {
+        case None => gated
+        case Some(w) =>
+          val kept = graft.operators.TrainingQueries.paretoApply(gated, w)
+            .filter(col("kept") === 1L)
+            .select(col("doc_id"))
+          gated.join(kept, Seq("doc_id"))
+      })
+
+    val exactKeep = classified
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val exact = stage("exact_dedup", gated.join(exactKeep, Seq("doc_id")))
+    val exact = stage("exact_dedup", classified.join(exactKeep, Seq("doc_id")))
 
     val cand = DedupIndex.probeCandidates(spark, bandIndexTable, exact)
     val dupNew = DedupQueries.verifyCandidates(cand, exact, corpusDocs)

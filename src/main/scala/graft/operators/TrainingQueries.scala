@@ -1353,12 +1353,29 @@ object TrainingQueries {
     */
   private[graft] def paretoSample(docs: DataFrame, rounds: Int,
       fullFeatures: Boolean = false): DataFrame = {
-    import graft.functions.Affine61.{affine61, parA, parB}
-    import graft.functions.PolyHash61Str.polyHash61Str
     val feat = (if (fullFeatures) qcFullFeatures(docs) else qcFeatures(docs))
       .localCheckpoint()
     val w = qcTrain(feat, rounds)
     val p = qcProb(qcMargin(w))
+    val (umu, kept) = paretoDraw(p)
+    feat.select(col("doc_id"),
+        floor(p * lit(1000000.0)).as("smu"),
+        umu.as("umu"),
+        kept.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q136 acceptance draw over an unquantized score column `p`:
+    * (umu, kept) where kept ⇔ u·(2−p)⁹ < 1 with u the low six decimal
+    * digits of the affine-permuted polyhash of the id string (see the
+    * [[paretoSample]] doc for why the mixer + low bits, never affine
+    * high bits). Factored so the trained path (q136) and the
+    * frozen-deployment path ([[paretoApply]]) provably run the SAME
+    * draw expression.
+    */
+  private def paretoDraw(p: org.apache.spark.sql.Column) = {
+    import graft.functions.Affine61.{affine61, parA, parB}
+    import graft.functions.PolyHash61Str.polyHash61Str
     val umu = affine61(polyHash61Str(col("doc_id").cast("string")),
       parA, parB) % lit(1000000L)
     val u = (umu.cast("double") + lit(0.5)) / lit(1000000.0) // u ∈ (0,1)
@@ -1366,11 +1383,27 @@ object TrainingQueries {
     val t2 = t0 * t0
     val t4 = t2 * t2
     val t9 = (t4 * t4) * t0
-    feat.select(col("doc_id"),
-        floor(p * lit(1000000.0)).as("smu"),
-        umu.as("umu"),
-        (u * t9 < lit(1.0)).cast("long").as("kept"))
-      .orderBy(col("doc_id"))
+    (umu, (u * t9 < lit(1.0)).cast("long"))
+  }
+
+  /** Frozen-model Pareto sampling — [[paretoSample]]'s deployment
+    * counterpart (the [[scoreWith]] MO applied to the q136 draw): score
+    * `docs` with an offline-trained weight vector and run the SAME
+    * acceptance draw, with no training pass. The weight DIMENSION
+    * selects the featurizer (4 → trio, 7 → q137 production set), so a
+    * richer deployed gate is a weights swap. Fully row-local — one map
+    * over the scan, which is what lets `CorpusPrep.ingestBatch` run the
+    * learned gate per batch at O(batch).
+    */
+  private[graft] def paretoApply(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val feat = w.length match {
+      case 4 => qcFeatures(docs)
+      case 7 => qcFullFeatures(docs)
+      case k => throw new IllegalArgumentException(
+        s"frozen weight vector has ${k} dims; trained models are 4 (trio) or 7 (full)")
+    }
+    val (_, kept) = paretoDraw(qcProb(qcMargin(w)))
+    feat.select(col("doc_id"), kept.as("kept"))
   }
 
   /** Per-doc features + weak label for q135. Every feature is a single

@@ -229,7 +229,10 @@ class CorpusPrepSpec extends AnyFunSuite {
     // stage accounting: monotone, complete, constructed docs routed
     val byStage = stages.map(c => c.stage -> c.rows).toMap
     assert(stages.map(_.stage) == Seq("input", "normalize", "quality_gate",
-      "exact_dedup", "near_dedup", "span_dedup", "split"))
+      "classifier_sample", "exact_dedup", "near_dedup", "span_dedup",
+      "split"))
+    assert(byStage("classifier_sample") == byStage("quality_gate"),
+      "no frozen weights: learned gate must pass through")
     assert(stages.map(_.rows).sliding(2).forall(w => w(1) <= w(0)))
     assert(byStage("near_dedup") < byStage("exact_dedup"),
       "verbatim copy must drop at the near-dup tier")
@@ -292,6 +295,42 @@ class CorpusPrepSpec extends AnyFunSuite {
       SpanIndex.probeCandidates(spark, spanT, batch), spanT)
     assertIndexSideUnshuffled(
       CanonicalMap.assignSplits(spark, mapT, batch), mapT)
+
+    // FROZEN-MODEL ingest: train the trio model on the admitted corpus
+    // (what the last full rebuild would have frozen — this frame
+    // carries no `lang`, so the trio is the deployable dimension; the
+    // 4-vs-7 dispatch itself is pinned in QualityClassifierSpec),
+    // re-ingest the same batch with the weights deployed, and pin the
+    // learned gate's composition properties
+    val normCorpus = corpus.withColumn("text",
+      graft.functions.UnicodeNorm.nfcNormalize($"text"))
+    val w = graft.operators.TrainingQueries.qcTrain(
+      graft.operators.TrainingQueries.qcFeatures(normCorpus),
+      graft.operators.TrainingQueries.QcRounds)
+    val (admittedW, stagesW) = CorpusPrep.ingestBatch(
+      corpus, batch, bandT, spanT, mapT,
+      CorpusPrepConfig(classifierWeights = Some(w)))
+    val byStageW = stagesW.map(c => c.stage -> c.rows).toMap
+    // the stage filters exactly the frozen draw's keeps on its input:
+    // rebuild the stage input (normalize+gate the batch) and apply the
+    // SAME frozen draw independently
+    val normBatch = batch.withColumn("text",
+      graft.functions.UnicodeNorm.nfcNormalize($"text"))
+    val gatedBatch = normBatch.filter(
+      graft.functions.TextFunctions.qualityScoreFused($"text",
+        graft.functions.TextFunctions.textStats($"text")) >= 0.3)
+    val keptIds = graft.operators.TrainingQueries.paretoApply(gatedBatch, w)
+      .filter($"kept" === 1L).select($"doc_id").as[Long].collect().toSet
+    assert(byStageW("classifier_sample") == keptIds.size,
+      s"stage kept ${byStageW("classifier_sample")}, frozen draw kept ${keptIds.size}")
+    assert(byStageW("classifier_sample") < byStageW("quality_gate"),
+      "frozen draw must reject something on this batch")
+    // every admitted doc passed the deployed model's draw, and the gate
+    // only ever narrows the no-model admission
+    val admittedWIds = admittedW.select($"doc_id").as[Long].collect().toSet
+    assert(admittedWIds.subsetOf(keptIds))
+    assert(admittedWIds.subsetOf(admittedIds),
+      "learned gate must only narrow the admitted set on a dup-free batch tail")
 
     Seq(bandT, spanT, mapT).foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`"))
