@@ -1593,8 +1593,85 @@ object TextQueries {
           .orderBy(col("source"), col("chunk_id"))
       },
       Some(bpePackOracleSql(16, 1024L)),
-      doc = "Sequence packing priced in trained-BPE tokens (q131 train -> q133 apply -> q74 pack).")
+      doc = "Sequence packing priced in trained-BPE tokens (q131 train -> q133 apply -> q74 pack)."),
+
+    // ------------------------------------------------------------------
+    // q138: COUNT-MIN FREQUENCY SKETCH — the third classic mergeable
+    // sketch next to q86's Misra-Gries (WHICH keys are frequent) and
+    // q88's KMV (HOW MANY distinct keys): point-frequency estimates for
+    // individual keys in O(d·w) state (Cormode & Muthukrishnan 2005,
+    // [[graft.functions.CountMin]], d=4 × w=1024). Every cell is a pure
+    // SUM, so unlike Misra-Gries the sketch state is a pure function of
+    // the input MULTISET — order/partition/merge-tree independent, no
+    // truncation step — which is what lets a sketch sit under the exact
+    // hash-equality oracle gate: DuckDB rebuilds the identical counter
+    // matrix relationally (GROUP BY row, cell) and derives identical
+    // estimates. Dataflow: one token pass folds into ONE 32 KB array
+    // per partition (map-side combine — the property that replaces a
+    // corpus-sized word→count shuffle at 100 TB when only point
+    // estimates are needed); probes are element_at lookups against the
+    // broadcast single-row sketch. The exact top-20 (`exact_cnt`, an
+    // exact word-count shuffle) is the VERIFICATION fixture — it is
+    // what lets the oracle pin the one-sided error (cms_est ≥ exact,
+    // overcount ≤ εN); the production candidate source at scale is
+    // q86's Misra-Gries summary, not the exact recount.
+    Q("q138_countmin",
+      (s, dir) => {
+        import graft.functions.{CountMin, PolyHash61Str}
+        val hashed = t(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("word"))
+          .select(col("word"),
+            PolyHash61Str.polyHash61Str(col("word")).as("ph"))
+        val sketch = hashed.agg(CountMin.countMin(col("ph")).as("cms"))
+        val top = hashed.groupBy(col("word"), col("ph"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+        top.crossJoin(broadcast(sketch))
+          .select(col("word"), col("exact_cnt"),
+            CountMin.estimate(col("cms"), col("ph")).as("cms_est"))
+          .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("word"))
+      },
+      Some(countMinOracleSql),
+      doc = "Count-Min point-frequency sketch (Cormode-Muthukrishnan); exact_cnt is the fixture.")
   )
+
+  /** The q138 oracle: rebuild the d×w counter matrix relationally
+    * (per-distinct-word hash, cell counts weighted by word frequency —
+    * the same multiset the Spark token stream folds), then replay each
+    * top-20 probe as a min over its d cells. Inner join is safe: a
+    * probed word's own occurrences guarantee every probed cell ≥ 1.
+    */
+  private def countMinOracleSql: String = {
+    import graft.functions.{CountMin, MulMod61}
+    val cells = (0 until CountMin.D).map { i =>
+      s"SELECT cnt, $i AS row_i, ${CountMin.sqlCell("ph", i)} AS cell FROM h"
+    }.mkString("\n          UNION ALL ")
+    val probes = (0 until CountMin.D).map { i =>
+      s"SELECT word, exact_cnt, $i AS row_i, ${CountMin.sqlCell("ph", i)} AS cell FROM top"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+      wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+             FROM w GROUP BY word),
+      h AS (SELECT word, cnt, ${MulMod61.sqlPh61("word")} AS ph FROM wc),
+      cells AS ($cells),
+      sketch AS (
+        SELECT row_i, cell, CAST(sum(cnt) AS BIGINT) AS cellcnt
+        FROM cells GROUP BY row_i, cell),
+      top AS (
+        SELECT word, ph, cnt AS exact_cnt FROM h
+        ORDER BY exact_cnt DESC, word LIMIT 20),
+      probes AS ($probes),
+      est AS (
+        SELECT word, exact_cnt, min(cellcnt) AS cms_est
+        FROM probes JOIN sketch USING (row_i, cell)
+        GROUP BY word, exact_cnt)
+      SELECT word, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+             CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+      FROM est ORDER BY exact_cnt DESC, word"""
+  }
 
   /** q133/q134's trained merge table: the q131 trainer's result,
     * COLLECTED in rank order — O(model) driver rows (16 trained merge

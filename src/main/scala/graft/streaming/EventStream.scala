@@ -316,26 +316,35 @@ object EventStream {
 
   /** Windowed SKETCH aggregation: the mergeable UDAFs
     * ([[graft.functions.KmvSketch]] distinct users,
-    * [[graft.functions.FreqSketch]] heavy event types) dropped into a
+    * [[graft.functions.FreqSketch]] heavy event types,
+    * [[graft.functions.CountMin]] per-type frequencies) dropped into a
     * watermarked tumbling-window `agg` UNCHANGED — Structured Streaming
-    * keeps each window's O(k) sketch buffer in the state store and
-    * merges micro-batch partials with the same `merge` the batch path
-    * uses, so stream state per window is k longs + a ≤k-entry map
-    * regardless of traffic.
+    * keeps each window's O(k)/O(d·w) sketch buffer in the state store
+    * and merges micro-batch partials with the same `merge` the batch
+    * path uses, so stream state per window is k longs + a ≤k-entry map
+    * + a d·w counter matrix regardless of traffic.
     *
-    * KMV state is a pure function of the window's input SET, so the
-    * streamed result is bit-identical to a batch replay of the same
-    * rows under ANY trigger schedule (EventStreamSpec asserts equality;
-    * `est_users` inherits the guarantee). The MG map is merge-order-
-    * dependent internally but its GUARANTEE is schedule-independent:
-    * every type with true count > n/(k+1) is present — downstream
-    * exact recount (the q86 second pass) stays deterministic.
+    * The three sketches compose into the full streaming answer without
+    * any exact recount pass: MG says WHICH types are heavy
+    * (`heavy_type_candidates`, guaranteed superset), CMS says HOW OFTEN
+    * each candidate occurred (`heavy_type_est`, one-sided ≥ truth,
+    * overcount ≤ εn), KMV says HOW MANY distinct users drove them —
+    * the state-store resident alternative to q86's exact second pass,
+    * which a stream cannot run without reprocessing the window.
+    *
+    * KMV and CMS state are pure functions of the window's input
+    * SET/MULTISET respectively, so the streamed result is bit-identical
+    * to a batch replay of the same rows under ANY trigger schedule
+    * (EventStreamSpec asserts equality; `est_users`/`heavy_type_est`
+    * inherit the guarantee). The MG map is merge-order-dependent
+    * internally but its GUARANTEE is schedule-independent: every type
+    * with true count > n/(k+1) is present.
     */
   def windowedSketches(events: DataFrame,
       window: String = "1 hour",
       watermark: String = "10 minutes",
       k: Int = 16): DataFrame = {
-    import graft.functions.{Affine61, FreqSketch, KmvSketch}
+    import graft.functions.{Affine61, CountMin, FreqSketch, KmvSketch, PolyHash61Str}
     // events.user_id is nullable (anonymous traffic): the UDAF input is
     // a primitive Long, so a NULL would abort the stream — coalesce to
     // the negative skip-sentinel the sketch ignores (distinct NON-NULL
@@ -343,13 +352,17 @@ object EventStream {
     val kmv = KmvSketch.kmvSketch(
       coalesce(Affine61.affine61(col("user_id"),
         KmvSketch.kmvA, KmvSketch.kmvB), lit(-1L)), k)
+    val cands = array_sort(map_keys(col("mg_types")))
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
       .agg(
         count(lit(1)).as("n_events"),
         kmv.as("kmv_users"),
-        FreqSketch.freqSketch(col("event_type"), 8).as("mg_types"))
+        FreqSketch.freqSketch(col("event_type"), 8).as("mg_types"),
+        CountMin.countMin(
+          coalesce(PolyHash61Str.polyHash61Str(col("event_type")),
+            lit(-1L))).as("cms_types"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -359,7 +372,15 @@ object EventStream {
         // array_sort: the MG map's key ORDER is merge-order-dependent
         // (schedule-varying) even though the key SET is guaranteed —
         // sort so the emitted column is deterministic across runs
-        array_sort(map_keys(col("mg_types"))).as("heavy_type_candidates"))
+        cands.as("heavy_type_candidates"),
+        // each MG candidate probed against the window's CMS: the
+        // estimate is a pure expression over (matrix, key), so the map
+        // is as deterministic as its inputs — sorted keys, summed cells
+        map_from_arrays(cands,
+          transform(cands, t =>
+            CountMin.estimate(col("cms_types"),
+              PolyHash61Str.polyHash61Str(t)))).as("heavy_type_est"),
+        col("cms_types"))
   }
 
   /** Run a streaming query over `srcDir` into an in-memory table and

@@ -77,15 +77,17 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
     val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
     val sRows = streamed
-      .select($"window_start", $"n_events", $"est_users", $"kmv_users")
+      .select($"window_start", $"n_events", $"est_users", $"kmv_users",
+        $"cms_types", $"heavy_type_est")
       .collect().map(_.toSeq).toSet
     val bRows = batch.filter($"window_start" <= maxEmitted)
-      .select($"window_start", $"n_events", $"est_users", $"kmv_users")
+      .select($"window_start", $"n_events", $"est_users", $"kmv_users",
+        $"cms_types", $"heavy_type_est")
       .collect().map(_.toSeq).toSet
-    // KMV state is a pure function of each window's input set: the
-    // incrementally-built sketches (state-store merges across
-    // micro-batches) must EQUAL the one-shot batch sketches, estimate
-    // included — not just approximate them
+    // KMV state is a pure function of each window's input SET and the
+    // CMS matrix of its input MULTISET: the incrementally-built sketches
+    // (state-store merges across micro-batches) must EQUAL the one-shot
+    // batch sketches, estimates included — not just approximate them
     assert(sRows == bRows,
       s"stream/batch sketch divergence: ${(sRows -- bRows).take(2)} vs ${(bRows -- sRows).take(2)}")
     // MG guarantee per emitted window: every event type with true count
@@ -102,6 +104,20 @@ class EventStreamSpec extends AnyFunSuite {
       val heavy = rows.filter(_.getLong(2) * 9 > n).map(_.getString(1)).toSet
       assert(heavy.subsetOf(types),
         s"window $ws: heavy types ${heavy -- types} missing from candidates")
+    }
+    // CMS guarantee per emitted window: every MG candidate's estimate is
+    // one-sided (>= its true count) — the structural property, pinned
+    // exactly, that lets the stream answer HOW OFTEN without q86's exact
+    // second pass
+    val est = streamed.select($"window_start", $"heavy_type_est")
+      .collect().map(r => r.getTimestamp(0) -> r.getMap[String, Long](1)).toMap
+    est.foreach { case (ws, m) =>
+      val exact = truth.getOrElse(ws, Array.empty)
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      m.foreach { case (t, e) =>
+        assert(e >= exact.getOrElse(t, 0L),
+          s"window $ws type $t: cms est $e < exact ${exact(t)}")
+      }
     }
   }
 
