@@ -107,6 +107,13 @@ object TrainingQueries {
   val DecontamGramK = 8
   val DecontamWinnowW: Int = DecontamTokens - DecontamGramK + 1
 
+  /** q139's histogram resolution and quantile targets (percent) — ONE
+    * definition interpolated into both the Spark plan and the oracle
+    * SQL. Declared before `all` (object-init order).
+    */
+  private[operators] val HistBins = 256
+  private[operators] val HistQs = Seq(25, 50, 75, 95)
+
   /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
     * memory mergeable sketch vs the exact form's per-group value
     * buffers). Not in the registry — sketch outputs are engine-specific
@@ -1332,7 +1339,142 @@ object TrainingQueries {
       (s, dir) => qualityClassifierFull(t(s, dir, "documents"), QcRounds),
       Some(qcOracleSql(QcRounds, QcFullSql)),
       doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
+  ) ++ histQuantileQueries
+
+  /** q139: HISTOGRAM QUANTILE SKETCH — the mergeable SCALE path for
+    * percentiles that, unlike `approx_percentile`'s t-digest (engine-
+    * specific internals, so its twin [[percentilesApprox]] is bench-only),
+    * is fully deterministic and oracle-replayable: the sketch state is a
+    * fixed-width equi-depth histogram ([[HistBins]] integer-cent bins
+    * between each group's exact min/max), every cell a pure SUM — a pure
+    * function of the input multiset, like q138's Count-Min matrix.
+    *
+    * Algorithm (two full scans, the classic sampled-sort shape):
+    * pass 1 computes per-group (min, max, n) — three scalars per group;
+    * pass 2 bins each row by exact integer arithmetic
+    * `((c − minc)·B) div span` and counts — after map-side combine only
+    * ≤ B rows per group cross the shuffle, vs q53's exact form which
+    * buffers EVERY group value in one aggregation buffer (the thing
+    * that dies first at 100 TB). The estimate interpolates inside the
+    * first bin whose cumulative count reaches q·n — the bin that, by
+    * construction, contains the ⌈q·n⌉-th order statistic (the type-1 /
+    * percentile_disc quantile) — so the error is STRUCTURALLY ≤ one bin
+    * width against that exact order statistic: both values lie in
+    * [lo(b), hi(b)]. Emitted as `err_bound_cents` so the answer carries
+    * its own guarantee (HistQuantilesSpec pins |est − exact-disc| ≤
+    * bound per group×q; the continuous quantile_cont value can sit up
+    * to one inter-sample GAP further on sparse data, which no
+    * value-binned histogram can bound).
+    *
+    * Determinism/totality discipline: all arithmetic is integer cents
+    * (decimal(12,2)·100 is exact), `div`//`//` on non-negative operands
+    * (truncation == floor on both engines), and the one product that
+    * can exceed long range at extreme scale — width·num, bounded by
+    * (span/B)·100·N — runs in decimal(38,0)/HUGEINT with an exact
+    * remainder-subtract division, per the IdSum overflow discipline.
+    * Window functions are over ≤ B rows per group (bounded, allowed).
+    */
+  private def histQuantileQueries: Seq[Q] = Seq(
+    Q("q139_hist_quantiles",
+      (s, dir) => {
+        // dec() first: the raw double ×100 is NOT the integer it looks
+        // like (Spark's cast truncates, DuckDB's rounds — ~5.6% of rows
+        // diverge by a cent); decimal(12,2)·100 is exact on both engines
+        val v = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag"),
+            (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"))
+        val b = v.groupBy(col("l_returnflag"))
+          .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+            count(lit(1)).as("n"))
+          .withColumn("span", col("maxc") - col("minc") + lit(1L))
+        val h = v.join(broadcast(b), Seq("l_returnflag"))
+          .withColumn("bin", expr(s"((c - minc) * $HistBins) div span"))
+          .groupBy(col("l_returnflag"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        // cumulative counts: ≤ HistBins rows per group — bounded window
+        val cum = h.withColumn("cum", sum(col("cnt"))
+          .over(Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+        val first = cum.join(broadcast(b), Seq("l_returnflag"))
+          .withColumn("q", explode(array(HistQs.map(lit(_)): _*)))
+          .filter(expr("100L * cum >= q * n"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("l_returnflag"), col("q")).orderBy(col("bin"))))
+          .filter(col("rn") === 1)
+        val est = first
+          .withColumn("lo", expr(s"minc + (bin * span) div $HistBins"))
+          .withColumn("hi", expr(s"minc + ((bin + 1) * span) div $HistBins"))
+          // num ∈ (0, den]: bin is the FIRST with 100·cum ≥ q·n, so the
+          // previous cumulative is strictly below the target
+          .withColumn("num", expr("q * n - 100L * (cum - cnt)"))
+          .withColumn("den", expr("100L * cnt"))
+          .withColumn("wq", expr("CAST(hi - lo AS DECIMAL(38,0)) * num"))
+          // exact integer division: wq − wq%den is divisible by den, so
+          // the decimal divide is a representation no-op (value exact)
+          .withColumn("e", expr("lo + CAST((wq - wq % den) / den AS LONG)"))
+        est.groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"),
+            max(expr(s"(span div $HistBins) + 1L")).as("err_bound_cents"),
+            max(when(col("q") === 25, col("e"))).as("p25_cents"),
+            max(when(col("q") === 50, col("e"))).as("p50_cents"),
+            max(when(col("q") === 75, col("e"))).as("p75_cents"),
+            max(when(col("q") === 95, col("e"))).as("p95_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(histQuantOracleSql),
+      doc = "Mergeable fixed-bin histogram quantile sketch (integer-cent bins, <=B rows shuffled per group); error bound emitted with the estimates.")
   )
+
+  /** The q139 oracle: the identical two-pass histogram, relationally —
+    * same integer-cent bins, same first-bin selection, same in-bin
+    * interpolation with HUGEINT for the width·num product (`//` and
+    * Spark's `div` agree on the non-negative operands used here; DuckDB
+    * window sums promote to HUGEINT, harmless under the comparisons).
+    */
+  private def histQuantOracleSql: String = {
+    val qvals = HistQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      b AS (
+        SELECT l_returnflag, min(c) AS minc, max(c) AS maxc,
+               CAST(count(*) AS BIGINT) AS n,
+               max(c) - min(c) + 1 AS span
+        FROM v GROUP BY l_returnflag),
+      h AS (
+        SELECT v.l_returnflag, ((c - minc) * $HistBins) // span AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM v JOIN b USING (l_returnflag) GROUP BY v.l_returnflag, bin),
+      cum AS (
+        SELECT l_returnflag, bin, cnt,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+        FROM h),
+      firsts AS (
+        SELECT cum.l_returnflag, q, bin, cnt, cum.cum AS cum, n, minc, span,
+               row_number() OVER (PARTITION BY cum.l_returnflag, q
+                                  ORDER BY bin) AS rn
+        FROM cum JOIN b USING (l_returnflag), (VALUES $qvals) AS t(q)
+        WHERE 100 * cum >= q * n),
+      est AS (
+        SELECT l_returnflag, q, n, span,
+               minc + (bin * span) // $HistBins AS lo,
+               minc + ((bin + 1) * span) // $HistBins AS hi,
+               q * n - 100 * (cum - cnt) AS num,
+               100 * cnt AS den
+        FROM firsts WHERE rn = 1),
+      fin AS (
+        SELECT l_returnflag, q, n, span,
+               lo + CAST((CAST(hi - lo AS HUGEINT) * num) // den AS BIGINT) AS e
+        FROM est)
+      SELECT l_returnflag, max(n) AS n,
+             CAST(max(span // $HistBins + 1) AS BIGINT) AS err_bound_cents,
+             max(CASE WHEN q = 25 THEN e END) AS p25_cents,
+             max(CASE WHEN q = 50 THEN e END) AS p50_cents,
+             max(CASE WHEN q = 75 THEN e END) AS p75_cents,
+             max(CASE WHEN q = 95 THEN e END) AS p95_cents
+      FROM fin GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   /** q136 end-to-end: train the q135 classifier, then the row-local
     * Pareto(9) acceptance draw — keep iff u·(2−p)⁹ < 1 (see the q136
