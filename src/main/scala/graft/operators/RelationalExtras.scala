@@ -463,6 +463,112 @@ object RelationalExtras {
                CAST(mu AS DOUBLE) / 1000000.0 AS centrality,
                CAST(row_number() OVER (ORDER BY mu DESC, p) AS BIGINT) AS rnk
         FROM p2 QUALIFY rnk <= 30 ORDER BY rnk"""),
-      doc = "Damped 2-iteration bipartite link centrality in exact fixed-point (authority prior).")
+      doc = "Damped 2-iteration bipartite link centrality in exact fixed-point (authority prior)."),
+
+    // ------------------------------------------------------------------
+    // q140: HYPERLOGLOG DISTINCT SKETCH — active-customer cardinality
+    // per order priority in m=256 registers ([[graft.functions.
+    // HllSketch]], Flajolet et al. 2007): the industry-standard
+    // fixed-size COUNT(DISTINCT) next to q88's KMV (k smallest VALUES,
+    // unbiased but O(k) longs) — HLL keeps only max leading-zero RANKS,
+    // merge = element-wise max, ~1.04/√m error at ANY cardinality.
+    // Register state is a pure function of the key SET, so DuckDB
+    // rebuilds identical registers relationally (GROUP BY bucket,
+    // max(rank); rank via binary-string length — no libm). Keys hash
+    // through md5 (the q48/q56 portability trick, 15 hex chars = 60
+    // uniform bits): HLL's rank statistic reads the geometric TAIL of
+    // the hash distribution, and the house polyhash∘affine family
+    // measurably fails it (+24-34% inflation on consecutive-id keys —
+    // see HllSketch's scaladoc). The harmonic sum is folded as the
+    // EXACT integer Σ 2^(53−M[j]) (each term a power of two, ≤ 2^61),
+    // leaving one literal-derived constant and one IEEE division —
+    // deterministic on both engines. The small-range linear-counting
+    // correction m·ln(m/V) is one [[graft.functions.MathLn]] call per
+    // GROUP, micro-nat quantized (the q89/q90 libm convention);
+    // `exact_distinct` is the verification fixture (at 100 TB the
+    // sketch replaces exactly that corpus-sized distinct shuffle —
+    // map-side combine sends one 2 KB register array per partition per
+    // group instead).
+    Q("q140_hll_distinct",
+      (s, dir) => {
+        import graft.functions.{HllSketch, MathLn}
+        val hashed = t(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_custkey"),
+            coalesce(HllSketch.hash60(col("o_custkey").cast("string")),
+              lit(-1L)).as("ph"))
+        hashed.groupBy(col("o_orderpriority"))
+          .agg(HllSketch.hll(col("ph")).as("hll"),
+            // exact distinct KEYS (not hashes): the fixture must catch
+            // a collision-induced estimator error
+            countDistinct(col("o_custkey")).as("exact_distinct"))
+          .withColumn("hll_sum", expr(HllSketch.sumSql("hll")))
+          .withColumn("zero_regs", expr(HllSketch.zerosSql("hll")).cast("long"))
+          .select(col("o_orderpriority"), col("exact_distinct"),
+            col("zero_regs"),
+            expr(HllSketch.estRawSql("hll_sum")).as("est_raw"),
+            when(col("zero_regs") > 0,
+              floor(MathLn.ln(lit(HllSketch.M.toDouble) /
+                col("zero_regs").cast("double")) * lit(256000000.0))
+                .cast("long")).as("est_lc_micro"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(hllOracleSql),
+      doc = "Mergeable HyperLogLog distinct sketch (exact-integer harmonic fold); exact_distinct is the fixture.")
   )
+
+  /** The q140 oracle: rebuild the 256 HLL registers relationally — same
+    * md5 60-bit key hash, bucket = low 8 bits, rank = 53 − bit-length of
+    * the high bits (binary-string length, no libm) — then the same exact
+    * integer shift-sum, one constant chain, one division; linear
+    * counting replays ln via DuckDB's libm (MathLn parity) micro-nat
+    * quantized with floor-then-cast (the round-6 gotcha).
+    */
+  private def hllOracleSql: String = {
+    import graft.functions.HllSketch
+    val m = HllSketch.M
+    val rmax = HllSketch.WBits + 1
+    s"""WITH k AS (
+        SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS ks
+        FROM orders WHERE o_custkey IS NOT NULL),
+      h AS (
+        SELECT o_orderpriority, ks,
+               CAST(${HllSketch.sqlHash60("ks")} AS BIGINT) AS ph
+        FROM k),
+      r AS (
+        SELECT o_orderpriority, ph % $m AS bucket,
+               CASE WHEN ph // $m = 0 THEN $rmax
+                    ELSE $rmax - length(format('{:b}', ph // $m)) END AS rho
+        FROM h),
+      regs AS (
+        SELECT o_orderpriority, bucket, max(rho) AS mr
+        FROM r GROUP BY o_orderpriority, bucket),
+      grid AS (
+        SELECT o_orderpriority, j
+        FROM (SELECT DISTINCT o_orderpriority FROM k),
+             (SELECT unnest(range(0, $m)) AS j)),
+      fullregs AS (
+        SELECT grid.o_orderpriority, grid.j, coalesce(regs.mr, 0) AS mr
+        FROM grid LEFT JOIN regs
+          ON regs.o_orderpriority = grid.o_orderpriority
+         AND regs.bucket = grid.j),
+      s AS (
+        SELECT o_orderpriority,
+               CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM fullregs GROUP BY o_orderpriority),
+      x AS (
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT ks) AS BIGINT) AS exact_distinct
+        FROM k GROUP BY o_orderpriority)
+      SELECT s.o_orderpriority, exact_distinct, zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_raw,
+             CASE WHEN zero_regs > 0 THEN
+               CAST(floor(ln($m.0 / CAST(zero_regs AS DOUBLE))
+                          * 256000000.0) AS BIGINT)
+             END AS est_lc_micro
+      FROM s JOIN x USING (o_orderpriority)
+      ORDER BY o_orderpriority"""
+  }
 }

@@ -315,27 +315,30 @@ object EventStream {
   }
 
   /** Windowed SKETCH aggregation: the mergeable UDAFs
-    * ([[graft.functions.KmvSketch]] distinct users,
-    * [[graft.functions.FreqSketch]] heavy event types,
+    * ([[graft.functions.KmvSketch]] + [[graft.functions.HllSketch]]
+    * distinct users, [[graft.functions.FreqSketch]] heavy event types,
     * [[graft.functions.CountMin]] per-type frequencies) dropped into a
     * watermarked tumbling-window `agg` UNCHANGED — Structured Streaming
-    * keeps each window's O(k)/O(d·w) sketch buffer in the state store
-    * and merges micro-batch partials with the same `merge` the batch
-    * path uses, so stream state per window is k longs + a ≤k-entry map
-    * + a d·w counter matrix regardless of traffic.
+    * keeps each window's O(k)/O(d·w)/O(m) sketch buffer in the state
+    * store and merges micro-batch partials with the same `merge` the
+    * batch path uses, so stream state per window is k longs + a
+    * ≤k-entry map + a d·w counter matrix + m registers regardless of
+    * traffic.
     *
-    * The three sketches compose into the full streaming answer without
-    * any exact recount pass: MG says WHICH types are heavy
+    * The sketches compose into the full streaming answer without any
+    * exact recount pass: MG says WHICH types are heavy
     * (`heavy_type_candidates`, guaranteed superset), CMS says HOW OFTEN
     * each candidate occurred (`heavy_type_est`, one-sided ≥ truth,
-    * overcount ≤ εn), KMV says HOW MANY distinct users drove them —
-    * the state-store resident alternative to q86's exact second pass,
-    * which a stream cannot run without reprocessing the window.
+    * overcount ≤ εn), KMV/HLL say HOW MANY distinct users drove them
+    * (`est_users` unbiased in O(k) values / `est_users_hll` in m
+    * registers, the production default) — the state-store resident
+    * alternative to q86's exact second pass, which a stream cannot run
+    * without reprocessing the window.
     *
-    * KMV and CMS state are pure functions of the window's input
-    * SET/MULTISET respectively, so the streamed result is bit-identical
-    * to a batch replay of the same rows under ANY trigger schedule
-    * (EventStreamSpec asserts equality; `est_users`/`heavy_type_est`
+    * KMV, CMS, and HLL state are pure functions of the window's input
+    * SET/MULTISET/SET respectively, so the streamed result is
+    * bit-identical to a batch replay of the same rows under ANY trigger
+    * schedule (EventStreamSpec asserts equality; the estimate columns
     * inherit the guarantee). The MG map is merge-order-dependent
     * internally but its GUARANTEE is schedule-independent: every type
     * with true count > n/(k+1) is present.
@@ -344,7 +347,7 @@ object EventStream {
       window: String = "1 hour",
       watermark: String = "10 minutes",
       k: Int = 16): DataFrame = {
-    import graft.functions.{Affine61, CountMin, FreqSketch, KmvSketch, PolyHash61Str}
+    import graft.functions.{Affine61, CountMin, FreqSketch, HllSketch, KmvSketch, PolyHash61Str}
     // events.user_id is nullable (anonymous traffic): the UDAF input is
     // a primitive Long, so a NULL would abort the stream — coalesce to
     // the negative skip-sentinel the sketch ignores (distinct NON-NULL
@@ -352,6 +355,12 @@ object EventStream {
     val kmv = KmvSketch.kmvSketch(
       coalesce(Affine61.affine61(col("user_id"),
         KmvSketch.kmvA, KmvSketch.kmvB), lit(-1L)), k)
+    // HLL takes the md5 60-bit hash, not the polyhash∘affine family:
+    // its rank statistic reads the geometric tail of the hash
+    // distribution, which the affine family measurably fails on the
+    // consecutive ids real traffic has (see HllSketch's scaladoc)
+    val hllHash = coalesce(
+      HllSketch.hash60(col("user_id").cast("string")), lit(-1L))
     val cands = array_sort(map_keys(col("mg_types")))
     events
       .withWatermark("ts", watermark)
@@ -362,13 +371,18 @@ object EventStream {
         FreqSketch.freqSketch(col("event_type"), 8).as("mg_types"),
         CountMin.countMin(
           coalesce(PolyHash61Str.polyHash61Str(col("event_type")),
-            lit(-1L))).as("cms_types"))
+            lit(-1L))).as("cms_types"),
+        HllSketch.hll(hllHash).as("hll_users"))
+      .withColumn("est_users_hll",
+        expr(HllSketch.estRawSql(HllSketch.sumSql("hll_users"))))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_events"),
         KmvSketch.estimate(col("kmv_users"), k).as("est_users"),
         col("kmv_users"),
+        col("est_users_hll"),
+        col("hll_users"),
         // array_sort: the MG map's key ORDER is merge-order-dependent
         // (schedule-varying) even though the key SET is guaranteed —
         // sort so the emitted column is deterministic across runs

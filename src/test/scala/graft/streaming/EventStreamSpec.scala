@@ -78,16 +78,16 @@ class EventStreamSpec extends AnyFunSuite {
     val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
     val sRows = streamed
       .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est")
+        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll")
       .collect().map(_.toSeq).toSet
     val bRows = batch.filter($"window_start" <= maxEmitted)
       .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est")
+        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll")
       .collect().map(_.toSeq).toSet
-    // KMV state is a pure function of each window's input SET and the
-    // CMS matrix of its input MULTISET: the incrementally-built sketches
-    // (state-store merges across micro-batches) must EQUAL the one-shot
-    // batch sketches, estimates included — not just approximate them
+    // KMV and HLL state are pure functions of each window's input SET,
+    // the CMS matrix of its input MULTISET: the incrementally-built
+    // sketches (state-store merges across micro-batches) must EQUAL the
+    // one-shot batch sketches, estimates included — not approximate them
     assert(sRows == bRows,
       s"stream/batch sketch divergence: ${(sRows -- bRows).take(2)} vs ${(bRows -- sRows).take(2)}")
     // MG guarantee per emitted window: every event type with true count
