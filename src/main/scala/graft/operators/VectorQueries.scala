@@ -108,6 +108,23 @@ object VectorQueries {
   private def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(1000.0) + lit(0.5)))
 
+  /** The well-formed-embedding predicate every model ingress filters on:
+    * non-null, exactly [[Dims]] components, ALL of them finite. The
+    * finiteness conjunct is the fifteenth sweep's lesson
+    * (NonFiniteEmbeddingSpec): a broken encoder emits NaN (an internal
+    * 0/0) or ±Inf (an overflowed activation), and IEEE semantics carry
+    * it silently through every comparison gate until an ANSI floor/cast
+    * to integral — `quantize`'s own floor — crashes with a long
+    * overflow at executor depth. A non-finite vector carries no
+    * geometry, so it is excluded like the null/wrong-dim shapes; gate
+    * tables carry only finite rows, so oracles are unaffected.
+    */
+  private def wellFormed: Column =
+    col("embedding").isNotNull && size(col("embedding")) === Dims &&
+      !exists(col("embedding"), x =>
+        isnan(x) || x === lit(Float.PositiveInfinity) ||
+          x === lit(Float.NegativeInfinity))
+
   /** (vec_id, embedding, qv) — the quantized working frame every IVF
     * stage runs on. A NULL embedding carries no geometry: it can't seed
     * a centroid, join a codebook, or be selected — and the driver-side
@@ -124,7 +141,7 @@ object VectorQueries {
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .filter(col("embedding").isNotNull && size(col("embedding")) === Dims)
+      .filter(wellFormed)
       .select(col("vec_id"), col("embedding"),
         quantize(col("embedding")).as("qv"))
 
@@ -416,6 +433,7 @@ object VectorQueries {
   private def covUpper(s: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     t(s, dir, "embeddings")
+      .filter(wellFormed)
       .select(quantize(col("embedding")).as("qv"))
       .select(posexplode(col("qv")).as(Seq("i", "qx")), col("qv"))
       .select(col("i"), col("qx"),
@@ -1062,6 +1080,7 @@ object VectorQueries {
     Q("q98_label_centroids",
       (s, dir) =>
         t(s, dir, "embeddings")
+          .filter(wellFormed)
           .select(col("label"),
             posexplode(quantize(col("embedding"))).as(Seq("dim", "qx")))
           .groupBy(col("label"), col("dim"))
@@ -1457,8 +1476,9 @@ object VectorQueries {
     // nothing overflows at web-scale n.
     Q("q110_zscore",
       (s, dir) => {
-        val ex = t(s, dir, "embeddings").select(col("vec_id"),
-          posexplode(quantize(col("embedding"))).as(Seq("i", "qx")))
+        val ex = t(s, dir, "embeddings").filter(wellFormed)
+          .select(col("vec_id"),
+            posexplode(quantize(col("embedding"))).as(Seq("i", "qx")))
         val stats = ex.groupBy(col("i")).agg(
           count(lit(1)).as("n"), sum(col("qx")).as("sx"),
           sum(col("qx") * col("qx")).as("sxx"))
