@@ -26,15 +26,11 @@ package graft
   *     both keeps round-over-round totals comparable under either
   *     policy (r7 ADVICE).
   *
-  * Round 11 (r10 ADVICE #1): the harness is protocol-NEUTRAL again.
+  * Round 11 (r10 ADVICE #1): the harness is protocol-NEUTRAL.
   * Round 10 made a single-scale invocation silently run the scale twice
   * and report the WARM pass as the headline `"metric":"total"` — that
   * changed what the canonical number measures (warm vs the cold-session
-  * protocol of rounds 1-9, ~20% apart) and doubled wall-clock for every
-  * single-scale caller. Now:
-  *   - the warm repeat is OPT-IN: either list the scale twice
-  *     (`sf0.1,sf0.1`, which always worked) or set
-  *     `SPARK_GRAFT_WARM_REPEAT=1`;
+  * protocol of rounds 1-9, ~20% apart). The invariants since:
   *   - the headline `value` is always the FIRST (cold) pass of the
   *     final listed scale; any warm-repeat total rides in `"totals"`
   *     (keys disambiguated `sf0.1`, `sf0.1#2`, …) for the driver or
@@ -42,6 +38,17 @@ package graft
   *   - the artifact records its own protocol: `"protocol":"cold"` plus
   *     `"warm_repeat":true/false`, so a round-over-round comparison can
   *     never silently mix measurement protocols again.
+  *
+  * Round 12 (r11 VERDICT #2): a SINGLE-scale invocation now records the
+  * warm repeat BY DEFAULT — the r11 artifact carried only the noisy cold
+  * pass, and adjudicating two environment spikes (q110/q112) cost the
+  * judge a full bench re-run that a recorded warm pass makes free. The
+  * headline is STILL the cold pass (protocol unchanged; only the
+  * artifact's information content grows — spikes become
+  * self-adjudicating via `totals."sfX#2"`). Multi-scale invocations are
+  * left exactly as listed (the caller is already stating a protocol),
+  * and `SPARK_GRAFT_WARM_REPEAT=0` opts a single-scale run out /
+  * `=1` opts a multi-scale run in.
   *
   * Run-health instrumentation (the r6 official artifact showed a 10-58×
   * stall on four row-local queries that the artifact itself could not
@@ -187,9 +194,15 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
     val scalesRaw = sfArg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    // Warm repeat is opt-in (r10 ADVICE #1): explicit `sf,sf` listing,
-    // or SPARK_GRAFT_WARM_REPEAT=1 appends one repeat of the last scale.
-    val warmRepeat = sys.env.get("SPARK_GRAFT_WARM_REPEAT").contains("1")
+    // Warm repeat: default ON for single-scale runs (r11 VERDICT #2 —
+    // both passes belong in the artifact; the cold pass stays the
+    // headline), default OFF when the caller lists multiple scales
+    // (they are stating their own protocol). Env overrides both ways.
+    val warmRepeat = sys.env.get("SPARK_GRAFT_WARM_REPEAT") match {
+      case Some("1") => true
+      case Some(_)   => false
+      case None      => scalesRaw.length == 1
+    }
     val scales =
       if (warmRepeat) scalesRaw :+ scalesRaw.last else scalesRaw
     // Disambiguate repeated scales up front (sf0.1, sf0.1#2, …) so the

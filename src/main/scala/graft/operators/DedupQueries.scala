@@ -884,7 +884,7 @@ object DedupQueries {
     // fingerprint shared by m docs yields O(m²) candidate pairs — the
     // q36 hot-band caveat; production runs with spanCandidates'
     // maxDocsPerFingerprint cap on (a tested config — see its recall
-    // statement and CapSpanCandidatesSpec): a boilerplate 40-gram
+    // statement and ExactSubstringSpec): a boilerplate 40-gram
     // recurring in thousands of docs is q99/q123 territory — strip it,
     // don't pairwise-join it. The gate query keeps the cap OFF so the
     // oracle stays the uncapped exact semantics.

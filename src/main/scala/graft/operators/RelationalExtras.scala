@@ -543,8 +543,12 @@ object RelationalExtras {
         SELECT o_orderpriority, bucket, max(rho) AS mr
         FROM r GROUP BY o_orderpriority, bucket),
       grid AS (
+        -- grid groups come from ORDERS, not k: a priority whose custkeys
+        -- are ALL NULL must still emit a row (empty registers,
+        -- exact_distinct 0) exactly as the Spark groupBy does — deriving
+        -- the grid from k (custkey IS NOT NULL) would drop it
         SELECT o_orderpriority, j
-        FROM (SELECT DISTINCT o_orderpriority FROM k),
+        FROM (SELECT DISTINCT o_orderpriority FROM orders),
              (SELECT unnest(range(0, $m)) AS j)),
       fullregs AS (
         SELECT grid.o_orderpriority, grid.j, coalesce(regs.mr, 0) AS mr
@@ -562,13 +566,15 @@ object RelationalExtras {
         SELECT o_orderpriority,
                CAST(count(DISTINCT ks) AS BIGINT) AS exact_distinct
         FROM k GROUP BY o_orderpriority)
-      SELECT s.o_orderpriority, exact_distinct, zero_regs,
+      SELECT s.o_orderpriority,
+             CAST(coalesce(exact_distinct, 0) AS BIGINT) AS exact_distinct,
+             zero_regs,
              ${HllSketch.estRawSql("hsum")} AS est_raw,
              CASE WHEN zero_regs > 0 THEN
                CAST(floor(ln($m.0 / CAST(zero_regs AS DOUBLE))
                           * 256000000.0) AS BIGINT)
              END AS est_lc_micro
-      FROM s JOIN x USING (o_orderpriority)
+      FROM s LEFT JOIN x USING (o_orderpriority)
       ORDER BY o_orderpriority"""
   }
 }

@@ -109,10 +109,22 @@ object TrainingQueries {
 
   /** q139's histogram resolution and quantile targets (percent) — ONE
     * definition interpolated into both the Spark plan and the oracle
-    * SQL. Declared before `all` (object-init order).
+    * SQL. Declared before `all` (object-init order). [[HistQs]] is
+    * shared with q141 so the two quantile sketches stay comparable
+    * target-for-target.
     */
   private[operators] val HistBins = 256
   private[operators] val HistQs = Seq(25, 50, 75, 95)
+
+  /** q141's sample size and confidence: k pairs kept per group, DKW
+    * rank-error ε = √(ln(2/δ)/(2k)) at 1−δ — both inlined into the two
+    * engines as the SAME driver-computed literals. Declared before
+    * `all` (object-init order).
+    */
+  private[operators] val BkK = 1024
+  private[operators] val BkDelta = 0.01
+  private[operators] val BkEpsPpm: Long =
+    graft.functions.BottomK.epsPpm(BkK, BkDelta)
 
   /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
     * memory mergeable sketch vs the exact form's per-group value
@@ -1339,7 +1351,7 @@ object TrainingQueries {
       (s, dir) => qualityClassifierFull(t(s, dir, "documents"), QcRounds),
       Some(qcOracleSql(QcRounds, QcFullSql)),
       doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
-  ) ++ histQuantileQueries
+  ) ++ histQuantileQueries ++ bottomKQuantileQueries
 
   /** q139: HISTOGRAM QUANTILE SKETCH — the mergeable SCALE path for
     * percentiles that, unlike `approx_percentile`'s t-digest (engine-
@@ -1424,6 +1436,101 @@ object TrainingQueries {
       Some(histQuantOracleSql),
       doc = "Mergeable fixed-bin histogram quantile sketch (integer-cent bins, <=B rows shuffled per group); error bound emitted with the estimates.")
   )
+
+  /** q141: BOTTOM-K RANK-ERROR QUANTILE SKETCH — the unknown-value-
+    * domain member of the quantile family ([[graft.functions.BottomK]];
+    * Cohen-Kaplan bottom-k sampling + the DKW rank bound). q139's
+    * histogram needs the group's (min, max) up front — a whole extra
+    * pass, and its error is a VALUE-width bound that degenerates when
+    * the domain is wild; the bottom-k sketch needs NO domain knowledge:
+    * hash each row id with a dedicated MulMod61 permutation, keep the k
+    * smallest (hash, value) pairs per group (one pass, mergeable,
+    * ≤ 16 KB crossing the shuffle per partition per group after
+    * map-side combine), and read quantiles off the kept values' order
+    * statistics. The emitted `eps_rank_ppm` is the DKW/Massart
+    * guarantee: with probability ≥ 1−δ every estimate's true rank is
+    * within ε·n of its target — and a group with n ≤ k rows keeps
+    * EVERYTHING, so its quantiles are exact (BottomKQuantilesSpec pins
+    * both, plus partitioning-invariance).
+    *
+    * Why not GK/KLL: their summaries depend on insertion/merge order,
+    * which Spark does not fix — state here must be a pure function of
+    * the input multiset to sit under the exact cross-engine oracle
+    * (GK mergeability is open, derandomized-KLL is merge-tree-
+    * dependent — see BottomK's scaladoc). DuckDB rebuilds the identical
+    * sample relationally: `row_number() OVER (ORDER BY h, c) <= k`.
+    *
+    * Determinism: the row hash is over the DIGIT STRING of
+    * (l_orderkey, l_linenumber) — hashing the string sidesteps the
+    * packed-long overflow class AdversarialIdSpec caught in q114
+    * (never fold raw ids through long arithmetic); values are exact
+    * integer cents (the q139 decimal route); the type-1 sample index
+    * ⌈q·m/100⌉ is integer `div` on non-negative operands.
+    */
+  private def bottomKQuantileQueries: Seq[Q] = Seq(
+    Q("q141_bottomk_quantiles",
+      (s, dir) => {
+        import graft.functions.{Affine61, BottomK, PolyHash61Str}
+        val v = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag"),
+            (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"),
+            Affine61.affine61(
+              PolyHash61Str.polyHash61Str(
+                concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+              BottomK.bkA, BottomK.bkB).as("h"))
+        val sk = v.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            BottomK.bottomK(col("h"), col("c"), BkK).as("vals"))
+          .withColumn("m", size(col("vals")).cast("long"))
+        // order-statistic reads over the ≤k-long sample array — bounded
+        // per-group work, the q139 "window over ≤B rows" dispensation
+        val qcols = HistQs.map(q =>
+          expr(s"element_at(vals, CAST(($q * m + 99) DIV 100 AS INT))")
+            .as(s"p${q}_cents"))
+        sk.select(Seq(col("l_returnflag"), col("n"), col("m"),
+            lit(BkEpsPpm).as("eps_rank_ppm")) ++ qcols: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      Some(bottomKOracleSql),
+      doc = "Mergeable bottom-k rank-error quantile sketch (hash-derandomized uniform sample, no value-domain assumption); DKW bound emitted with the estimates.")
+  )
+
+  /** The q141 oracle: rebuild the identical sample relationally — same
+    * id-string hash, k smallest (h, c) rows per group via row_number,
+    * then the same ⌈q·m/100⌉ order-statistic reads. Ties at the
+    * k-boundary are pair-identical (same h ⇒ same hashed id string;
+    * same c), so WHICH tied row survives is value-invisible on both
+    * engines.
+    */
+  private def bottomKOracleSql: String = {
+    import graft.functions.{BottomK, MulMod61}
+    val qsel = HistQs.map(q =>
+      s"max(CASE WHEN sr = ($q * m + 99) // 100 THEN c END) AS p${q}_cents")
+      .mkString(",\n             ")
+    s"""WITH v AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+               CAST((${BottomK.bkA}::HUGEINT
+                     * ${MulMod61.sqlPh61("concat(l_orderkey, '-', l_linenumber)")}
+                     + ${BottomK.bkB}) % ${MulMod61.P} AS BIGINT) AS h
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      s AS (
+        SELECT l_returnflag, c,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h, c) AS rn,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM v),
+      kk AS (SELECT l_returnflag, c, n FROM s WHERE rn <= $BkK),
+      o AS (
+        SELECT l_returnflag, c, n,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS sr,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS m
+        FROM kk)
+      SELECT l_returnflag, max(n) AS n, max(m) AS m,
+             CAST($BkEpsPpm AS BIGINT) AS eps_rank_ppm,
+             $qsel
+      FROM o GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   /** The q139 oracle: the identical two-pass histogram, relationally —
     * same integer-cent bins, same first-bin selection, same in-bin

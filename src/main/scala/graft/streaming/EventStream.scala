@@ -333,7 +333,12 @@ object EventStream {
     * (`est_users` unbiased in O(k) values / `est_users_hll` in m
     * registers, the production default) — the state-store resident
     * alternative to q86's exact second pass, which a stream cannot run
-    * without reprocessing the window.
+    * without reprocessing the window. The bottom-k pair sketch
+    * ([[graft.functions.BottomK]], q141's batch form) adds value
+    * QUANTILES: a 64-pair uniform sample per window
+    * (`bk_value_sample`, micro-units) and its type-1 median
+    * (`est_value_p50_micro`) — the rank statistic no counting sketch
+    * can answer.
     *
     * KMV, CMS, and HLL state are pure functions of the window's input
     * SET/MULTISET/SET respectively, so the streamed result is
@@ -342,12 +347,21 @@ object EventStream {
     * inherit the guarantee). The MG map is merge-order-dependent
     * internally but its GUARANTEE is schedule-independent: every type
     * with true count > n/(k+1) is present.
+    *
+    * HLL small-range correction (the q140 convention): `est_users_hll`
+    * is the RAW estimator, which is badly biased below ~2.5m distinct —
+    * a window with ZERO non-null users reports ~α·m ≈ 184, not 0. So the
+    * face also emits `hll_zero_regs` (still-empty register count V) and
+    * `est_users_hll_lc_micro` (the m·ln(m/V) linear-counting estimate,
+    * micro-quantized through [[graft.functions.MathLn]]): consumers use
+    * the LC column while any register is empty and the raw column once
+    * all registers fill — exactly the branch q140's batch query emits.
     */
   def windowedSketches(events: DataFrame,
       window: String = "1 hour",
       watermark: String = "10 minutes",
       k: Int = 16): DataFrame = {
-    import graft.functions.{Affine61, CountMin, FreqSketch, HllSketch, KmvSketch, PolyHash61Str}
+    import graft.functions.{Affine61, BottomK, CountMin, FreqSketch, HllSketch, KmvSketch, MathLn, PolyHash61Str}
     // events.user_id is nullable (anonymous traffic): the UDAF input is
     // a primitive Long, so a NULL would abort the stream — coalesce to
     // the negative skip-sentinel the sketch ignores (distinct NON-NULL
@@ -361,6 +375,17 @@ object EventStream {
     // consecutive ids real traffic has (see HllSketch's scaladoc)
     val hllHash = coalesce(
       HllSketch.hash60(col("user_id").cast("string")), lit(-1L))
+    // q141's bottom-k sketch on the stream face: a 64-pair uniform
+    // sample of each window's event VALUES keyed by the event-id hash —
+    // NULL values drop to the negative skip-sentinel so they never
+    // enter the sample. Values ride as exact integer micro-units
+    // (decimal route — the q139/q141 cents convention).
+    val bkHash = when(col("value").isNotNull,
+      Affine61.affine61(
+        PolyHash61Str.polyHash61Str(col("event_id").cast("string")),
+        BottomK.bkA, BottomK.bkB)).otherwise(lit(-1L))
+    val bkVal = (coalesce(col("value"), lit(0.0)).cast("decimal(18,6)")
+      * lit(1000000)).cast("long")
     val cands = array_sort(map_keys(col("mg_types")))
     events
       .withWatermark("ts", watermark)
@@ -372,9 +397,12 @@ object EventStream {
         CountMin.countMin(
           coalesce(PolyHash61Str.polyHash61Str(col("event_type")),
             lit(-1L))).as("cms_types"),
-        HllSketch.hll(hllHash).as("hll_users"))
+        HllSketch.hll(hllHash).as("hll_users"),
+        BottomK.bottomK(bkHash, bkVal, 64).as("bk_value_sample"))
       .withColumn("est_users_hll",
         expr(HllSketch.estRawSql(HllSketch.sumSql("hll_users"))))
+      .withColumn("hll_zero_regs",
+        expr(HllSketch.zerosSql("hll_users")).cast("long"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -382,7 +410,21 @@ object EventStream {
         KmvSketch.estimate(col("kmv_users"), k).as("est_users"),
         col("kmv_users"),
         col("est_users_hll"),
+        col("hll_zero_regs"),
+        when(col("hll_zero_regs") > 0,
+          floor(MathLn.ln(lit(HllSketch.M.toDouble) /
+            col("hll_zero_regs").cast("double")) *
+            lit(HllSketch.M * 1000000.0))
+            .cast("long")).as("est_users_hll_lc_micro"),
         col("hll_users"),
+        col("bk_value_sample"),
+        // the sample's type-1 median (q141's order-statistic read);
+        // NULL when the window had no non-null values — a sample-less
+        // window has no median, it doesn't have median zero
+        when(size(col("bk_value_sample")) > 0,
+          expr("element_at(bk_value_sample, " +
+            "CAST((50 * size(bk_value_sample) + 99) DIV 100 AS INT))"))
+          .as("est_value_p50_micro"),
         // array_sort: the MG map's key ORDER is merge-order-dependent
         // (schedule-varying) even though the key SET is guaranteed —
         // sort so the emitted column is deterministic across runs

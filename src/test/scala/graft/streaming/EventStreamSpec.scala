@@ -78,11 +78,15 @@ class EventStreamSpec extends AnyFunSuite {
     val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
     val sRows = streamed
       .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll")
+        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll",
+        $"hll_zero_regs", $"est_users_hll_lc_micro",
+        $"bk_value_sample", $"est_value_p50_micro")
       .collect().map(_.toSeq).toSet
     val bRows = batch.filter($"window_start" <= maxEmitted)
       .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll")
+        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll",
+        $"hll_zero_regs", $"est_users_hll_lc_micro",
+        $"bk_value_sample", $"est_value_p50_micro")
       .collect().map(_.toSeq).toSet
     // KMV and HLL state are pure functions of each window's input SET,
     // the CMS matrix of its input MULTISET: the incrementally-built
@@ -105,6 +109,46 @@ class EventStreamSpec extends AnyFunSuite {
       assert(heavy.subsetOf(types),
         s"window $ws: heavy types ${heavy -- types} missing from candidates")
     }
+    // HLL linear-counting branch (the q140 small-range convention): V =
+    // still-empty registers from the emitted state, lc = m·ln(m/V)
+    // micro-quantized — replayed row-for-row on the driver, including
+    // the degenerate zero-user window shape (V = m ⇒ lc exactly 0,
+    // where the raw estimator would report ~α·m ≈ 184)
+    streamed.select($"hll_users", $"hll_zero_regs", $"est_users_hll_lc_micro")
+      .collect().foreach { r =>
+        val v = r.getSeq[Long](0).count(_ == 0L)
+        assert(r.getLong(1) == v, s"zero_regs ${r.getLong(1)} != counted $v")
+        if (v > 0) {
+          val exp = math.floor(Math.log(256.0 / v) * 256000000.0).toLong
+          assert(r.getLong(2) == exp, s"lc ${r.getLong(2)} != replay $exp")
+        } else assert(r.isNullAt(2))
+      }
+    // bottom-k value sample per window (q141's stream face): the sample
+    // is a sub-multiset of the window's exact non-null value multiset,
+    // sized min(64, count), sorted ascending, and the emitted median is
+    // its ⌈m/2⌉-th order statistic
+    val exactVals = spark.read.schema(EventStream.schema).parquet(srcDir)
+      .filter($"value".isNotNull)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(collect_list(($"value".cast("decimal(18,6)") * 1000000)
+        .cast("long")).as("vs"))
+      .select($"window.start".as("ws"), $"vs")
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    streamed.select($"window_start", $"bk_value_sample", $"est_value_p50_micro")
+      .collect().foreach { r =>
+        val sample = r.getSeq[Long](1)
+        val exact = exactVals.getOrElse(r.getTimestamp(0), Seq.empty)
+        assert(sample.size == math.min(64, exact.size))
+        assert(sample == sample.sorted)
+        val counts = exact.groupBy(identity).map { case (v, g) => v -> g.size }
+        sample.groupBy(identity).foreach { case (v, g) =>
+          assert(g.size <= counts.getOrElse(v, 0),
+            s"sampled value $v exceeds its multiplicity in the window")
+        }
+        if (sample.nonEmpty)
+          assert(r.getLong(2) == sample((50 * sample.size + 99) / 100 - 1))
+        else assert(r.isNullAt(2))
+      }
     // CMS guarantee per emitted window: every MG candidate's estimate is
     // one-sided (>= its true count) — the structural property, pinned
     // exactly, that lets the stream answer HOW OFTEN without q86's exact
