@@ -513,7 +513,68 @@ object RelationalExtras {
           .orderBy(col("o_orderpriority"))
       },
       Some(hllOracleSql),
-      doc = "Mergeable HyperLogLog distinct sketch (exact-integer harmonic fold); exact_distinct is the fixture.")
+      doc = "Mergeable HyperLogLog distinct sketch (exact-integer harmonic fold); exact_distinct is the fixture."),
+
+    // ------------------------------------------------------------------
+    // q142: SKETCH-MERGE ROLLUP — the mergeability of the sketch tier
+    // proven END-TO-END under the oracle, not just in specs: build one
+    // HLL per event type (distinct users), then fold the per-type
+    // REGISTER ARRAYS into a global sketch with [[graft.functions.
+    // HllSketch.hllMerge]] (element-wise max — union-of-sketches) and
+    // emit, on the '__all__' row, a union_equals_direct flag comparing
+    // those merged registers against a sketch built DIRECTLY over all
+    // rows (sketch-of-union). Equality is structural (each register is
+    // a max over a partition of the same key set), and it is exactly
+    // what licenses the 100 TB rollup pattern: per-day/per-source
+    // sketches persisted once, every coarser rollup computed from
+    // O(sources·m) bytes of state with NO second pass over rows — the
+    // q111 source-overlap question answered at fixed size. Only
+    // fixed-size register arrays cross the rollup exchange (PlanSpec
+    // pins partial aggregation; one 2 KB array per type). The scope key
+    // is null-coalesced ('__null__') on BOTH engines so a NULL event
+    // type can never fork engine vs oracle (the q140 grid lesson);
+    // exact_users columns are the verification fixtures.
+    Q("q142_sketch_rollup",
+      (s, dir) => {
+        import graft.functions.HllSketch
+        val scope = coalesce(col("event_type"), lit("__null__"))
+        val hashed = t(s, dir, "events")
+          .select(scope.as("scope"), col("user_id"),
+            coalesce(HllSketch.hash60(col("user_id").cast("string")),
+              lit(-1L)).as("ph"))
+        // localCheckpoint: `per` feeds BOTH the per-type output rows and
+        // the rollup, and constraint-propagation differences defeat
+        // ReuseExchange across union/agg consumers (the q125 lesson) —
+        // without it the events scan+agg runs twice. O(types) rows.
+        val per = hashed.groupBy(col("scope"))
+          .agg(HllSketch.hll(col("ph")).as("regs"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .localCheckpoint()
+        // rollup: consumes the per-type SKETCHES, never the raw rows
+        val merged = per.agg(HllSketch.hllMerge(col("regs")).as("regs"))
+        // direct sketch over the raw rows — the other side of the
+        // union==direct equality (at production scale this pass doesn't
+        // exist; it is the in-query proof twin)
+        val direct = hashed.agg(HllSketch.hll(col("ph")).as("dregs"),
+          countDistinct(col("user_id")).as("exact_users"))
+        val allRow = merged.crossJoin(direct)
+          .select(lit("__all__").as("scope"), col("regs"),
+            col("exact_users"),
+            (col("regs") === col("dregs")).cast("long")
+              .as("union_equals_direct"))
+        val perRows = per.select(col("scope"), col("regs"),
+          col("exact_users"),
+          lit(null).cast("long").as("union_equals_direct"))
+        perRows.unionByName(allRow)
+          .withColumn("hll_sum", expr(HllSketch.sumSql("regs")))
+          .select(col("scope"), col("exact_users"),
+            expr(HllSketch.zerosSql("regs")).cast("long").as("zero_regs"),
+            expr(HllSketch.estRawSql("hll_sum")).as("est_users"),
+            col("union_equals_direct"))
+          .orderBy(col("scope"))
+      },
+      Some(rollupOracleSql),
+      doc = "HLL sketch-merge rollup: per-type sketches folded by element-wise register max; union-of-sketches == sketch-of-union pinned in-row against a direct sketch.")
   )
 
   /** The q140 oracle: rebuild the 256 HLL registers relationally — same
@@ -576,5 +637,78 @@ object RelationalExtras {
              END AS est_lc_micro
       FROM s LEFT JOIN x USING (o_orderpriority)
       ORDER BY o_orderpriority"""
+  }
+
+  /** The q142 oracle: rebuild the per-scope registers relationally (the
+    * q140 replay, grid from the raw table), then compute the global
+    * registers BOTH ways — `merged` = max over the per-scope register
+    * grid (union-of-sketches) and `dfull` = max over the raw rows
+    * (sketch-of-union) — and emit their element-wise equality as the
+    * '__all__' row's flag, exactly as the Spark side compares its two
+    * aggregators' outputs.
+    */
+  private def rollupOracleSql: String = {
+    import graft.functions.HllSketch
+    val m = HllSketch.M
+    val rmax = HllSketch.WBits + 1
+    s"""WITH e AS (
+        SELECT coalesce(event_type, '__null__') AS scope,
+               CAST(user_id AS VARCHAR) AS ks
+        FROM events),
+      h AS (
+        SELECT scope, ks, CAST(${HllSketch.sqlHash60("ks")} AS BIGINT) AS ph
+        FROM e WHERE ks IS NOT NULL),
+      r AS (
+        SELECT scope, ph % $m AS bucket,
+               CASE WHEN ph // $m = 0 THEN $rmax
+                    ELSE $rmax - length(format('{:b}', ph // $m)) END AS rho
+        FROM h),
+      regs AS (
+        SELECT scope, bucket, max(rho) AS mr FROM r GROUP BY scope, bucket),
+      grid AS (
+        SELECT scope, j
+        FROM (SELECT DISTINCT scope FROM e),
+             (SELECT unnest(range(0, $m)) AS j)),
+      fullregs AS (
+        SELECT grid.scope, grid.j, coalesce(regs.mr, 0) AS mr
+        FROM grid LEFT JOIN regs
+          ON regs.scope = grid.scope AND regs.bucket = grid.j),
+      s AS (
+        SELECT scope,
+               CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM fullregs GROUP BY scope),
+      x AS (
+        SELECT scope, CAST(count(DISTINCT ks) AS BIGINT) AS exact_users
+        FROM e GROUP BY scope),
+      merged AS (SELECT j, max(mr) AS mr FROM fullregs GROUP BY j),
+      dreg AS (SELECT bucket, max(rho) AS mr FROM r GROUP BY bucket),
+      dfull AS (
+        SELECT g.j, coalesce(dreg.mr, 0) AS mr
+        FROM (SELECT unnest(range(0, $m)) AS j) g
+        LEFT JOIN dreg ON dreg.bucket = g.j),
+      eq AS (
+        SELECT CAST(CASE WHEN bool_and(merged.mr = dfull.mr) THEN 1 ELSE 0 END
+                    AS BIGINT) AS union_equals_direct
+        FROM merged JOIN dfull ON merged.j = dfull.j),
+      gs AS (
+        SELECT CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM merged),
+      gx AS (SELECT CAST(count(DISTINCT ks) AS BIGINT) AS exact_users FROM e)
+      SELECT scope, exact_users, zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users,
+             CAST(NULL AS BIGINT) AS union_equals_direct
+      FROM s JOIN x USING (scope)
+      UNION ALL
+      SELECT '__all__' AS scope, gx.exact_users, gs.zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users,
+             eq.union_equals_direct
+      FROM gs, gx, eq
+      ORDER BY scope"""
   }
 }

@@ -53,6 +53,25 @@ class HllSketchSpec extends AnyFunSuite {
     assert(registersOf(a ++ b, 8) == merged)
   }
 
+  test("hllMerge aggregator: union-of-sketches == sketch-of-union, any grouping") {
+    // three disjoint-ish "sources" sketched separately, then folded by
+    // the second-level MergeAgg — must equal the direct sketch over the
+    // union (q142's in-query proof, here at the aggregator level)
+    val srcs = Seq(hashes(1L to 300L), hashes(250L to 600L), hashes(590L to 700L))
+    val perSrc = srcs.zipWithIndex.flatMap { case (hs, i) => hs.map(h => (i, h)) }
+    val rolled = perSrc.toDF("src", "h")
+      .groupBy($"src").agg(HllSketch.hll($"h").as("regs"))
+      .agg(HllSketch.hllMerge($"regs").as("regs"))
+      .collect()(0).getSeq[Long](0)
+    assert(rolled == replay(srcs.flatten))
+    // empty rollup input folds to all-empty registers, not a crash
+    val empty = Seq.empty[(Int, Long)].toDF("src", "h")
+      .groupBy($"src").agg(HllSketch.hll($"h").as("regs"))
+      .agg(HllSketch.hllMerge($"regs").as("regs"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty == Seq.fill(HllSketch.M)(0L))
+  }
+
   test("rank convention is pinned: WBits+1 - bit-length of the high bits") {
     // golden anchors for the oracle's binary-string-length replay
     assert(HllSketch.rankOf(0L) == 53)                    // w = 0

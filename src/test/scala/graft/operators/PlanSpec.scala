@@ -413,4 +413,20 @@ class PlanSpec extends AnyFunSuite {
         s"$q:\n${plan.take(3000)}")
     }
   }
+
+  test("q142: rollup folds per-type register arrays — fixed-size state only across its exchange") {
+    val plan = planOf("q142_sketch_rollup")
+    // the rollup aggregator must combine map-side: what crosses its
+    // SinglePartition exchange is one partially-merged register array
+    // per task, never per-type rows re-derived from events
+    assert(plan.contains("partial_mergeagg"), plan.take(4000))
+    // the per-type sketch frame is checkpointed and consumed twice
+    // (output rows + rollup); the only parquet scan left is the direct
+    // proof twin — a second events scan means the q125 reuse break
+    // regressed
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan (direct twin), got $scans:\n${plan.take(4000)}")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(4000))
+  }
 }
