@@ -95,6 +95,25 @@ object TrainingQueries {
     s"CAST(len(list_filter(tk, x -> list_contains($QcStopSql, x))) AS DOUBLE) / len(tk)",
     s"CASE WHEN ($QcLangIdSql) = coalesce(lang, '') THEN 1.0 ELSE 0.0 END")
 
+  /** q143's frozen deployment checkpoint: the q137 production model
+    * (bias + 6 features, weight dimension 7) trained offline by
+    * [[qcTrain]] on the sf0.01 gate corpus (QcRounds = 8 full-batch
+    * rounds, the exact q137 recipe),
+    * then µ-unit-QUANTIZED at freeze time — standard deploy-time model
+    * quantization, and what makes the checkpoint exactly portable: both
+    * engines reconstruct every weight as the identical IEEE double
+    * wmu/1e6 from the same integer, so the deployed score can never
+    * fork on a decimal-literal parse (the HllSketch estRawSql lesson).
+    * This is the persisted-artifact MO (CanonicalMap/DedupIndex)
+    * applied to the model: train once, freeze, deploy many — q136
+    * remains the stateless trained-in-query twin. Declared before
+    * `all` (object-init order).
+    */
+  private[operators] val DeployWmu: Seq[Long] =
+    Seq(-407923L, -78841L, -216441L, -277569L, 0L, -26060L, -133331L)
+  private[graft] val DeployW: Array[Double] =
+    DeployWmu.map(_.toDouble / 1000000.0).toArray
+
   /** q132's span-fraction decontamination constants (the GPT-3/PaLM
     * 13-gram convention) and their winnow decomposition: fingerprint
     * [[DecontamGramK]]-grams with window [[DecontamWinnowW]] — the
@@ -1351,7 +1370,7 @@ object TrainingQueries {
       (s, dir) => qualityClassifierFull(t(s, dir, "documents"), QcRounds),
       Some(qcOracleSql(QcRounds, QcFullSql)),
       doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
-  ) ++ histQuantileQueries ++ bottomKQuantileQueries
+  ) ++ histQuantileQueries ++ bottomKQuantileQueries ++ frozenDeployQueries
 
   /** q139: HISTOGRAM QUANTILE SKETCH — the mergeable SCALE path for
     * percentiles that, unlike `approx_percentile`'s t-digest (engine-
@@ -1531,6 +1550,41 @@ object TrainingQueries {
              $qsel
       FROM o GROUP BY l_returnflag ORDER BY l_returnflag"""
   }
+
+  /** q143: FROZEN-WEIGHTS DEPLOYMENT — train-once/deploy-many closed
+    * under the oracle. q136 deliberately RETRAINS in-query (gate
+    * queries are stateless by the q121 standalone convention); a
+    * production pipeline trains once, freezes the weights as an
+    * artifact, and every serving face applies that artifact —
+    * [[graft.streaming.DocStream.scoreStream]] already demonstrates it
+    * in specs; q143 puts it under the DuckDB gate. The checkpoint is
+    * [[DeployWmu]] (µ-unit integers — the persisted-artifact MO applied
+    * to the model; provenance in its scaladoc); scoring and acceptance
+    * run through the SAME [[qcProb]]/[[qcMargin]]/[[paretoDraw]]
+    * expressions as q135/q136 and the same featurizer as q137, so the
+    * trained, sampled, and deployed paths provably share one
+    * definition — and the oracle side shares [[paretoDrawSelectSql]]
+    * with q136's oracle the same way. Fully row-local: one map over the
+    * corpus scan, no training jobs, no collect — the O(batch) learned
+    * gate `CorpusPrep.ingestBatch` runs, as a registry query
+    * (QualityClassifierSpec pins q143 == paretoApply == the scoreWith
+    * serve face on the same weights).
+    */
+  private def frozenDeployQueries: Seq[Q] = Seq(
+    Q("q143_frozen_deploy",
+      (s, dir) => {
+        val feat = qcFullFeatures(t(s, dir, "documents"))
+        val p = qcProb(qcMargin(DeployW))
+        val (umu, kept) = paretoDraw(p)
+        feat.select(col("doc_id"),
+            floor(p * lit(1000000.0)).as("smu"),
+            umu.as("umu"),
+            kept.as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(frozenDeployOracleSql),
+      doc = "Frozen-checkpoint model deployment: score + Pareto-sample with persisted u-unit weights, no training pass; shares the draw/scoring definitions with q135/q136/q137.")
+  )
 
   /** The q139 oracle: the identical two-pass histogram, relationally —
     * same integer-cent bins, same first-bin selection, same in-bin
@@ -1863,15 +1917,18 @@ object TrainingQueries {
                   FROM feat CROSS JOIN w$rounds) t3) t4
       ORDER BY doc_id"""
 
-  /** The q136 oracle: trained prefix + the Pareto acceptance draw.
-    * The power chain (t2=t0², t4=t2², t8=t4², t9=t8·t0) and the
-    * `u·(2−p)^α < 1` comparison mirror the Spark expressions op-for-op.
+  /** The score+draw SELECT over `feat CROSS JOIN <wTable>` — the SQL
+    * twin of qcProb∘qcMargin + [[paretoDraw]], factored so the
+    * trained-in-query oracle (q136) and the frozen-deployment oracle
+    * (q143) provably replay the SAME chain, mirroring how the Spark
+    * sides share the draw expression. The power chain (t2=t0², t4=t2²,
+    * t8=t4², t9=t8·t0) and the `u·(2−p)^α < 1` comparison mirror the
+    * Spark expressions op-for-op.
     */
-  private def qcParetoOracleSql(rounds: Int, featSql: Seq[String]): String = {
+  private def paretoDrawSelectSql(wTable: String, k: Int): String = {
     import graft.functions.Affine61.{parA, parB}
     import graft.functions.MulMod61.P
-    s"""${qcTrainedSqlPrefix(rounds, featSql)}
-      SELECT doc_id,
+    s"""SELECT doc_id,
              CAST(floor(p * 1000000.0) AS BIGINT) AS smu,
              umu,
              CAST(CASE WHEN u * t9 < 1.0 THEN 1 ELSE 0 END AS BIGINT) AS kept
@@ -1887,8 +1944,37 @@ object TrainingQueries {
                                     + $parB) % $P) % 1000000 AS BIGINT) AS umu
                   FROM (SELECT doc_id, 0.5 + (0.5 * m) / (1.0 + abs(m)) AS p
                     FROM (SELECT doc_id,
-                                 ${qcMarginSql(featSql.length)} AS m
-                          FROM feat CROSS JOIN w$rounds) s1) s2) s3) s4) s5) s6) s7) s8
+                                 ${qcMarginSql(k)} AS m
+                          FROM feat CROSS JOIN $wTable) s1) s2) s3) s4) s5) s6) s7) s8
       ORDER BY doc_id"""
+  }
+
+  /** The q136 oracle: trained prefix + the shared score+draw chain. */
+  private def qcParetoOracleSql(rounds: Int, featSql: Seq[String]): String = {
+    s"""${qcTrainedSqlPrefix(rounds, featSql)}
+      ${paretoDrawSelectSql(s"w$rounds", featSql.length)}"""
+  }
+
+  /** The q143 oracle: NO training CTEs — the weights table is the
+    * frozen checkpoint reconstructed from the SAME µ-unit integers the
+    * Spark side inlines (wmu/1e6 is one exact int→double conversion and
+    * one IEEE division per weight), then the shared score+draw chain.
+    */
+  private def frozenDeployOracleSql: String = {
+    val fcols = QcFullSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f${i + 1}" }
+      .mkString(",\n               ")
+    val wlits = DeployWmu.zipWithIndex
+      .map { case (wmu, j) => s"CAST($wmu AS DOUBLE) / 1000000.0 AS w$j" }
+      .mkString(",\n               ")
+    s"""WITH feat AS (
+        SELECT doc_id,
+               $fcols
+        FROM (SELECT doc_id, source, lang, coalesce(text, '') AS txt,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS tk
+              FROM documents) t0),
+      w AS (
+        SELECT $wlits)
+      ${paretoDrawSelectSql("w", QcFullSql.length)}"""
   }
 }

@@ -414,6 +414,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q143: frozen deployment is one map over the corpus scan — no training jobs at all") {
+    // unlike q135-q137 there is no checkpointed feature frame and no
+    // per-round gradient job: the weights are literals, so the whole
+    // query is a row-local map + output sort riding the parquet scan
+    val plan = planOf("q143_frozen_deploy")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("FileScan parquet"), plan.take(3000))
+  }
+
   test("q142: rollup folds per-type register arrays — fixed-size state only across its exchange") {
     val plan = planOf("q142_sketch_rollup")
     // the rollup aggregator must combine map-side: what crosses its

@@ -162,4 +162,31 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(kept > 0 && kept < 400, s"kept $kept must be a strict subset")
     s1.unpersist()
   }
+
+  test("q143 frozen deployment == paretoApply == scoreWith on the same checkpoint") {
+    // the registry query, the ingestBatch entry point (paretoApply) and
+    // the serve face (scoreWith) must be the SAME model on the same
+    // frozen weights — shared qcProb/qcMargin/paretoDraw definitions,
+    // proven by value here and by the oracle in the gate
+    val docs = fixture(120)
+    val w = TrainingQueries.DeployW
+    assert(w.length == 7, "production checkpoint is bias + 6 features")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fd").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val q143 = graft.SparkEntry.queries("q143_frozen_deploy")(spark, dir)
+      .select($"doc_id", $"smu", $"kept").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val apply = TrainingQueries.paretoApply(docs, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val serve = TrainingQueries.scoreWith(docs, w)
+      .select($"doc_id", $"smu")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q143.keySet == apply.keySet && q143.keySet == serve.keySet)
+    q143.foreach { case (id, (smu, kept)) =>
+      assert(kept == apply(id), s"doc $id: q143 kept $kept != paretoApply")
+      assert(smu == serve(id), s"doc $id: q143 smu $smu != scoreWith")
+    }
+    // the checkpoint reconstructs exactly from its u-unit integers
+    assert(w.toSeq == TrainingQueries.DeployWmu.map(_.toDouble / 1000000.0))
+  }
 }
