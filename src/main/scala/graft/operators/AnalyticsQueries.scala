@@ -196,7 +196,13 @@ object AnalyticsQueries {
           .groupBy(col("p_brand"))
           .agg(
             countDistinct(col("p_partkey")).as("n_parts"),
-            sum(col("l_quantity").cast("long")).as("units_sold"),
+            // decimal-route the quantity before the integral cast: a
+            // direct double→long cast THROWS on NaN/±Inf under ANSI
+            // (AdversarialNumericSpec), while the decimal route maps
+            // non-finites to NULL (skipped by sum) — identity on the
+            // integral gate quantities, so the oracle's
+            // CAST(l_quantity AS BIGINT) is unchanged
+            sum(dec(col("l_quantity")).cast("long")).as("units_sold"),
             dbl(sum(dec(col("l_extendedprice")))).as("gross_revenue"))
           .withColumn("units_per_part",
             floor(dbl(col("units_sold")) / col("n_parts")).cast("long"))

@@ -57,14 +57,24 @@ object RelationalExtras {
     // q62: fixed-width HISTOGRAM of order values — constant bin width
     // (no data-dependent min/max pass), integer bin ids, one shuffle.
     Q("q62_histogram",
-      (s, dir) =>
+      (s, dir) => {
+        // bin-range guard (AdversarialNumericSpec): floor() of a
+        // NaN/±Inf price saturates to ±Long.Max and the int cast THROWS
+        // under ANSI at executor depth. Spark's total ordering puts NaN
+        // above +Inf, so the between() is false for every non-finite
+        // (NaN fails <=, +Inf fails <=, -Inf fails >=) → NULL bin, a
+        // row in the null-bin group instead of a crash. Inert on gate
+        // data (every real price sits far inside ±1e9 bins).
+        val ratio = col("o_totalprice") / 50000.0
         t(s, dir, "orders")
-          .select((floor(col("o_totalprice") / 50000.0)).cast("int").as("bin"),
+          .select(when(ratio.between(-1e9, 1e9), floor(ratio).cast("int"))
+              .as("bin"),
             dec(col("o_totalprice")).as("price"))
           .groupBy(col("bin"))
           .agg(count(lit(1)).as("n_orders"),
             dbl(sum(col("price"))).as("bin_revenue"))
-          .orderBy(col("bin")),
+          .orderBy(col("bin"))
+      },
       Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
         CAST(count(*) AS BIGINT) AS n_orders,
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_revenue
