@@ -16,6 +16,19 @@ object RelationalExtras {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q144's sketch size and hash family — k-min values per event type;
+    * a FRESH affine permutation (independent of the q88 word-KMV and
+    * the stream face's raw-long family: set-operation estimates on user
+    * ids must not correlate with any other hashed decision on the same
+    * ids). Declared before `all` (object-init order).
+    */
+  private[operators] val SetK = 256
+  private[operators] val (setA, setB): (Long, Long) = {
+    val rnd = new java.util.Random(20261207L)
+    ((rnd.nextLong() & Long.MaxValue) % (graft.functions.MulMod61.P - 1) + 1,
+      (rnd.nextLong() & Long.MaxValue) % graft.functions.MulMod61.P)
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q61: NTILE spend deciles per market segment — feature-engineering
@@ -584,7 +597,99 @@ object RelationalExtras {
           .orderBy(col("scope"))
       },
       Some(rollupOracleSql),
-      doc = "HLL sketch-merge rollup: per-type sketches folded by element-wise register max; union-of-sketches == sketch-of-union pinned in-row against a direct sketch.")
+      doc = "HLL sketch-merge rollup: per-type sketches folded by element-wise register max; union-of-sketches == sketch-of-union pinned in-row against a direct sketch."),
+
+    // ------------------------------------------------------------------
+    // q144: KMV SET-OPERATION ESTIMATES — the Theta-sketch question
+    // (audience overlap: |A∪B|, |A∩B|, Jaccard between segments)
+    // answered at fixed size from per-type k-min sketches (Beyer et al.
+    // SIGMOD'07 §5: a k-min synopsis is closed under union, and
+    // intersection prices off the union sample). Per event type, the
+    // KMV of its user-id hashes (k=256, fresh affine family); per type
+    // PAIR, entirely from the two ≤k-long arrays:
+    //   - the k smallest of (sketchA ∪ sketchB) ARE the k smallest of
+    //     (A ∪ B) — every union-k-min element is below both sets' own
+    //     h_(k), so the arrays are loss-free there;
+    //   - membership of a union-k-min hash in sketchX ⇔ membership in
+    //     SET X (same argument), so ρ = |both|/K over the union sample
+    //     is an EXACT Bernoulli(Jaccard) average, |A∩B| ≈ ρ·est_union.
+    // All state is a pure function of the input sets (k-min + sorted
+    // arrays), so DuckDB rebuilds the sketches relationally and the
+    // estimates hash-match; HOFs run over ≤2k-long arrays on ≤|types|²
+    // pair rows (bounded — the q139/q141 dispensation). exact_union /
+    // exact_intersection are the verification fixtures: at 100 TB those
+    // are corpus-sized distinct-join shuffles, and the pairwise sketch
+    // math replaces them with O(types²·k) driver-free array ops.
+    Q("q144_kmv_setops",
+      (s, dir) => {
+        import graft.functions.{Affine61, KmvSketch, MulMod61, PolyHash61Str}
+        val scope = coalesce(col("event_type"), lit("__null__"))
+        val e = t(s, dir, "events")
+          .select(scope.as("t"), col("user_id"),
+            coalesce(Affine61.affine61(
+              PolyHash61Str.polyHash61Str(col("user_id").cast("string")),
+              setA, setB), lit(-1L)).as("h"))
+        val sk = e.groupBy(col("t"))
+          .agg(KmvSketch.kmvSketch(col("h"), SetK).as("kmv"))
+          .localCheckpoint() // consumed by both sides of the pair join
+        val pairs = sk.select(col("t").as("type_a"), col("kmv").as("ka"))
+          .join(sk.select(col("t").as("type_b"), col("kmv").as("kb")),
+            col("type_a") < col("type_b"))
+        // exact fixtures: per-pair intersection from a user-keyed
+        // equi-join over the distinct (type, user) set; union via
+        // inclusion-exclusion from the per-type counts — no pair-keyed
+        // union materialization needed
+        val users = e.filter(col("user_id").isNotNull)
+          .select(col("t"), col("user_id")).distinct().localCheckpoint()
+        val ua = users.select(col("t").as("type_a"), col("user_id"))
+        val ub = users.select(col("t").as("type_b"), col("user_id"))
+        val exInter = ua.join(ub,
+            Seq("user_id")).filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("exact_intersection"))
+        // per-type counts from e (not `users`): a type whose users are
+        // all NULL must still pair up with na = 0, not vanish from the
+        // inner join — the q140 grid lesson again
+        val cntA = e.groupBy(col("t"))
+          .agg(countDistinct(col("user_id")).as("na"))
+        val est = pairs
+          .withColumn("u_all", array_sort(array_distinct(concat(col("ka"), col("kb")))))
+          .withColumn("mu", size(col("u_all")))
+          .withColumn("ku", least(col("mu"), lit(SetK)))
+          .withColumn("u_k", slice(col("u_all"), 1, SetK))
+          .withColumn("common", size(filter(col("u_k"),
+            h => array_contains(col("ka"), h) && array_contains(col("kb"), h))))
+          .withColumn("est_union",
+            when(col("mu") < SetK, col("mu").cast("double"))
+              .otherwise(lit((SetK - 1).toDouble) * lit(MulMod61.P.toDouble)
+                / element_at(col("u_all"), SetK).cast("double")))
+          // ku > 0 guard: a pair of zero-user types has an empty union
+          // sample, and ANSI doubles THROW on 0/0 (the q78 lesson) — no
+          // sample, no estimate (NULL), never a crash. Inert on gate
+          // data (every type has users).
+          .withColumn("est_jaccard",
+            when(col("ku") > 0,
+              col("common").cast("double") / col("ku").cast("double")))
+          .withColumn("est_intersection",
+            when(col("ku") > 0,
+              (col("common").cast("double") * col("est_union"))
+                / col("ku").cast("double")))
+        val exU = cntA.select(col("t").as("type_a"), col("na"))
+          .join(cntA.select(col("t").as("type_b"), col("na").as("nb")),
+            col("type_a") < col("type_b"))
+        est.join(exU, Seq("type_a", "type_b"))
+          .join(exInter, Seq("type_a", "type_b"), "left")
+          .withColumn("exact_intersection",
+            coalesce(col("exact_intersection"), lit(0L)))
+          .withColumn("exact_union",
+            col("na") + col("nb") - col("exact_intersection"))
+          .select(col("type_a"), col("type_b"),
+            col("est_union"), col("est_intersection"), col("est_jaccard"),
+            col("exact_union"), col("exact_intersection"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(kmvSetOpsOracleSql),
+      doc = "KMV set-operation estimates per type pair (union/intersection/Jaccard at fixed size, Beyer et al. k-min synopses); exact columns are the fixtures.")
   )
 
   /** The q140 oracle: rebuild the 256 HLL registers relationally — same
@@ -720,5 +825,90 @@ object RelationalExtras {
              eq.union_equals_direct
       FROM gs, gx, eq
       ORDER BY scope"""
+  }
+
+  /** The q144 oracle: rebuild each type's k-min sketch relationally
+    * (DISTINCT hashes, row_number ≤ k), take the union sample per pair
+    * with per-hash membership flags, and replay the same estimators —
+    * one saturation CASE, one (a·b)/c chain, literal-for-literal.
+    */
+  private def kmvSetOpsOracleSql: String = {
+    import graft.functions.MulMod61
+    val k = SetK
+    s"""WITH e AS (
+        SELECT coalesce(event_type, '__null__') AS t,
+               CAST(user_id AS VARCHAR) AS ks
+        FROM events),
+      hh AS (
+        SELECT DISTINCT t,
+               CAST(($setA::HUGEINT * ${MulMod61.sqlPh61("ks")} + $setB)
+                    % ${MulMod61.P} AS BIGINT) AS h
+        FROM e WHERE ks IS NOT NULL),
+      sk AS (
+        SELECT t, h FROM (
+          SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+          FROM hh)
+        WHERE rn <= $k),
+      types AS (SELECT DISTINCT t FROM e),
+      pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b
+        FROM types a, types b WHERE a.t < b.t),
+      su AS (
+        SELECT p.type_a, p.type_b, s.h,
+               max(CASE WHEN s.t = p.type_a THEN 1 ELSE 0 END) AS ina,
+               max(CASE WHEN s.t = p.type_b THEN 1 ELSE 0 END) AS inb
+        FROM pairs p JOIN sk s ON s.t = p.type_a OR s.t = p.type_b
+        GROUP BY p.type_a, p.type_b, s.h),
+      u AS (
+        SELECT type_a, type_b, h, ina, inb,
+               row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY type_a, type_b) AS mu
+        FROM su),
+      agg AS (
+        SELECT type_a, type_b,
+               CAST(max(mu) AS BIGINT) AS mu,
+               CAST(least(max(mu), $k) AS BIGINT) AS ku,
+               CAST(sum(CASE WHEN rn <= $k AND ina = 1 AND inb = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS common,
+               max(CASE WHEN rn = $k THEN h END) AS hk
+        FROM u GROUP BY type_a, type_b),
+      -- zero-user pairs never reach agg (no sketch rows): restore them
+      -- with an empty sample so the Spark side's pair grid matches
+      pfull AS (
+        SELECT p.type_a, p.type_b,
+               coalesce(mu, 0) AS mu, coalesce(ku, 0) AS ku,
+               coalesce(common, 0) AS common, hk
+        FROM pairs p LEFT JOIN agg
+          ON agg.type_a = p.type_a AND agg.type_b = p.type_b),
+      est AS (
+        SELECT type_a, type_b, mu, ku, common, hk,
+               CASE WHEN mu < $k THEN CAST(mu AS DOUBLE)
+                    ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
+                         / CAST(hk AS DOUBLE) END AS est_union
+        FROM pfull),
+      x AS (
+        SELECT t, CAST(count(DISTINCT ks) AS BIGINT) AS n
+        FROM e GROUP BY t),
+      xi AS (
+        SELECT a.t AS type_a, b.t AS type_b,
+               CAST(count(*) AS BIGINT) AS exact_intersection
+        FROM (SELECT DISTINCT t, ks FROM e WHERE ks IS NOT NULL) a
+        JOIN (SELECT DISTINCT t, ks FROM e WHERE ks IS NOT NULL) b
+          USING (ks)
+        WHERE a.t < b.t GROUP BY a.t, b.t)
+      SELECT est.type_a, est.type_b, est_union,
+             CASE WHEN ku > 0 THEN
+               (CAST(common AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_intersection,
+             CASE WHEN ku > 0 THEN
+               CAST(common AS DOUBLE) / CAST(ku AS DOUBLE)
+             END AS est_jaccard,
+             xa.n + xb.n - coalesce(exact_intersection, 0) AS exact_union,
+             coalesce(exact_intersection, 0) AS exact_intersection
+      FROM est
+      JOIN x xa ON xa.t = est.type_a
+      JOIN x xb ON xb.t = est.type_b
+      LEFT JOIN xi ON xi.type_a = est.type_a AND xi.type_b = est.type_b
+      ORDER BY est.type_a, est.type_b"""
   }
 }
