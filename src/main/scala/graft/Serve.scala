@@ -78,7 +78,15 @@ object Serve {
     "public_corpus_bpe_tokens" -> "q129_bpe_apply",
     "public_corpus_span_strip" -> "q130_exact_substring_strip",
     "public_corpus_bpe_merges" -> "q131_bpe_train",
-    "public_corpus_eval_overlap" -> "q132_span_decontaminate")
+    "public_corpus_eval_overlap" -> "q132_span_decontaminate",
+    // round-12 sketch tier + learned-gate deployment dashboards
+    "public_corpus_token_freqs" -> "q138_countmin",
+    "public_price_quantiles" -> "q139_hist_quantiles",
+    "public_active_customers" -> "q140_hll_distinct",
+    "public_price_quantiles_bk" -> "q141_bottomk_quantiles",
+    "public_users_rollup" -> "q142_sketch_rollup",
+    "public_corpus_deploy_gate" -> "q143_frozen_deploy",
+    "public_audience_overlap" -> "q144_kmv_setops")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -659,6 +659,13 @@ object RelationalExtras {
           .withColumn("u_k", slice(col("u_all"), 1, SetK))
           .withColumn("common", size(filter(col("u_k"),
             h => array_contains(col("ka"), h) && array_contains(col("kb"), h))))
+          // one-sided membership over the same union sample prices the
+          // DIFFERENCES (|A∖B|, |B∖A|) — the remaining set-algebra
+          // member, same exact-Bernoulli argument as the intersection
+          .withColumn("onlya", size(filter(col("u_k"),
+            h => array_contains(col("ka"), h) && !array_contains(col("kb"), h))))
+          .withColumn("onlyb", size(filter(col("u_k"),
+            h => array_contains(col("kb"), h) && !array_contains(col("ka"), h))))
           .withColumn("est_union",
             when(col("mu") < SetK, col("mu").cast("double"))
               .otherwise(lit((SetK - 1).toDouble) * lit(MulMod61.P.toDouble)
@@ -674,6 +681,14 @@ object RelationalExtras {
             when(col("ku") > 0,
               (col("common").cast("double") * col("est_union"))
                 / col("ku").cast("double")))
+          .withColumn("est_diff_ab",
+            when(col("ku") > 0,
+              (col("onlya").cast("double") * col("est_union"))
+                / col("ku").cast("double")))
+          .withColumn("est_diff_ba",
+            when(col("ku") > 0,
+              (col("onlyb").cast("double") * col("est_union"))
+                / col("ku").cast("double")))
         val exU = cntA.select(col("t").as("type_a"), col("na"))
           .join(cntA.select(col("t").as("type_b"), col("na").as("nb")),
             col("type_a") < col("type_b"))
@@ -683,13 +698,17 @@ object RelationalExtras {
             coalesce(col("exact_intersection"), lit(0L)))
           .withColumn("exact_union",
             col("na") + col("nb") - col("exact_intersection"))
+          .withColumn("exact_diff_ab", col("na") - col("exact_intersection"))
+          .withColumn("exact_diff_ba", col("nb") - col("exact_intersection"))
           .select(col("type_a"), col("type_b"),
             col("est_union"), col("est_intersection"), col("est_jaccard"),
-            col("exact_union"), col("exact_intersection"))
+            col("est_diff_ab"), col("est_diff_ba"),
+            col("exact_union"), col("exact_intersection"),
+            col("exact_diff_ab"), col("exact_diff_ba"))
           .orderBy(col("type_a"), col("type_b"))
       },
       Some(kmvSetOpsOracleSql),
-      doc = "KMV set-operation estimates per type pair (union/intersection/Jaccard at fixed size, Beyer et al. k-min synopses); exact columns are the fixtures.")
+      doc = "KMV set-operation estimates per type pair (union/intersection/Jaccard/differences at fixed size, Beyer et al. k-min synopses); exact columns are the fixtures.")
   )
 
   /** The q140 oracle: rebuild the 256 HLL registers relationally — same
@@ -870,6 +889,10 @@ object RelationalExtras {
                CAST(least(max(mu), $k) AS BIGINT) AS ku,
                CAST(sum(CASE WHEN rn <= $k AND ina = 1 AND inb = 1
                              THEN 1 ELSE 0 END) AS BIGINT) AS common,
+               CAST(sum(CASE WHEN rn <= $k AND ina = 1 AND inb = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS onlya,
+               CAST(sum(CASE WHEN rn <= $k AND ina = 0 AND inb = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS onlyb,
                max(CASE WHEN rn = $k THEN h END) AS hk
         FROM u GROUP BY type_a, type_b),
       -- zero-user pairs never reach agg (no sketch rows): restore them
@@ -877,11 +900,12 @@ object RelationalExtras {
       pfull AS (
         SELECT p.type_a, p.type_b,
                coalesce(mu, 0) AS mu, coalesce(ku, 0) AS ku,
-               coalesce(common, 0) AS common, hk
+               coalesce(common, 0) AS common,
+               coalesce(onlya, 0) AS onlya, coalesce(onlyb, 0) AS onlyb, hk
         FROM pairs p LEFT JOIN agg
           ON agg.type_a = p.type_a AND agg.type_b = p.type_b),
       est AS (
-        SELECT type_a, type_b, mu, ku, common, hk,
+        SELECT type_a, type_b, mu, ku, common, onlya, onlyb, hk,
                CASE WHEN mu < $k THEN CAST(mu AS DOUBLE)
                     ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
                          / CAST(hk AS DOUBLE) END AS est_union
@@ -903,8 +927,16 @@ object RelationalExtras {
              CASE WHEN ku > 0 THEN
                CAST(common AS DOUBLE) / CAST(ku AS DOUBLE)
              END AS est_jaccard,
+             CASE WHEN ku > 0 THEN
+               (CAST(onlya AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_diff_ab,
+             CASE WHEN ku > 0 THEN
+               (CAST(onlyb AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_diff_ba,
              xa.n + xb.n - coalesce(exact_intersection, 0) AS exact_union,
-             coalesce(exact_intersection, 0) AS exact_intersection
+             coalesce(exact_intersection, 0) AS exact_intersection,
+             xa.n - coalesce(exact_intersection, 0) AS exact_diff_ab,
+             xb.n - coalesce(exact_intersection, 0) AS exact_diff_ba
       FROM est
       JOIN x xa ON xa.t = est.type_a
       JOIN x xb ON xb.t = est.type_b

@@ -39,17 +39,24 @@ class KmvSetOpsSpec extends AnyFunSuite {
     val out = q144(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(out.size == 3)
-    def check(a: String, b: String, union: Long, inter: Long): Unit = {
+    def check(a: String, b: String, union: Long, inter: Long,
+        na: Long, nb: Long): Unit = {
       val r = out((a, b))
-      assert(r.getLong(5) == union && r.getLong(6) == inter, s"fixture $a/$b")
+      assert(r.getLong(7) == union && r.getLong(8) == inter, s"fixture $a/$b")
+      assert(r.getLong(9) == na - inter && r.getLong(10) == nb - inter,
+        s"$a/$b exact differences")
       assert(r.getDouble(2) == union.toDouble, s"$a/$b est_union not exact")
       assert(r.getDouble(3) == inter.toDouble, s"$a/$b est_inter not exact")
       assert(r.getDouble(4) == inter.toDouble / union.toDouble,
         s"$a/$b est_jaccard not exact")
+      assert(r.getDouble(5) == (na - inter).toDouble,
+        s"$a/$b est_diff_ab not exact")
+      assert(r.getDouble(6) == (nb - inter).toDouble,
+        s"$a/$b est_diff_ba not exact")
     }
-    check("click", "purchase", 50L, 10L)
-    check("purchase", "refund", 35L, 5L)
-    check("click", "refund", 40L, 0L)
+    check("click", "purchase", 50L, 10L, 30L, 30L)
+    check("purchase", "refund", 35L, 5L, 30L, 10L)
+    check("click", "refund", 40L, 0L, 30L, 10L)
   }
 
   test("sf0.01: saturated estimates sit within a statistical band of the exact fixtures") {
@@ -57,7 +64,7 @@ class KmvSetOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (estU, estI) = (r.getDouble(2), r.getDouble(3))
-      val (exU, exI) = (r.getLong(5), r.getLong(6))
+      val (exU, exI) = (r.getLong(7), r.getLong(8))
       // KMV union error ~1/√(k−1) ≈ 6.3%; intersection compounds the
       // Bernoulli ρ error — band both at a loose 5σ so the pin catches
       // broken estimators, not unlucky hashes
