@@ -156,9 +156,12 @@ object BottomK {
 
   /** Column function: `bottomK(hashCol, valueCol, k)` usable in
     * `agg(...)` — yields the ascending `array<long>` of the values
-    * carried by the k smallest (hash, value) pairs. For a nullable key
-    * or value, pass the hash as `coalesce(..., lit(-1L))` — negative
-    * hashes are skipped (see [[Agg.reduce]]).
+    * carried by the k smallest (hash, value) pairs. NULL handling is
+    * the CALLER's contract: gate the hash on BOTH inputs' nullity
+    * (`when(value.isNotNull, hash).otherwise(lit(-1L))`) — negative
+    * hashes are skipped (see [[Agg.reduce]]), whereas a NULL that
+    * reaches the UDAF's primitive tuple input decodes as 0 and would
+    * silently pollute the sample.
     */
   def bottomK(hash: Column, value: Column, k: Int): Column =
     udaf(new Agg(k), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))

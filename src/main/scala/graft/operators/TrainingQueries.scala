@@ -1490,14 +1490,21 @@ object TrainingQueries {
     Q("q141_bottomk_quantiles",
       (s, dir) => {
         import graft.functions.{Affine61, BottomK, PolyHash61Str}
+        // gate the hash on the CENTS being non-null, not just the raw
+        // price: a non-finite price survives isNotNull but nulls out of
+        // the decimal route, and a (h, NULL) pair would reach the UDAF's
+        // primitive input as (h, 0) — a silent bogus sample value on a
+        // dirty feed. The -1 sentinel skips the row instead (the stream
+        // face's convention). Inert on gate data (all prices finite).
+        val cents = (dec(col("l_extendedprice")) * lit(100)).cast("long")
         val v = t(s, dir, "lineitem")
           .filter(col("l_extendedprice").isNotNull)
           .select(col("l_returnflag"),
-            (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"),
-            Affine61.affine61(
+            cents.as("c"),
+            when(cents.isNotNull, Affine61.affine61(
               PolyHash61Str.polyHash61Str(
                 concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
-              BottomK.bkA, BottomK.bkB).as("h"))
+              BottomK.bkA, BottomK.bkB)).otherwise(lit(-1L)).as("h"))
         val sk = v.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             BottomK.bottomK(col("h"), col("c"), BkK).as("vals"))

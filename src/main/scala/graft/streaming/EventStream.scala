@@ -380,10 +380,13 @@ object EventStream {
     // NULL values drop to the negative skip-sentinel so they never
     // enter the sample. Values ride as exact integer micro-units
     // (decimal route — the q139/q141 cents convention).
-    val bkHash = when(col("value").isNotNull,
+    // outer coalesce: a NULL event_id nulls the hash THROUGH the when
+    // branch, and a NULL reaching the UDAF's primitive input decodes as
+    // hash 0 — the always-kept minimum. -1 skips the row instead.
+    val bkHash = coalesce(when(col("value").isNotNull,
       Affine61.affine61(
         PolyHash61Str.polyHash61Str(col("event_id").cast("string")),
-        BottomK.bkA, BottomK.bkB)).otherwise(lit(-1L))
+        BottomK.bkA, BottomK.bkB)), lit(-1L))
     val bkVal = (coalesce(col("value"), lit(0.0)).cast("decimal(18,6)")
       * lit(1000000)).cast("long")
     val cands = array_sort(map_keys(col("mg_types")))
