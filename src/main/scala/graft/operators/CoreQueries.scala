@@ -379,7 +379,13 @@ object CoreQueries {
       (s, dir) =>
         t(s, dir, "events")
           .select(col("event_type"), col("value"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            // try_cast IS the operator: P3's semantics are junk→NULL,
+            // and under ANSI a plain cast THROWS when $.k holds a
+            // non-numeric payload (get_json_object stringifies a nested
+            // OBJECT at the path — AdversarialJsonSpec's catch; gate
+            // data never exercises it, both engines' try_cast agree)
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+              .as("k"),
             get_json_object(col("props"), "$.missing").as("missing"))
           .groupBy(col("event_type"))
           .agg(
@@ -390,7 +396,7 @@ object CoreQueries {
           .orderBy(col("event_type")),
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         CAST(count(CASE WHEN value > 100 THEN 1 END) AS BIGINT) AS n_big,
-        CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+        CAST(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
         CAST(count(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
