@@ -1510,9 +1510,15 @@ object TrainingQueries {
             BottomK.bottomK(col("h"), col("c"), BkK).as("vals"))
           .withColumn("m", size(col("vals")).cast("long"))
         // order-statistic reads over the ≤k-long sample array — bounded
-        // per-group work, the q139 "window over ≤B rows" dispensation
+        // per-group work, the q139 "window over ≤B rows" dispensation.
+        // m > 0 guard: a group whose every price is non-finite has an
+        // empty sample (all cents NULL ⇒ all hashes the -1 sentinel),
+        // and ⌈q·0/100⌉ = 0 would throw INVALID_INDEX_OF_ZERO — emit
+        // NULL quantiles instead (the stream face's convention; the
+        // oracle's max(CASE...) already yields NULL there)
         val qcols = HistQs.map(q =>
-          expr(s"element_at(vals, CAST(($q * m + 99) DIV 100 AS INT))")
+          when(col("m") > 0,
+            expr(s"element_at(vals, CAST(($q * m + 99) DIV 100 AS INT))"))
             .as(s"p${q}_cents"))
         sk.select(Seq(col("l_returnflag"), col("n"), col("m"),
             lit(BkEpsPpm).as("eps_rank_ppm")) ++ qcols: _*)

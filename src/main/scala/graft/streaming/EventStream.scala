@@ -336,9 +336,11 @@ object EventStream {
     * without reprocessing the window. The bottom-k pair sketch
     * ([[graft.functions.BottomK]], q141's batch form) adds value
     * QUANTILES: a 64-pair uniform sample per window
-    * (`bk_value_sample`, micro-units) and its type-1 median
-    * (`est_value_p50_micro`) — the rank statistic no counting sketch
-    * can answer.
+    * (`bk_value_sample`, micro-units), its type-1
+    * p25/p50/p75/p95 reads (`est_value_p{q}_micro` — q141's full
+    * column set, face parity), and the DKW/Massart rank-error bound
+    * for that sample size (`eps_rank_ppm`) — the rank statistic no
+    * counting sketch can answer, carrying its own guarantee.
     *
     * KMV, CMS, and HLL state are pure functions of the window's input
     * SET/MULTISET/SET respectively, so the streamed result is
@@ -357,6 +359,22 @@ object EventStream {
     * the LC column while any register is empty and the raw column once
     * all registers fill — exactly the branch q140's batch query emits.
     */
+  /** The stream face's bottom-k sample size (pairs kept per window) —
+    * NOT the KMV `k` parameter: 64 pairs is the state-store budget per
+    * open window, and `eps_rank_ppm` is derived from THIS constant
+    * (δ = 0.01, q141's BkDelta).
+    */
+  private val BkPairs = 64
+
+  /** Type-1 order-statistic read at percent `q` off the emitted
+    * bottom-k sample array — q141's ⌈q·m/100⌉ index (integer `div` on
+    * non-negative operands), guarded for the empty-sample window.
+    */
+  private def bkQuantile(q: Int): org.apache.spark.sql.Column =
+    when(size(col("bk_value_sample")) > 0,
+      expr(s"element_at(bk_value_sample, " +
+        s"CAST(($q * size(bk_value_sample) + 99) DIV 100 AS INT))"))
+
   def windowedSketches(events: DataFrame,
       window: String = "1 hour",
       watermark: String = "10 minutes",
@@ -376,19 +394,27 @@ object EventStream {
     val hllHash = coalesce(
       HllSketch.hash60(col("user_id").cast("string")), lit(-1L))
     // q141's bottom-k sketch on the stream face: a 64-pair uniform
-    // sample of each window's event VALUES keyed by the event-id hash —
-    // NULL values drop to the negative skip-sentinel so they never
-    // enter the sample. Values ride as exact integer micro-units
-    // (decimal route — the q139/q141 cents convention).
+    // sample of each window's event VALUES keyed by the event-id hash.
+    // Values ride as exact integer micro-units (decimal route — the
+    // q139/q141 cents convention), and the hash is gated on the DERIVED
+    // micros, not the raw value: a NaN/Inf or decimal(18,6)-overflowing
+    // value passes isNotNull but NULLs out of the decimal route, and a
+    // NULL reaching the UDAF's primitive tuple input decodes as 0 — a
+    // silent bogus 0-micro sample entry on a dirty feed (q141's batch
+    // gate, the c2ee2cd convention).
     // outer coalesce: a NULL event_id nulls the hash THROUGH the when
-    // branch, and a NULL reaching the UDAF's primitive input decodes as
-    // hash 0 — the always-kept minimum. -1 skips the row instead.
-    val bkHash = coalesce(when(col("value").isNotNull,
+    // branch, and a NULL hash reaching the UDAF decodes as 0 — the
+    // always-kept minimum. -1 skips the row instead.
+    // try_cast, not cast: ANSI maps only NaN/Inf to NULL on
+    // double→decimal — a finite value beyond ±1e12 THROWS
+    // (NUMERIC_VALUE_OUT_OF_RANGE, the q16 lesson); try_cast makes the
+    // whole non-representable class NULL, which the hash gate then skips
+    val bkVal = (expr("try_cast(value AS DECIMAL(18,6))") * lit(1000000))
+      .cast("long")
+    val bkHash = coalesce(when(bkVal.isNotNull,
       Affine61.affine61(
         PolyHash61Str.polyHash61Str(col("event_id").cast("string")),
         BottomK.bkA, BottomK.bkB)), lit(-1L))
-    val bkVal = (coalesce(col("value"), lit(0.0)).cast("decimal(18,6)")
-      * lit(1000000)).cast("long")
     val cands = array_sort(map_keys(col("mg_types")))
     events
       .withWatermark("ts", watermark)
@@ -401,7 +427,7 @@ object EventStream {
           coalesce(PolyHash61Str.polyHash61Str(col("event_type")),
             lit(-1L))).as("cms_types"),
         HllSketch.hll(hllHash).as("hll_users"),
-        BottomK.bottomK(bkHash, bkVal, 64).as("bk_value_sample"))
+        BottomK.bottomK(bkHash, bkVal, BkPairs).as("bk_value_sample"))
       .withColumn("est_users_hll",
         expr(HllSketch.estRawSql(HllSketch.sumSql("hll_users"))))
       .withColumn("hll_zero_regs",
@@ -421,13 +447,19 @@ object EventStream {
             .cast("long")).as("est_users_hll_lc_micro"),
         col("hll_users"),
         col("bk_value_sample"),
-        // the sample's type-1 median (q141's order-statistic read);
-        // NULL when the window had no non-null values — a sample-less
-        // window has no median, it doesn't have median zero
-        when(size(col("bk_value_sample")) > 0,
-          expr("element_at(bk_value_sample, " +
-            "CAST((50 * size(bk_value_sample) + 99) DIV 100 AS INT))"))
-          .as("est_value_p50_micro"),
+        // q141 column-set parity: all four quantile targets read off
+        // the sample's order statistics (type-1, ⌈q·m/100⌉ — the same
+        // reads as the batch form), NULL when the window had no
+        // non-null values — a sample-less window has no quantiles, it
+        // doesn't have quantile zero. eps_rank_ppm is the DKW/Massart
+        // rank-error guarantee for THIS face's k-pair sample (same
+        // δ=0.01 as q141's BkDelta), so the stream answer carries its
+        // own bound exactly like the batch answer does.
+        bkQuantile(25).as("est_value_p25_micro"),
+        bkQuantile(50).as("est_value_p50_micro"),
+        bkQuantile(75).as("est_value_p75_micro"),
+        bkQuantile(95).as("est_value_p95_micro"),
+        lit(BottomK.epsPpm(BkPairs, 0.01)).as("eps_rank_ppm"),
         // array_sort: the MG map's key ORDER is merge-order-dependent
         // (schedule-varying) even though the key SET is guaranteed —
         // sort so the emitted column is deterministic across runs

@@ -76,17 +76,15 @@ class EventStreamSpec extends AnyFunSuite {
       spark.read.schema(EventStream.schema).parquet(srcDir))
     assert(streamed.count() > 0)
     val maxEmitted = streamed.agg(max($"window_start")).collect()(0).getTimestamp(0)
-    val sRows = streamed
-      .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll",
-        $"hll_zero_regs", $"est_users_hll_lc_micro",
-        $"bk_value_sample", $"est_value_p50_micro")
+    val sketchCols = Seq($"window_start", $"n_events", $"est_users",
+      $"kmv_users", $"cms_types", $"heavy_type_est", $"hll_users",
+      $"est_users_hll", $"hll_zero_regs", $"est_users_hll_lc_micro",
+      $"bk_value_sample", $"est_value_p25_micro", $"est_value_p50_micro",
+      $"est_value_p75_micro", $"est_value_p95_micro", $"eps_rank_ppm")
+    val sRows = streamed.select(sketchCols: _*)
       .collect().map(_.toSeq).toSet
     val bRows = batch.filter($"window_start" <= maxEmitted)
-      .select($"window_start", $"n_events", $"est_users", $"kmv_users",
-        $"cms_types", $"heavy_type_est", $"hll_users", $"est_users_hll",
-        $"hll_zero_regs", $"est_users_hll_lc_micro",
-        $"bk_value_sample", $"est_value_p50_micro")
+      .select(sketchCols: _*)
       .collect().map(_.toSeq).toSet
     // KMV and HLL state are pure functions of each window's input SET,
     // the CMS matrix of its input MULTISET: the incrementally-built
@@ -134,7 +132,9 @@ class EventStreamSpec extends AnyFunSuite {
         .cast("long")).as("vs"))
       .select($"window.start".as("ws"), $"vs")
       .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
-    streamed.select($"window_start", $"bk_value_sample", $"est_value_p50_micro")
+    streamed.select($"window_start", $"bk_value_sample",
+        $"est_value_p25_micro", $"est_value_p50_micro",
+        $"est_value_p75_micro", $"est_value_p95_micro", $"eps_rank_ppm")
       .collect().foreach { r =>
         val sample = r.getSeq[Long](1)
         val exact = exactVals.getOrElse(r.getTimestamp(0), Seq.empty)
@@ -145,9 +145,16 @@ class EventStreamSpec extends AnyFunSuite {
           assert(g.size <= counts.getOrElse(v, 0),
             s"sampled value $v exceeds its multiplicity in the window")
         }
-        if (sample.nonEmpty)
-          assert(r.getLong(2) == sample((50 * sample.size + 99) / 100 - 1))
-        else assert(r.isNullAt(2))
+        // q141 column-set parity: every quantile target is the type-1
+        // ⌈q·m/100⌉ order statistic of the emitted sample, and the face
+        // carries the DKW bound for ITS sample size (k=64, δ=0.01)
+        Seq(25, 50, 75, 95).zipWithIndex.foreach { case (q, i) =>
+          if (sample.nonEmpty)
+            assert(r.getLong(2 + i) == sample((q * sample.size + 99) / 100 - 1),
+              s"p$q mismatch")
+          else assert(r.isNullAt(2 + i), s"p$q of empty sample must be NULL")
+        }
+        assert(r.getLong(6) == graft.functions.BottomK.epsPpm(64, 0.01))
       }
     // CMS guarantee per emitted window: every MG candidate's estimate is
     // one-sided (>= its true count) — the structural property, pinned
@@ -163,6 +170,50 @@ class EventStreamSpec extends AnyFunSuite {
           s"window $ws type $t: cms est $e < exact ${exact(t)}")
       }
     }
+  }
+
+  test("windowed sketches: non-finite / decimal-overflow values never pollute the bottom-k sample") {
+    // the r12 ADVICE streaming finding: a NaN/Inf or decimal(18,6)-
+    // overflowing value passes value.isNotNull but NULLs out of the
+    // decimal route, and an ungated hash would push (h, NULL→0) into
+    // the UDAF's primitive tuple input — a silent bogus 0-micro sample
+    // entry skewing the quantiles low. The hash is gated on the DERIVED
+    // micros (q141's batch convention); this fixture fails the old gate.
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2025-06-01 00:10:00")
+    def ev(id: Long, v: Option[Double]) = (id, t0, id, "click", v, "{}")
+    val rows = Seq(
+      ev(1, Some(1.0)), ev(2, Some(2.0)), ev(3, Some(3.0)),
+      ev(4, Some(Double.NaN)), ev(5, Some(Double.PositiveInfinity)),
+      ev(6, Some(Double.NegativeInfinity)),
+      ev(7, Some(1e30)), ev(8, Some(-1e30)), // overflow decimal(18,6)
+      ev(9, None)) :+
+      // far-future sentinel: pushes the watermark past t0's window so
+      // append mode emits it
+      (99L, Timestamp.valueOf("2025-06-01 05:00:00"), 99L, "b",
+        Some(1.0): Option[Double], "{}")
+    val dir = Files.createTempDirectory("graft_poison_stream").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/drop")
+
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val r = df.filter($"window_start" === Timestamp.valueOf("2025-06-01 00:00:00"))
+        .select($"n_events", $"bk_value_sample", $"est_value_p25_micro",
+          $"est_value_p50_micro", $"est_value_p75_micro",
+          $"est_value_p95_micro")
+        .collect()
+      assert(r.length == 1)
+      assert(r(0).getLong(0) == 9L) // count() still sees every row
+      // only the three decimal-representable finite values sampled — no
+      // bogus 0-micro entries from the six poisoned rows
+      assert(r(0).getSeq[Long](1) == Seq(1000000L, 2000000L, 3000000L))
+      assert(r(0).getLong(2) == 1000000L && r(0).getLong(3) == 2000000L &&
+        r(0).getLong(4) == 3000000L && r(0).getLong(5) == 3000000L)
+    }
+    check(EventStream.runToMemory(spark, s"$dir/drop", "poison_sketch",
+      df => EventStream.windowedSketches(df)))
+    check(EventStream.windowedSketches(
+      spark.read.schema(EventStream.schema).parquet(s"$dir/drop")))
   }
 
   test("foreachBatch parquet sink: checkpointed write lands every closed window") {
