@@ -86,7 +86,9 @@ object Serve {
     "public_price_quantiles_bk" -> "q141_bottomk_quantiles",
     "public_users_rollup" -> "q142_sketch_rollup",
     "public_corpus_deploy_gate" -> "q143_frozen_deploy",
-    "public_audience_overlap" -> "q144_kmv_setops")
+    "public_audience_overlap" -> "q144_kmv_setops",
+    // round-13: the persisted sketch store's rollup face
+    "public_users_rollup_store" -> "q145_sketchstore_rollup")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -85,6 +85,33 @@ object KmvSketch {
     override def outputEncoder: Encoder[Array[Long]] = arrEnc
   }
 
+  /** Merge aggregator over ALREADY-BUILT kmv sketch arrays — folds
+    * them with the same k-smallest-distinct merge the row aggregator
+    * uses (union-of-sketches; the k-min synopsis is closed under
+    * union, Beyer et al. SIGMOD'07 §5), so rolling up persisted
+    * per-day/per-scope sketches consumes O(rows·k) state and never
+    * touches raw keys — [[HllSketch.MergeAgg]]'s shape for the KMV
+    * family. State is a pure set-minimum fold: merge-tree- and
+    * replay-independent, like everything else under the oracle gate.
+    */
+  class MergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new Agg(k)
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] =
+      if (sk == null) buf else inner.merge(buf, sk)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = arrEnc
+    override def outputEncoder: Encoder[Array[Long]] = arrEnc
+  }
+
+  /** Column function: fold a column of kmv sketch arrays into their
+    * union sketch (k smallest distinct hashes across all inputs).
+    */
+  def kmvMerge(kmv: Column, k: Int): Column =
+    udaf(new MergeAgg(k), arrEnc).apply(kmv)
+
   val arrEnc: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 

@@ -29,6 +29,65 @@ object RelationalExtras {
       (rnd.nextLong() & Long.MaxValue) % graft.functions.MulMod61.P)
   }
 
+  /** The q144 pairwise set-operation estimator over per-scope kmv
+    * sketches (`t`, `kmv` sorted ≤k-long arrays) — ONE definition
+    * shared by the in-query face (q144) and the durable-state face
+    * ([[SketchStore.setOpsFromState]]), so the two routes can never
+    * fork. Per type PAIR, entirely from the two arrays (Beyer et al.
+    * SIGMOD'07 §5):
+    *   - the k smallest of (sketchA ∪ sketchB) ARE the k smallest of
+    *     (A ∪ B) — every union-k-min element is below both sets' own
+    *     h₍ₖ₎, so the arrays are loss-free there;
+    *   - membership of a union-k-min hash in sketchX ⇔ membership in
+    *     SET X (same argument), so ρ = |both|/K over the union sample
+    *     is an EXACT Bernoulli(Jaccard) average, |A∩B| ≈ ρ·est_union,
+    *     and the one-sided memberships price the differences.
+    * HOFs run over ≤2k-long arrays on ≤|types|² pair rows (bounded —
+    * the q139/q141 dispensation). localCheckpoint: the sketch frame is
+    * consumed by both sides of the self-join.
+    */
+  private[operators] def kmvPairEstimates(sk0: DataFrame): DataFrame = {
+    import graft.functions.MulMod61
+    val sk = sk0.localCheckpoint()
+    val pairs = sk.select(col("t").as("type_a"), col("kmv").as("ka"))
+      .join(sk.select(col("t").as("type_b"), col("kmv").as("kb")),
+        col("type_a") < col("type_b"))
+    pairs
+      .withColumn("u_all", array_sort(array_distinct(concat(col("ka"), col("kb")))))
+      .withColumn("mu", size(col("u_all")))
+      .withColumn("ku", least(col("mu"), lit(SetK)))
+      .withColumn("u_k", slice(col("u_all"), 1, SetK))
+      .withColumn("common", size(filter(col("u_k"),
+        h => array_contains(col("ka"), h) && array_contains(col("kb"), h))))
+      .withColumn("onlya", size(filter(col("u_k"),
+        h => array_contains(col("ka"), h) && !array_contains(col("kb"), h))))
+      .withColumn("onlyb", size(filter(col("u_k"),
+        h => array_contains(col("kb"), h) && !array_contains(col("ka"), h))))
+      .withColumn("est_union",
+        when(col("mu") < SetK, col("mu").cast("double"))
+          .otherwise(lit((SetK - 1).toDouble) * lit(MulMod61.P.toDouble)
+            / element_at(col("u_all"), SetK).cast("double")))
+      // ku > 0 guard: a pair of zero-user types has an empty union
+      // sample, and ANSI doubles THROW on 0/0 (the q78 lesson) — no
+      // sample, no estimate (NULL), never a crash. Inert on gate
+      // data (every type has users).
+      .withColumn("est_jaccard",
+        when(col("ku") > 0,
+          col("common").cast("double") / col("ku").cast("double")))
+      .withColumn("est_intersection",
+        when(col("ku") > 0,
+          (col("common").cast("double") * col("est_union"))
+            / col("ku").cast("double")))
+      .withColumn("est_diff_ab",
+        when(col("ku") > 0,
+          (col("onlya").cast("double") * col("est_union"))
+            / col("ku").cast("double")))
+      .withColumn("est_diff_ba",
+        when(col("ku") > 0,
+          (col("onlyb").cast("double") * col("est_union"))
+            / col("ku").cast("double")))
+  }
+
   val all: Seq[Q] = Seq(
     // ------------------------------------------------------------------
     // q61: NTILE spend deciles per market segment — feature-engineering
@@ -88,7 +147,11 @@ object RelationalExtras {
             dbl(sum(col("price"))).as("bin_revenue"))
           .orderBy(col("bin"))
       },
-      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bin,
+      // the engine-side ±1e9 bin guard, mirrored op-for-op: on this
+      // schema o_totalprice is DECIMAL(12,2) (ratio < 2e5) so the CASE
+      // never fires, but the twin must not depend on that column type
+      Some("""SELECT CASE WHEN o_totalprice / 50000.0 BETWEEN -1e9 AND 1e9
+          THEN CAST(floor(o_totalprice / 50000.0) AS INTEGER) END AS bin,
         CAST(count(*) AS BIGINT) AS n_orders,
         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_revenue
         FROM orders GROUP BY bin ORDER BY bin""")),
@@ -539,30 +602,27 @@ object RelationalExtras {
       doc = "Mergeable HyperLogLog distinct sketch (exact-integer harmonic fold); exact_distinct is the fixture."),
 
     // ------------------------------------------------------------------
-    // q142: SKETCH-MERGE ROLLUP — the mergeability of the sketch tier
-    // proven END-TO-END under the oracle, not just in specs: build one
-    // HLL per event type (distinct users), then fold the per-type
-    // REGISTER ARRAYS into a global sketch with [[graft.functions.
-    // HllSketch.hllMerge]] (element-wise max — union-of-sketches) and
-    // emit, on the '__all__' row, a union_equals_direct flag comparing
-    // those merged registers against a sketch built DIRECTLY over all
-    // rows (sketch-of-union). Equality is structural (each register is
-    // a max over a partition of the same key set), and it is exactly
-    // what licenses the 100 TB rollup pattern: per-day/per-source
-    // sketches persisted once, every coarser rollup computed from
-    // O(sources·m) bytes of state with NO second pass over rows — the
-    // q111 source-overlap question answered at fixed size. Only
-    // fixed-size register arrays cross the rollup exchange (PlanSpec
-    // pins partial aggregation; one 2 KB array per type). The scope key
-    // is null-coalesced ('__null__') on BOTH engines so a NULL event
-    // type can never fork engine vs oracle (the q140 grid lesson);
-    // exact_users columns are the verification fixtures.
+    // q142: SKETCH-MERGE ROLLUP, production face — build one HLL per
+    // event type (distinct users), then fold the per-type REGISTER
+    // ARRAYS into the global sketch with [[graft.functions.HllSketch
+    // .hllMerge]] (element-wise max — union-of-sketches). This is the
+    // 100 TB rollup pattern: per-day/per-source sketches persisted
+    // once, every coarser rollup computed from O(sources·m) bytes of
+    // state with NO second pass over rows. ONLY sketch passes here —
+    // the exact_users fixtures and the in-row union==direct proof
+    // (which needs a second events scan) live in the verificationOnly
+    // twin q147, the q40/q41 MO: the production face is honest-by-
+    // construction about what runs at scale. Only fixed-size register
+    // arrays cross the rollup exchange (PlanSpec pins partial
+    // aggregation; one 2 KB array per type). The scope key is
+    // null-coalesced ('__null__') on BOTH engines so a NULL event type
+    // can never fork engine vs oracle (the q140 grid lesson).
     Q("q142_sketch_rollup",
       (s, dir) => {
         import graft.functions.HllSketch
         val scope = coalesce(col("event_type"), lit("__null__"))
         val hashed = t(s, dir, "events")
-          .select(scope.as("scope"), col("user_id"),
+          .select(scope.as("scope"),
             coalesce(HllSketch.hash60(col("user_id").cast("string")),
               lit(-1L)).as("ph"))
         // localCheckpoint: `per` feeds BOTH the per-type output rows and
@@ -570,59 +630,100 @@ object RelationalExtras {
         // ReuseExchange across union/agg consumers (the q125 lesson) —
         // without it the events scan+agg runs twice. O(types) rows.
         val per = hashed.groupBy(col("scope"))
-          .agg(HllSketch.hll(col("ph")).as("regs"),
-            countDistinct(col("user_id")).as("exact_users"))
+          .agg(HllSketch.hll(col("ph")).as("regs"))
           .localCheckpoint()
         // rollup: consumes the per-type SKETCHES, never the raw rows
-        val merged = per.agg(HllSketch.hllMerge(col("regs")).as("regs"))
-        // direct sketch over the raw rows — the other side of the
-        // union==direct equality (at production scale this pass doesn't
-        // exist; it is the in-query proof twin)
-        val direct = hashed.agg(HllSketch.hll(col("ph")).as("dregs"),
-          countDistinct(col("user_id")).as("exact_users"))
-        val allRow = merged.crossJoin(direct)
-          .select(lit("__all__").as("scope"), col("regs"),
-            col("exact_users"),
-            (col("regs") === col("dregs")).cast("long")
-              .as("union_equals_direct"))
-        val perRows = per.select(col("scope"), col("regs"),
-          col("exact_users"),
-          lit(null).cast("long").as("union_equals_direct"))
-        perRows.unionByName(allRow)
+        val allRow = per.agg(HllSketch.hllMerge(col("regs")).as("regs"))
+          .select(lit("__all__").as("scope"), col("regs"))
+        per.select(col("scope"), col("regs")).unionByName(allRow)
           .withColumn("hll_sum", expr(HllSketch.sumSql("regs")))
-          .select(col("scope"), col("exact_users"),
+          .select(col("scope"),
             expr(HllSketch.zerosSql("regs")).cast("long").as("zero_regs"),
-            expr(HllSketch.estRawSql("hll_sum")).as("est_users"),
-            col("union_equals_direct"))
+            expr(HllSketch.estRawSql("hll_sum")).as("est_users"))
           .orderBy(col("scope"))
       },
       Some(rollupOracleSql),
-      doc = "HLL sketch-merge rollup: per-type sketches folded by element-wise register max; union-of-sketches == sketch-of-union pinned in-row against a direct sketch."),
+      doc = "HLL sketch-merge rollup, production face: per-type sketches folded by element-wise register max, one events pass; exact fixtures + union==direct proof in verificationOnly twin q147."),
 
     // ------------------------------------------------------------------
-    // q144: KMV SET-OPERATION ESTIMATES — the Theta-sketch question
-    // (audience overlap: |A∪B|, |A∩B|, Jaccard between segments)
-    // answered at fixed size from per-type k-min sketches (Beyer et al.
-    // SIGMOD'07 §5: a k-min synopsis is closed under union, and
-    // intersection prices off the union sample). Per event type, the
-    // KMV of its user-id hashes (k=256, fresh affine family); per type
-    // PAIR, entirely from the two ≤k-long arrays:
-    //   - the k smallest of (sketchA ∪ sketchB) ARE the k smallest of
-    //     (A ∪ B) — every union-k-min element is below both sets' own
-    //     h_(k), so the arrays are loss-free there;
-    //   - membership of a union-k-min hash in sketchX ⇔ membership in
-    //     SET X (same argument), so ρ = |both|/K over the union sample
-    //     is an EXACT Bernoulli(Jaccard) average, |A∩B| ≈ ρ·est_union.
-    // All state is a pure function of the input sets (k-min + sorted
-    // arrays), so DuckDB rebuilds the sketches relationally and the
-    // estimates hash-match; HOFs run over ≤2k-long arrays on ≤|types|²
-    // pair rows (bounded — the q139/q141 dispensation). exact_union /
-    // exact_intersection are the verification fixtures: at 100 TB those
-    // are corpus-sized distinct-join shuffles, and the pairwise sketch
-    // math replaces them with O(types²·k) driver-free array ops.
+    // q144: KMV SET-OPERATION ESTIMATES, production face — the
+    // Theta-sketch question (audience overlap: |A∪B|, |A∩B|, Jaccard,
+    // both differences between segments) answered at fixed size from
+    // per-type k-min sketches: one events pass builds the sketches,
+    // then [[kmvPairEstimates]] (the shared estimator — math and
+    // citations there) prices every pair from O(types²·k) array ops.
+    // NOTHING ELSE runs: the exact union/intersection/difference
+    // fixtures — corpus-sized distinct-join shuffles at 100 TB — live
+    // in the verificationOnly twin q146 (the q40/q41 MO). All state is
+    // a pure function of the input sets (k-min + sorted arrays), so
+    // DuckDB rebuilds the sketches relationally and the estimates
+    // hash-match.
     Q("q144_kmv_setops",
       (s, dir) => {
-        import graft.functions.{Affine61, KmvSketch, MulMod61, PolyHash61Str}
+        import graft.functions.{Affine61, KmvSketch, PolyHash61Str}
+        val scope = coalesce(col("event_type"), lit("__null__"))
+        val e = t(s, dir, "events")
+          .select(scope.as("t"),
+            coalesce(Affine61.affine61(
+              PolyHash61Str.polyHash61Str(col("user_id").cast("string")),
+              setA, setB), lit(-1L)).as("h"))
+        val sk = e.groupBy(col("t"))
+          .agg(KmvSketch.kmvSketch(col("h"), SetK).as("kmv"))
+        kmvPairEstimates(sk)
+          .select(col("type_a"), col("type_b"),
+            col("est_union"), col("est_intersection"), col("est_jaccard"),
+            col("est_diff_ab"), col("est_diff_ba"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(kmvSetOpsOracleSql),
+      doc = "KMV set-operation estimates per type pair (union/intersection/Jaccard/differences at fixed size, Beyer et al. k-min synopses), sketch passes only; exact fixtures in verificationOnly twin q146."),
+
+    // ------------------------------------------------------------------
+    // q145: SKETCHSTORE ABSORB→ROLLUP UNDER THE ORACLE — the persisted
+    // sketch tier's production path as a registry query (the q143
+    // precedent: persisted state belongs under the gate). The events
+    // table is absorbed into a fresh [[SketchStore]] as three
+    // DETERMINISTIC batches (event_id mod 3) plus an at-least-once
+    // REPLAY of batch 0, then per-scope and global rollups are computed
+    // FROM STATE ONLY — megabytes of registers, no pass over the
+    // absorbed rows. The oracle recomputes both sketch families
+    // relationally from the RAW UNION (the q140/q144 replays): equality
+    // proves end-to-end that state after batched absorption + replay is
+    // the same pure function of the input multiset as a one-shot
+    // build — the materialized-KPI pattern (reference init.sql's
+    // analytics layer) done incrementally, exactly what runs at 100 TB.
+    Q("q145_sketchstore_rollup",
+      (s, dir) => {
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_q145").toString + "/state"
+        val ev = t(s, dir, "events")
+        val bkey = pmod(coalesce(col("event_id"), lit(0L)), lit(3))
+        (0 to 2).foreach(i =>
+          SketchStore.update(s, store, ev.filter(bkey === i)))
+        SketchStore.update(s, store, ev.filter(bkey === 0)) // replay
+        val state = SketchStore.read(s, store)
+        val outCols = Seq(col("scope"), col("zero_regs"), col("est_users"),
+          col("est_lc_micro"), col("est_users_kmv"))
+        SketchStore.rollup(state, Seq("scope")).select(outCols: _*)
+          .unionByName(SketchStore.rollup(state, Seq.empty)
+            .select((lit("__all__").as("scope") +: outCols.tail): _*))
+          .orderBy(col("scope"))
+      },
+      Some(sketchStoreOracleSql),
+      doc = "Persisted per-day sketch state: batched absorb (with at-least-once replay) then per-scope/global rollup from state only; oracle recomputes HLL registers and KMV k-mins relationally from the raw union."),
+
+    // ------------------------------------------------------------------
+    // q146: verificationOnly exact twin of q144 — the same pairwise
+    // estimates PLUS the exact union/intersection/difference columns
+    // from a user-keyed distinct equi-join (inclusion-exclusion for the
+    // union; per-type counts from the full frame so an all-NULL-user
+    // type still pairs up with n = 0 — the q140 grid lesson). At 100×
+    // these exact columns are the corpus-sized shuffle the sketch math
+    // exists to avoid; they stay in the registry as the correctness
+    // anchor for q144's estimates and are excluded from Bench.
+    Q("q146_kmv_setops_exact",
+      (s, dir) => {
+        import graft.functions.{Affine61, KmvSketch, PolyHash61Str}
         val scope = coalesce(col("event_type"), lit("__null__"))
         val e = t(s, dir, "events")
           .select(scope.as("t"), col("user_id"),
@@ -631,14 +732,7 @@ object RelationalExtras {
               setA, setB), lit(-1L)).as("h"))
         val sk = e.groupBy(col("t"))
           .agg(KmvSketch.kmvSketch(col("h"), SetK).as("kmv"))
-          .localCheckpoint() // consumed by both sides of the pair join
-        val pairs = sk.select(col("t").as("type_a"), col("kmv").as("ka"))
-          .join(sk.select(col("t").as("type_b"), col("kmv").as("kb")),
-            col("type_a") < col("type_b"))
-        // exact fixtures: per-pair intersection from a user-keyed
-        // equi-join over the distinct (type, user) set; union via
-        // inclusion-exclusion from the per-type counts — no pair-keyed
-        // union materialization needed
+        val est = kmvPairEstimates(sk)
         val users = e.filter(col("user_id").isNotNull)
           .select(col("t"), col("user_id")).distinct().localCheckpoint()
         val ua = users.select(col("t").as("type_a"), col("user_id"))
@@ -647,48 +741,8 @@ object RelationalExtras {
             Seq("user_id")).filter(col("type_a") < col("type_b"))
           .groupBy(col("type_a"), col("type_b"))
           .agg(count(lit(1)).as("exact_intersection"))
-        // per-type counts from e (not `users`): a type whose users are
-        // all NULL must still pair up with na = 0, not vanish from the
-        // inner join — the q140 grid lesson again
         val cntA = e.groupBy(col("t"))
           .agg(countDistinct(col("user_id")).as("na"))
-        val est = pairs
-          .withColumn("u_all", array_sort(array_distinct(concat(col("ka"), col("kb")))))
-          .withColumn("mu", size(col("u_all")))
-          .withColumn("ku", least(col("mu"), lit(SetK)))
-          .withColumn("u_k", slice(col("u_all"), 1, SetK))
-          .withColumn("common", size(filter(col("u_k"),
-            h => array_contains(col("ka"), h) && array_contains(col("kb"), h))))
-          // one-sided membership over the same union sample prices the
-          // DIFFERENCES (|A∖B|, |B∖A|) — the remaining set-algebra
-          // member, same exact-Bernoulli argument as the intersection
-          .withColumn("onlya", size(filter(col("u_k"),
-            h => array_contains(col("ka"), h) && !array_contains(col("kb"), h))))
-          .withColumn("onlyb", size(filter(col("u_k"),
-            h => array_contains(col("kb"), h) && !array_contains(col("ka"), h))))
-          .withColumn("est_union",
-            when(col("mu") < SetK, col("mu").cast("double"))
-              .otherwise(lit((SetK - 1).toDouble) * lit(MulMod61.P.toDouble)
-                / element_at(col("u_all"), SetK).cast("double")))
-          // ku > 0 guard: a pair of zero-user types has an empty union
-          // sample, and ANSI doubles THROW on 0/0 (the q78 lesson) — no
-          // sample, no estimate (NULL), never a crash. Inert on gate
-          // data (every type has users).
-          .withColumn("est_jaccard",
-            when(col("ku") > 0,
-              col("common").cast("double") / col("ku").cast("double")))
-          .withColumn("est_intersection",
-            when(col("ku") > 0,
-              (col("common").cast("double") * col("est_union"))
-                / col("ku").cast("double")))
-          .withColumn("est_diff_ab",
-            when(col("ku") > 0,
-              (col("onlya").cast("double") * col("est_union"))
-                / col("ku").cast("double")))
-          .withColumn("est_diff_ba",
-            when(col("ku") > 0,
-              (col("onlyb").cast("double") * col("est_union"))
-                / col("ku").cast("double")))
         val exU = cntA.select(col("t").as("type_a"), col("na"))
           .join(cntA.select(col("t").as("type_b"), col("na").as("nb")),
             col("type_a") < col("type_b"))
@@ -707,8 +761,53 @@ object RelationalExtras {
             col("exact_diff_ab"), col("exact_diff_ba"))
           .orderBy(col("type_a"), col("type_b"))
       },
-      Some(kmvSetOpsOracleSql),
-      doc = "KMV set-operation estimates per type pair (union/intersection/Jaccard/differences at fixed size, Beyer et al. k-min synopses); exact columns are the fixtures.")
+      Some(kmvSetOpsExactOracleSql),
+      verificationOnly = true,
+      doc = "Exact-fixture twin of q144: the same sketch estimates joined with exact union/intersection/differences from a distinct user-keyed join. Scale path is q144; this is its correctness anchor."),
+
+    // ------------------------------------------------------------------
+    // q147: verificationOnly proof twin of q142 — per-scope exact_users
+    // fixtures AND the in-row union==direct flag: the '__all__' row
+    // compares the MERGED per-scope registers against a sketch built
+    // DIRECTLY over all rows (sketch-of-union). Equality is structural
+    // (each register is a max over a partition of the same key set) and
+    // is exactly the lemma that licenses q142/q145's rollup pattern —
+    // proven end-to-end under the oracle here, at the cost of the
+    // second events scan the production face refuses to pay.
+    Q("q147_sketch_rollup_proof",
+      (s, dir) => {
+        import graft.functions.HllSketch
+        val scope = coalesce(col("event_type"), lit("__null__"))
+        val hashed = t(s, dir, "events")
+          .select(scope.as("scope"), col("user_id"),
+            coalesce(HllSketch.hash60(col("user_id").cast("string")),
+              lit(-1L)).as("ph"))
+        val per = hashed.groupBy(col("scope"))
+          .agg(HllSketch.hll(col("ph")).as("regs"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .localCheckpoint()
+        val merged = per.agg(HllSketch.hllMerge(col("regs")).as("regs"))
+        val direct = hashed.agg(HllSketch.hll(col("ph")).as("dregs"),
+          countDistinct(col("user_id")).as("exact_users"))
+        val allRow = merged.crossJoin(direct)
+          .select(lit("__all__").as("scope"), col("regs"),
+            col("exact_users"),
+            (col("regs") === col("dregs")).cast("long")
+              .as("union_equals_direct"))
+        val perRows = per.select(col("scope"), col("regs"),
+          col("exact_users"),
+          lit(null).cast("long").as("union_equals_direct"))
+        perRows.unionByName(allRow)
+          .withColumn("hll_sum", expr(HllSketch.sumSql("regs")))
+          .select(col("scope"), col("exact_users"),
+            expr(HllSketch.zerosSql("regs")).cast("long").as("zero_regs"),
+            expr(HllSketch.estRawSql("hll_sum")).as("est_users"),
+            col("union_equals_direct"))
+          .orderBy(col("scope"))
+      },
+      Some(rollupProofOracleSql),
+      verificationOnly = true,
+      doc = "Proof twin of q142: exact_users fixtures + in-row union-of-sketches == sketch-of-union flag (needs a second events scan). Scale path is q142/q145.")
   )
 
   /** The q140 oracle: rebuild the 256 HLL registers relationally — same
@@ -773,15 +872,68 @@ object RelationalExtras {
       ORDER BY o_orderpriority"""
   }
 
-  /** The q142 oracle: rebuild the per-scope registers relationally (the
-    * q140 replay, grid from the raw table), then compute the global
-    * registers BOTH ways — `merged` = max over the per-scope register
-    * grid (union-of-sketches) and `dfull` = max over the raw rows
-    * (sketch-of-union) — and emit their element-wise equality as the
-    * '__all__' row's flag, exactly as the Spark side compares its two
-    * aggregators' outputs.
+  /** The q142 (production face) oracle: rebuild the per-scope registers
+    * relationally (the q140 replay, grid from the raw table), fold the
+    * global registers as a max over the per-scope grid, and emit the
+    * same (zero_regs, raw-estimate) pair per row.
     */
   private def rollupOracleSql: String = {
+    import graft.functions.HllSketch
+    val m = HllSketch.M
+    val rmax = HllSketch.WBits + 1
+    s"""WITH e AS (
+        SELECT coalesce(event_type, '__null__') AS scope,
+               CAST(user_id AS VARCHAR) AS ks
+        FROM events),
+      h AS (
+        SELECT scope, ks, CAST(${HllSketch.sqlHash60("ks")} AS BIGINT) AS ph
+        FROM e WHERE ks IS NOT NULL),
+      r AS (
+        SELECT scope, ph % $m AS bucket,
+               CASE WHEN ph // $m = 0 THEN $rmax
+                    ELSE $rmax - length(format('{:b}', ph // $m)) END AS rho
+        FROM h),
+      regs AS (
+        SELECT scope, bucket, max(rho) AS mr FROM r GROUP BY scope, bucket),
+      grid AS (
+        SELECT scope, j
+        FROM (SELECT DISTINCT scope FROM e),
+             (SELECT unnest(range(0, $m)) AS j)),
+      fullregs AS (
+        SELECT grid.scope, grid.j, coalesce(regs.mr, 0) AS mr
+        FROM grid LEFT JOIN regs
+          ON regs.scope = grid.scope AND regs.bucket = grid.j),
+      s AS (
+        SELECT scope,
+               CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM fullregs GROUP BY scope),
+      merged AS (SELECT j, max(mr) AS mr FROM fullregs GROUP BY j),
+      gs AS (
+        SELECT CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM merged)
+      SELECT scope, zero_regs, ${HllSketch.estRawSql("hsum")} AS est_users
+      FROM s
+      UNION ALL
+      SELECT '__all__' AS scope, zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users
+      FROM gs
+      ORDER BY scope"""
+  }
+
+  /** The q147 (proof twin) oracle: the per-scope replay plus the global
+    * registers computed BOTH ways — `merged` = max over the per-scope
+    * register grid (union-of-sketches) and `dfull` = max over the raw
+    * rows (sketch-of-union) — with their element-wise equality emitted
+    * as the '__all__' row's flag, exactly as the Spark side compares
+    * its two aggregators' outputs.
+    */
+  private def rollupProofOracleSql: String = {
     import graft.functions.HllSketch
     val m = HllSketch.M
     val rmax = HllSketch.WBits + 1
@@ -846,15 +998,39 @@ object RelationalExtras {
       ORDER BY scope"""
   }
 
-  /** The q144 oracle: rebuild each type's k-min sketch relationally
-    * (DISTINCT hashes, row_number ≤ k), take the union sample per pair
-    * with per-hash membership flags, and replay the same estimators —
-    * one saturation CASE, one (a·b)/c chain, literal-for-literal.
+  /** The q144 (production face) oracle: rebuild each type's k-min
+    * sketch relationally (DISTINCT hashes, row_number ≤ k), take the
+    * union sample per pair with per-hash membership flags, and replay
+    * the same estimators — one saturation CASE, one (a·b)/c chain,
+    * literal-for-literal. Shares its CTE prefix with the q146 twin via
+    * [[kmvSetOpsCtes]].
     */
-  private def kmvSetOpsOracleSql: String = {
+  private def kmvSetOpsOracleSql: String =
+    s"""WITH $kmvSetOpsCtes
+      SELECT type_a, type_b, est_union,
+             CASE WHEN ku > 0 THEN
+               (CAST(common AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_intersection,
+             CASE WHEN ku > 0 THEN
+               CAST(common AS DOUBLE) / CAST(ku AS DOUBLE)
+             END AS est_jaccard,
+             CASE WHEN ku > 0 THEN
+               (CAST(onlya AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_diff_ab,
+             CASE WHEN ku > 0 THEN
+               (CAST(onlyb AS DOUBLE) * est_union) / CAST(ku AS DOUBLE)
+             END AS est_diff_ba
+      FROM est
+      ORDER BY type_a, type_b"""
+
+  /** The shared q144/q146 CTE prefix: per-type k-min sketches, the
+    * per-pair union sample with membership flags, the zero-user pair
+    * grid restore, and the saturation-cased union estimate.
+    */
+  private def kmvSetOpsCtes: String = {
     import graft.functions.MulMod61
     val k = SetK
-    s"""WITH e AS (
+    s"""e AS (
         SELECT coalesce(event_type, '__null__') AS t,
                CAST(user_id AS VARCHAR) AS ks
         FROM events),
@@ -909,7 +1085,15 @@ object RelationalExtras {
                CASE WHEN mu < $k THEN CAST(mu AS DOUBLE)
                     ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
                          / CAST(hk AS DOUBLE) END AS est_union
-        FROM pfull),
+        FROM pfull)"""
+  }
+
+  /** The q146 (exact twin) oracle: the shared sketch-estimate CTEs plus
+    * the exact distinct-join fixtures (per-type counts, per-pair
+    * intersection, inclusion-exclusion union).
+    */
+  private def kmvSetOpsExactOracleSql: String =
+    s"""WITH $kmvSetOpsCtes,
       x AS (
         SELECT t, CAST(count(DISTINCT ks) AS BIGINT) AS n
         FROM e GROUP BY t),
@@ -942,5 +1126,105 @@ object RelationalExtras {
       JOIN x xb ON xb.t = est.type_b
       LEFT JOIN xi ON xi.type_a = est.type_a AND xi.type_b = est.type_b
       ORDER BY est.type_a, est.type_b"""
+
+  /** The q145 oracle: recompute BOTH persisted sketch families
+    * relationally from the RAW events union — per-scope and global HLL
+    * registers (the q140 replay, with the linear-counting branch) and
+    * per-scope and global KMV k-mins (the q144 replay) — proving the
+    * batched absorb + at-least-once replay left state identical to a
+    * one-shot build over the same multiset.
+    */
+  private def sketchStoreOracleSql: String = {
+    import graft.functions.{HllSketch, MulMod61}
+    val m = HllSketch.M
+    val rmax = HllSketch.WBits + 1
+    val k = SetK
+    s"""WITH e AS (
+        SELECT coalesce(event_type, '__null__') AS scope,
+               CAST(user_id AS VARCHAR) AS ks
+        FROM events),
+      h AS (
+        SELECT scope, ks, CAST(${HllSketch.sqlHash60("ks")} AS BIGINT) AS ph
+        FROM e WHERE ks IS NOT NULL),
+      r AS (
+        SELECT scope, ph % $m AS bucket,
+               CASE WHEN ph // $m = 0 THEN $rmax
+                    ELSE $rmax - length(format('{:b}', ph // $m)) END AS rho
+        FROM h),
+      regs AS (
+        SELECT scope, bucket, max(rho) AS mr FROM r GROUP BY scope, bucket),
+      grid AS (
+        SELECT scope, j
+        FROM (SELECT DISTINCT scope FROM e),
+             (SELECT unnest(range(0, $m)) AS j)),
+      fullregs AS (
+        SELECT grid.scope, grid.j, coalesce(regs.mr, 0) AS mr
+        FROM grid LEFT JOIN regs
+          ON regs.scope = grid.scope AND regs.bucket = grid.j),
+      s AS (
+        SELECT scope,
+               CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM fullregs GROUP BY scope),
+      merged AS (SELECT j, max(mr) AS mr FROM fullregs GROUP BY j),
+      gs AS (
+        SELECT CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM merged),
+      kh AS (
+        SELECT DISTINCT scope,
+               CAST(($setA::HUGEINT * ${MulMod61.sqlPh61("ks")} + $setB)
+                    % ${MulMod61.P} AS BIGINT) AS kv
+        FROM e WHERE ks IS NOT NULL),
+      kr AS (
+        SELECT scope, kv,
+               row_number() OVER (PARTITION BY scope ORDER BY kv) AS rn
+        FROM kh),
+      kc AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rn = $k THEN kv END) AS hk
+        FROM kr GROUP BY scope),
+      kscope AS (
+        SELECT g.scope,
+               CASE WHEN coalesce(kc.n, 0) < $k
+                    THEN CAST(coalesce(kc.n, 0) AS DOUBLE)
+                    ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
+                         / CAST(kc.hk AS DOUBLE) END AS est_kmv
+        FROM (SELECT DISTINCT scope FROM e) g
+        LEFT JOIN kc ON kc.scope = g.scope),
+      gkr AS (
+        SELECT kv, row_number() OVER (ORDER BY kv) AS rn
+        FROM (SELECT DISTINCT kv FROM kh)),
+      gk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rn = $k THEN kv END) AS hk
+        FROM gkr),
+      gkv AS (
+        SELECT CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+                    ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
+                         / CAST(hk AS DOUBLE) END AS est_kmv
+        FROM gk)
+      SELECT s.scope, zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users,
+             CASE WHEN zero_regs > 0 THEN
+               CAST(floor(ln($m.0 / CAST(zero_regs AS DOUBLE))
+                          * ${m}000000.0) AS BIGINT)
+             END AS est_lc_micro,
+             kscope.est_kmv AS est_users_kmv
+      FROM s JOIN kscope ON kscope.scope = s.scope
+      UNION ALL
+      SELECT '__all__' AS scope, gs.zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users,
+             CASE WHEN gs.zero_regs > 0 THEN
+               CAST(floor(ln($m.0 / CAST(gs.zero_regs AS DOUBLE))
+                          * ${m}000000.0) AS BIGINT)
+             END AS est_lc_micro,
+             gkv.est_kmv AS est_users_kmv
+      FROM gs, gkv
+      ORDER BY scope"""
   }
 }

@@ -5,57 +5,78 @@ import org.apache.spark.sql.functions._
 
 /** Persisted per-day sketch state — the durable-index MO (DedupIndex /
   * SpanIndex / CanonicalMap) applied to the sketch tier: one HLL
-  * register array per (day, scope) kept as a DAY-PARTITIONED parquet
-  * table, incrementally absorbed batch by batch, with every rollup
-  * (per-scope, per-day, global) computed from O(days·scopes·m) bytes of
-  * state and NO pass over historical rows. q142 proves
-  * union-of-sketches == sketch-of-union under the oracle; this is the
-  * production face that exploits it: at 100 TB the events history is
-  * unreadably large, but the state table is a few megabytes and every
-  * distinct-users dashboard question is a register fold.
+  * register array AND one KMV k-min array per (day, scope) kept as a
+  * DAY-PARTITIONED parquet table, incrementally absorbed batch by
+  * batch, with every rollup (per-scope, per-day, global) computed from
+  * O(days·scopes·(m+k)) bytes of state and NO pass over historical
+  * rows. q142 proves union-of-sketches == sketch-of-union under the
+  * oracle and q145 puts THIS store's absorb→rollup path under it; at
+  * 100 TB the events history is unreadably large, but the state table
+  * is a few megabytes and every distinct-users dashboard question is a
+  * register fold.
   *
-  * Update semantics make replay FREE: the stored array is an
-  * element-wise MAX over everything absorbed, and max is idempotent —
-  * re-absorbing a delivered-twice batch leaves the state bit-identical
+  * Two column families, one absorb path:
+  *   - `regs` (HLL, q140/q142 conventions) answers per-scope / global
+  *     distinct counts;
+  *   - `kmv` (k-min values, q144's EXACT hash family [[RelationalExtras
+  *     .setA]]/[[RelationalExtras.setB]], k = [[RelationalExtras.SetK]])
+  *     additionally answers SET ALGEBRA between scopes
+  *     ([[setOpsFromState]] — audience overlap from durable state, the
+  *     same pairwise estimator as q144 via one shared definition).
+  *     Sharing the family is deliberate: the store persists the SAME
+  *     measurement q144 computes in-query, so state-derived sketches
+  *     are bit-identical to in-query ones (SketchStoreSpec pins it).
+  *
+  * Update semantics make replay FREE: the stored register array is an
+  * element-wise MAX and the kmv array a k-smallest-distinct SET MIN
+  * over everything absorbed — both idempotent — so re-absorbing a
+  * delivered-twice batch leaves the state bit-identical
   * (SketchStoreSpec pins it). That is why the state deliberately holds
-  * ONLY registers: an exact row counter alongside them would double on
+  * ONLY sketches: an exact row counter alongside them would double on
   * replay and need the batch-id bookkeeping DocStream carries; the
-  * sketch alone is exactly-once for free under at-least-once delivery.
+  * sketch tier alone is exactly-once for free under at-least-once
+  * delivery.
   *
   * Scale shape: an update touches ONLY the partitions of the days in
   * the batch (dynamic partition overwrite — untouched day directories
   * are not rewritten, spec-pinned by file listing), and a single-day
   * read prunes to that partition (spec-pinned from the physical plan's
-  * PartitionFilters). Merge cost is O(batch days · scopes · m).
+  * PartitionFilters). Merge cost is O(batch days · scopes · (m + k)).
   */
 object SketchStore {
 
-  /** Per-(day, scope) HLL register arrays for an events frame — the
-    * q140/q142 hash and sentinel conventions (md5 60-bit key hash;
-    * NULL users skipped; NULL event types keep their own '__null__'
-    * scope).
+  /** Per-(day, scope) HLL register + KMV k-min arrays for an events
+    * frame — the q140/q142 hash and sentinel conventions for the HLL
+    * side (md5 60-bit key hash; NULL users skipped; NULL event types
+    * keep their own '__null__' scope) and q144's affine∘polyhash family
+    * for the KMV side.
     */
   def batchSketches(events: DataFrame): DataFrame = {
-    import graft.functions.HllSketch
+    import graft.functions.{Affine61, HllSketch, KmvSketch, PolyHash61Str}
     events
       .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
         coalesce(col("event_type"), lit("__null__")).as("scope"),
         coalesce(HllSketch.hash60(col("user_id").cast("string")),
-          lit(-1L)).as("ph"))
+          lit(-1L)).as("ph"),
+        coalesce(Affine61.affine61(
+          PolyHash61Str.polyHash61Str(col("user_id").cast("string")),
+          RelationalExtras.setA, RelationalExtras.setB), lit(-1L)).as("kh"))
       .groupBy(col("day"), col("scope"))
-      .agg(HllSketch.hll(col("ph")).as("regs"))
+      .agg(HllSketch.hll(col("ph")).as("regs"),
+        KmvSketch.kmvSketch(col("kh"), RelationalExtras.SetK).as("kmv"))
   }
 
   /** Absorb one events batch into the persisted state at `storeDir`:
-    * read ONLY the touched days' existing registers (left-semi on the
-    * batch's day set — no driver-side day list), fold old and new by
-    * element-wise max, and dynamically overwrite just those day
-    * partitions. Safe against the read-own-path overwrite hazard via
-    * localCheckpoint (the q63 convention: checkpoint blocks are
-    * ContextCleaner-tracked, unlike cache pins).
+    * read ONLY the touched days' existing sketches (left-semi on the
+    * batch's day set — no driver-side day list), fold old and new
+    * (element-wise max for registers, k-smallest-distinct for kmv),
+    * and dynamically overwrite just those day partitions. Safe against
+    * the read-own-path overwrite hazard via localCheckpoint (the q63
+    * convention: checkpoint blocks are ContextCleaner-tracked, unlike
+    * cache pins).
     */
   def update(spark: SparkSession, storeDir: String, events: DataFrame): Unit = {
-    import graft.functions.HllSketch
+    import graft.functions.{HllSketch, KmvSketch}
     val batch = batchSketches(events)
     val merged =
       if (exists(spark, storeDir)) {
@@ -63,7 +84,8 @@ object SketchStore {
           .join(batch.select(col("day")).distinct(), Seq("day"), "left_semi")
         touched.unionByName(batch)
           .groupBy(col("day"), col("scope"))
-          .agg(HllSketch.hllMerge(col("regs")).as("regs"))
+          .agg(HllSketch.hllMerge(col("regs")).as("regs"),
+            KmvSketch.kmvMerge(col("kmv"), RelationalExtras.SetK).as("kmv"))
       } else batch
     merged.localCheckpoint() // materialize before overwriting the source
       .write
@@ -79,26 +101,44 @@ object SketchStore {
     fs.exists(p)
   }
 
-  /** The persisted state: (day, scope, regs). */
+  /** The persisted state: (day, scope, regs, kmv). An absorbed-nothing
+    * store (every batch empty — a partitioned write of zero rows leaves
+    * only _SUCCESS, which parquet cannot infer a schema from) reads as
+    * an empty frame of the state schema instead of throwing — the
+    * EmptyInputSpec sweep's no-crash contract.
+    */
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
-      .select(col("day").cast("string").as("day"), col("scope"), col("regs"))
+    try
+      spark.read.parquet(storeDir)
+        .select(col("day").cast("string").as("day"), col("scope"),
+          col("regs"), col("kmv"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("day", StringType),
+            StructField("scope", StringType),
+            StructField("regs", ArrayType(LongType)),
+            StructField("kmv", ArrayType(LongType)))))
+    }
 
   /** Roll the state up to `keys` (e.g. Seq("scope") for all-time
     * per-scope, Seq("day") for per-day all-scopes, Seq() for global):
-    * one register fold over state rows, then the q140 estimator pair —
-    * the raw HLL estimate plus the small-range linear-counting branch
-    * (`zero_regs` / `est_lc_micro`), so a consumer always has the
-    * applicable estimator.
+    * one sketch fold over state rows, then the estimator set — the raw
+    * HLL estimate plus the small-range linear-counting branch
+    * (`zero_regs` / `est_lc_micro`, the q140 pair) and the KMV
+    * (k−1)·p/h₍ₖ₎ estimate (`est_users_kmv`, exact while unsaturated),
+    * so a consumer always has the applicable estimator.
     */
   def rollup(state: DataFrame, keys: Seq[String]): DataFrame = {
-    import graft.functions.{HllSketch, MathLn}
+    import graft.functions.{HllSketch, KmvSketch, MathLn}
+    val aggs = Seq(HllSketch.hllMerge(col("regs")).as("regs"),
+      KmvSketch.kmvMerge(col("kmv"), RelationalExtras.SetK).as("kmv"))
     val grouped =
-      if (keys.isEmpty)
-        state.agg(HllSketch.hllMerge(col("regs")).as("regs"))
-      else
-        state.groupBy(keys.map(col): _*)
-          .agg(HllSketch.hllMerge(col("regs")).as("regs"))
+      if (keys.isEmpty) state.agg(aggs.head, aggs.tail: _*)
+      else state.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val est = grouped
       .withColumn("hll_sum", expr(HllSketch.sumSql("regs")))
       .withColumn("zero_regs", expr(HllSketch.zerosSql("regs")).cast("long"))
@@ -108,7 +148,27 @@ object SketchStore {
           floor(MathLn.ln(lit(HllSketch.M.toDouble) /
             col("zero_regs").cast("double")) *
             lit(HllSketch.M * 1000000.0)).cast("long")))
+      .withColumn("est_users_kmv",
+        KmvSketch.estimate(col("kmv"), RelationalExtras.SetK))
       .drop("hll_sum")
     if (keys.isEmpty) est else est.orderBy(keys.map(col): _*)
+  }
+
+  /** Audience overlap FROM DURABLE STATE: fold each scope's per-day kmv
+    * arrays into its all-time sketch, then run the q144 pairwise
+    * set-operation estimator over the scope sketches — the SAME
+    * definition ([[RelationalExtras.kmvPairEstimates]]), so the only
+    * difference from q144 is where the sketches come from (megabytes of
+    * state vs a pass over raw events). Because kmv state is a pure
+    * set-min of the same hash family, the two routes produce
+    * bit-identical estimates (SketchStoreSpec pins it) — the
+    * incremental story q142 gives distinct-users, extended to
+    * union/intersection/Jaccard/differences.
+    */
+  def setOpsFromState(state: DataFrame): DataFrame = {
+    import graft.functions.KmvSketch
+    val perScope = state.groupBy(col("scope").as("t"))
+      .agg(KmvSketch.kmvMerge(col("kmv"), RelationalExtras.SetK).as("kmv"))
+    RelationalExtras.kmvPairEstimates(perScope)
   }
 }

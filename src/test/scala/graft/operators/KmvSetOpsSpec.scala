@@ -21,6 +21,9 @@ class KmvSetOpsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def q144 = graft.SparkEntry.queries("q144_kmv_setops")
+  // the fixture-bearing tests run the q146 exact twin (est + exact
+  // columns side by side); the production face q144 carries est only
+  private def q146 = graft.SparkEntry.queries("q146_kmv_setops_exact")
 
   test("unsaturated pairs (small fixture): estimates are EXACT set operations") {
     // 3 types over 40 users with known overlaps; every |union| < k=256
@@ -36,7 +39,7 @@ class KmvSetOpsSpec extends AnyFunSuite {
       }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
-    val out = q144(spark, dir).collect()
+    val out = q146(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(out.size == 3)
     def check(a: String, b: String, union: Long, inter: Long,
@@ -60,7 +63,7 @@ class KmvSetOpsSpec extends AnyFunSuite {
   }
 
   test("sf0.01: saturated estimates sit within a statistical band of the exact fixtures") {
-    val rows = q144(spark, "/root/testdata/sf0.01").collect()
+    val rows = q146(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (estU, estI) = (r.getDouble(2), r.getDouble(3))

@@ -432,12 +432,24 @@ class PlanSpec extends AnyFunSuite {
     // per task, never per-type rows re-derived from events
     assert(plan.contains("partial_mergeagg"), plan.take(4000))
     // the per-type sketch frame is checkpointed and consumed twice
-    // (output rows + rollup); the only parquet scan left is the direct
-    // proof twin — a second events scan means the q125 reuse break
-    // regressed
+    // (output rows + rollup); since the direct proof moved to the
+    // verificationOnly twin q147, the production face has ZERO parquet
+    // scans left in its final plan — everything reads the checkpointed
+    // O(types) sketch rows. A parquet scan here means either the q125
+    // reuse break regressed or an exact/proof pass crept back in.
     val scans = "FileScan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 events scan (direct twin), got $scans:\n${plan.take(4000)}")
+    assert(scans == 0, s"expected 0 events scans, got $scans:\n${plan.take(4000)}")
     assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
       plan.take(4000))
+  }
+
+  test("q145: rollup-from-state reads ONLY the store — never the absorbed events") {
+    val plan = planOf("q145_sketchstore_rollup")
+    // the emitted frame folds persisted sketch rows: its scans must be
+    // the state table's parquet (path under java.io.tmpdir), not the
+    // events table — a scan of events.parquet here means the "from
+    // state only" contract silently regressed to a recompute
+    assert(!plan.contains("events.parquet"), plan.take(4000))
+    assert(plan.contains("partial_mergeagg"), plan.take(4000))
   }
 }

@@ -4,15 +4,21 @@ import graft.TestSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The persisted sketch store's load-bearing properties:
-  *   - incremental absorption == one-shot build (register state is a
+/** The persisted sketch store's load-bearing properties, for BOTH
+  * column families (HLL registers + KMV k-mins):
+  *   - incremental absorption == one-shot build (sketch state is a
   *     pure function of the absorbed row set, however it was batched);
-  *   - replay idempotence FOR FREE (max-merge): re-absorbing a batch
-  *     leaves the state bit-identical — no batch-id bookkeeping;
+  *   - replay idempotence FOR FREE (max-merge / set-min): re-absorbing
+  *     a batch leaves the state bit-identical — no batch-id
+  *     bookkeeping;
   *   - rollups from state == direct sketches over all rows (q142's
   *     equality, exploited against durable state);
+  *   - audience overlap from state == q144's in-query estimates
+  *     (the shared kmvPairEstimates definition over identical sketches);
   *   - an update rewrites ONLY the touched day partitions;
-  *   - a single-day read prunes to that partition (physical plan).
+  *   - a single-day read prunes to that partition (physical plan);
+  *   - an absorbed-nothing store reads as an empty typed frame, not a
+  *     schema-inference crash.
   */
 class SketchStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -22,9 +28,11 @@ class SketchStoreSpec extends AnyFunSuite {
 
   private def events = spark.read.parquet(srcDir)
 
-  private def stateMap(dir: String): Map[(String, String), Seq[Long]] =
+  private def stateMap(dir: String)
+      : Map[(String, String), (Seq[Long], Seq[Long])] =
     SketchStore.read(spark, dir).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getSeq[Long](2), r.getSeq[Long](3))).toMap
 
   /** Partition-dir file listing (path -> length) for change detection. */
   private def listing(dir: String): Map[String, Long] = {
@@ -40,45 +48,79 @@ class SketchStoreSpec extends AnyFunSuite {
     val batches = (0 to 2).map(i => events.filter($"event_id" % 3 === i))
     batches.foreach(b => SketchStore.update(spark, dir, b))
     val incremental = stateMap(dir)
-    // one-shot reference over the same rows
+    // one-shot reference over the same rows — BOTH sketch families
     val oneShot = SketchStore.batchSketches(events).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getSeq[Long](2), r.getSeq[Long](3))).toMap
     assert(incremental == oneShot,
-      "incrementally absorbed registers must equal the one-shot build")
+      "incrementally absorbed sketches must equal the one-shot build")
     // at-least-once delivery: replaying batch 1 changes NOTHING
     SketchStore.update(spark, dir, batches(1))
     assert(stateMap(dir) == incremental, "replay must be value-idempotent")
   }
 
   test("rollups from state equal direct sketches over all rows") {
-    import graft.functions.HllSketch
+    import graft.functions.{Affine61, HllSketch, KmvSketch, PolyHash61Str}
     val dir = java.nio.file.Files.createTempDirectory("graft_sksr").toString + "/state"
     (0 to 2).foreach(i =>
       SketchStore.update(spark, dir, events.filter($"event_id" % 3 === i)))
     val state = SketchStore.read(spark, dir)
-    // per-scope rollup vs direct per-scope sketch over the raw rows
+    // per-scope rollup vs direct per-scope sketches over the raw rows
     val rolled = SketchStore.rollup(state, Seq("scope"))
-      .select($"scope", $"regs").collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      .select($"scope", $"regs", $"kmv").collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
     val direct = events
       .select(coalesce($"event_type", lit("__null__")).as("scope"),
-        coalesce(HllSketch.hash60($"user_id".cast("string")), lit(-1L)).as("ph"))
-      .groupBy($"scope").agg(HllSketch.hll($"ph").as("regs"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+        coalesce(HllSketch.hash60($"user_id".cast("string")), lit(-1L)).as("ph"),
+        coalesce(Affine61.affine61(
+          PolyHash61Str.polyHash61Str($"user_id".cast("string")),
+          RelationalExtras.setA, RelationalExtras.setB), lit(-1L)).as("kh"))
+      .groupBy($"scope")
+      .agg(HllSketch.hll($"ph").as("regs"),
+        KmvSketch.kmvSketch($"kh", RelationalExtras.SetK).as("kmv"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
     assert(rolled == direct)
-    // global rollup vs direct global sketch
+    // global rollup vs direct global sketches
     val g = SketchStore.rollup(state, Seq.empty).collect()(0)
     val gDirect = events
-      .select(coalesce(HllSketch.hash60($"user_id".cast("string")), lit(-1L)).as("ph"))
-      .agg(HllSketch.hll($"ph").as("regs")).collect()(0).getSeq[Long](0)
-    assert(g.getSeq[Long](g.fieldIndex("regs")) == gDirect)
-    // the estimator pair rides along (q140 convention)
+      .select(
+        coalesce(HllSketch.hash60($"user_id".cast("string")), lit(-1L)).as("ph"),
+        coalesce(Affine61.affine61(
+          PolyHash61Str.polyHash61Str($"user_id".cast("string")),
+          RelationalExtras.setA, RelationalExtras.setB), lit(-1L)).as("kh"))
+      .agg(HllSketch.hll($"ph").as("regs"),
+        KmvSketch.kmvSketch($"kh", RelationalExtras.SetK).as("kmv"))
+      .collect()(0)
+    assert(g.getSeq[Long](g.fieldIndex("regs")) == gDirect.getSeq[Long](0))
+    assert(g.getSeq[Long](g.fieldIndex("kmv")) == gDirect.getSeq[Long](1))
+    // the estimator set rides along (q140 convention + the KMV member)
     assert(!g.isNullAt(g.fieldIndex("est_users")))
+    assert(!g.isNullAt(g.fieldIndex("est_users_kmv")))
     val zr = g.getLong(g.fieldIndex("zero_regs"))
     if (zr > 0) {
       val exp = math.floor(Math.log(256.0 / zr) * 256000000.0).toLong
       assert(g.getLong(g.fieldIndex("est_lc_micro")) == exp)
     }
+  }
+
+  test("audience overlap from state is bit-identical to q144's in-query estimates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skso").toString + "/state"
+    (0 to 2).foreach(i =>
+      SketchStore.update(spark, dir, events.filter($"event_id" % 3 === i)))
+    val fromState = SketchStore.setOpsFromState(SketchStore.read(spark, dir))
+      .select($"type_a", $"type_b", $"est_union", $"est_intersection",
+        $"est_jaccard", $"est_diff_ab", $"est_diff_ba")
+      .orderBy($"type_a", $"type_b")
+      .collect().map(_.toSeq).toSeq
+    val inQuery = graft.SparkEntry
+      .queries("q144_kmv_setops")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    // same hash family, pure set-min state ⇒ the durable-state route
+    // and the one-pass in-query route yield IDENTICAL estimates — the
+    // incremental story q142 gives distinct-users, extended to set ops
+    assert(fromState.nonEmpty)
+    assert(fromState == inQuery)
   }
 
   test("an update rewrites only the touched day partitions") {
@@ -109,5 +151,17 @@ class SketchStoreSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters:") && plan.contains("2024-01-15"),
       s"day filter not pushed to partition pruning:\n${plan.take(2000)}")
+  }
+
+  test("an absorbed-nothing store reads as an empty typed frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skse").toString + "/state"
+    SketchStore.update(spark, dir, events.filter(lit(false)))
+    val state = SketchStore.read(spark, dir)
+    assert(state.columns.toSeq == Seq("day", "scope", "regs", "kmv"))
+    assert(state.count() == 0)
+    // and the global rollup over it is a well-formed empty-sketch row
+    val g = SketchStore.rollup(state, Seq.empty).collect()(0)
+    assert(g.getLong(g.fieldIndex("zero_regs")) == 256L)
+    assert(g.getDouble(g.fieldIndex("est_users_kmv")) == 0.0)
   }
 }
