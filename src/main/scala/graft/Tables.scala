@@ -71,8 +71,23 @@ object Tables {
   * result schemas align across engines.
   */
 object Cols {
-  /** Exact decimal view of a 2-dp money/measure double. */
-  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact decimal view of a 2-dp money/measure double — RANGE-GUARDED.
+    * Under ANSI, double→decimal maps NaN/±Inf to NULL but THROWS on a
+    * FINITE value beyond the target range (NUMERIC_VALUE_OUT_OF_RANGE;
+    * the sixteenth sweep's round-13 finite-overflow class, ±1e300).
+    * The between() guard sends that class to NULL as well — non-finites
+    * fail the comparison too, so they keep their NULL route — making
+    * the whole non-representable double class NULL uniformly. Inert on
+    * gate data (every money value sits far inside ±1e10), so the
+    * DuckDB oracles' unconditional CAST stays op-for-op equivalent
+    * there; the bound stops short of DECIMAL(12,2)'s half-up rounding
+    * edge at 9999999999.995.
+    */
+  def dec(c: Column): Column = {
+    import org.apache.spark.sql.functions.when
+    when(c.between(-9999999999.99, 9999999999.99), c)
+      .cast(DecimalType(12, 2))
+  }
   def dbl(c: Column): Column = c.cast(DoubleType)
   def i32(c: Column): Column = c.cast(IntegerType)
   def i64(c: Column): Column = c.cast(LongType)

@@ -51,7 +51,9 @@ object EventStream {
         // exact distinct is unsupported on streams; HLL sketches merge
         // associatively so stream and batch agree bit-for-bit
         approx_count_distinct(col("user_id")).as("unique_users"),
-        sum(col("value").cast("decimal(12,2)")).cast("double")
+        // graft.Cols.dec: range-guarded decimal route — a finite value
+        // beyond DECIMAL(12,2) would THROW under ANSI mid-stream
+        sum(graft.Cols.dec(col("value"))).cast("double")
           .as("total_value"))
       .select(
         col("window.start").as("window_start"),
@@ -71,7 +73,7 @@ object EventStream {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double")
+        sum(graft.Cols.dec(col("value"))).cast("double")
           .as("session_value"))
       .select(
         col("session_window.start").as("session_start"),

@@ -23,8 +23,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * order-hostile: it compares false with everything, so filters pass it
   * through, while Spark SORTS it greater than +Inf.
   *
+  * Round 13 added the FINITE-OVERFLOW class (±1e300): unlike NaN/Inf,
+  * which ANSI maps to NULL on double→decimal, a finite value beyond the
+  * target DECIMAL's range THROWS — so every decimal route needs either
+  * a range guard or try_cast, not just a finiteness guard.
+  *
   * Keys, dates, and category strings stay intact (the poison is keyed
-  * on the row's own primary key mod 6, slots 5 keeping the original
+  * on the row's own primary key mod 8, slot 7 keeping the original
   * value), so joins and group-bys still exercise their real paths. A
   * query may return fewer rows, NULLs, or NaN-valued outputs — it must
   * never throw.
@@ -32,13 +37,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class AdversarialNumericSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  /** Rotate `c` through the IEEE poison set keyed by `key` mod 6. */
+  /** Rotate `c` through the IEEE poison set keyed by `key` mod 8.
+    * Slots 5/6 (±1e300) are the round-13 addition: a FINITE double far
+    * outside every DECIMAL(p,s) range — it passes every isNotNull and
+    * isnan/isinf guard, then ANSI double→decimal THROWS
+    * (NUMERIC_VALUE_OUT_OF_RANGE) instead of the NULL that non-finites
+    * map to. The stream-face bottom-k crash that motivated it was
+    * exactly this class (fixed with try_cast; commit f30508d).
+    */
   private def poison(c: Column, key: Column): Column =
-    when(key % 6 === 0, lit(Double.NaN))
-      .when(key % 6 === 1, lit(Double.PositiveInfinity))
-      .when(key % 6 === 2, lit(Double.NegativeInfinity))
-      .when(key % 6 === 3, lit(java.lang.Double.MIN_VALUE)) // subnormal
-      .when(key % 6 === 4, lit(-0.0))
+    when(key % 8 === 0, lit(Double.NaN))
+      .when(key % 8 === 1, lit(Double.PositiveInfinity))
+      .when(key % 8 === 2, lit(Double.NegativeInfinity))
+      .when(key % 8 === 3, lit(java.lang.Double.MIN_VALUE)) // subnormal
+      .when(key % 8 === 4, lit(-0.0))
+      .when(key % 8 === 5, lit(1e300))  // finite, overflows every DECIMAL
+      .when(key % 8 === 6, lit(-1e300))
       .otherwise(c)
 
   private lazy val poisonDir: String = {
@@ -68,7 +82,7 @@ class AdversarialNumericSpec extends AnyFunSuite {
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-    test(s"$name is total with NaN/Inf/subnormal/-0.0 numeric columns") {
+    test(s"$name is total with NaN/Inf/subnormal/-0.0/finite-overflow numeric columns") {
       fn(spark, poisonDir).collect() // must not throw
     }
 }
