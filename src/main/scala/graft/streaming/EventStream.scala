@@ -276,6 +276,40 @@ object EventStream {
   def readSink(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch_id")
 
+  /** Stream → durable sketch state: each micro-batch of raw events is
+    * absorbed into [[graft.operators.SketchStore]] via foreachBatch —
+    * the streaming ingest face of the persisted sketch tier (q145's
+    * absorb path fed by a stream instead of a batch job). No transform
+    * state lives in the stream itself: the STORE is the state, and its
+    * max/set-min merge semantics make the sink idempotent under
+    * Structured Streaming's at-least-once batch replay — a redelivered
+    * micro-batch re-absorbs to bit-identical state, so this sink gets
+    * exactly-once for free WITHOUT [[runToParquet]]'s overwrite-by-
+    * batch-id discipline (which exists because row appends are not
+    * idempotent; sketch merges are). After any prefix of micro-batches
+    * the store equals a one-shot absorb of the same rows
+    * (EventStreamSpec pins it, including a full fresh-checkpoint
+    * redelivery). Blocks until the source drains.
+    */
+  def absorbToStore(spark: SparkSession, srcDir: String, storeDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+    val src = spark.readStream.schema(schema)
+    val withTrigger =
+      if (maxFilesPerTrigger > 0)
+        src.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else src
+    val q = withTrigger.parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SketchStore.update(batch.sparkSession, storeDir, batch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Exactly-once event dedup on a stream: drop event_id duplicates that
     * arrive within the watermark window (at-least-once sources — Kafka
     * redeliveries, retried producers — made idempotent at ingest).

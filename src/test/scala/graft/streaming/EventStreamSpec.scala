@@ -216,6 +216,35 @@ class EventStreamSpec extends AnyFunSuite {
       spark.read.schema(EventStream.schema).parquet(s"$dir/drop")))
   }
 
+  test("absorbToStore: stream-absorbed sketch state == one-shot batch absorb; full redelivery is a no-op") {
+    import graft.operators.SketchStore
+    val root = Files.createTempDirectory("graft_stream_store").toString
+    val store = s"$root/state"
+    // one file per micro-batch so the store is built across MANY
+    // incremental absorbs, not one
+    val src = spark.read.schema(EventStream.schema).parquet(srcDir)
+    src.repartition(5).write.parquet(s"$root/drops")
+    EventStream.absorbToStore(spark, s"$root/drops", store,
+      s"$root/ckpt1", maxFilesPerTrigger = 1)
+    def state(): Map[(String, String), (Seq[Long], Seq[Long])] =
+      SketchStore.read(spark, store).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getSeq[Long](2), r.getSeq[Long](3))).toMap
+    val streamed = state()
+    // one-shot reference over the same rows — both sketch families
+    val oneShot = SketchStore.batchSketches(src).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getSeq[Long](2), r.getSeq[Long](3))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot,
+      "stream-absorbed state must equal the one-shot batch absorb")
+    // worst-case at-least-once: a FRESH checkpoint re-delivers every
+    // micro-batch; sketch-merge idempotence must leave state identical
+    EventStream.absorbToStore(spark, s"$root/drops", store,
+      s"$root/ckpt2", maxFilesPerTrigger = 1)
+    assert(state() == streamed, "full redelivery must be a no-op")
+  }
+
   test("foreachBatch parquet sink: checkpointed write lands every closed window") {
     val out = Files.createTempDirectory("graft_fes").toString
     EventStream.runToParquet(spark, srcDir, s"$out/data", s"$out/ckpt",
