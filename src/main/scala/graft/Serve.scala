@@ -87,8 +87,10 @@ object Serve {
     "public_users_rollup" -> "q142_sketch_rollup",
     "public_corpus_deploy_gate" -> "q143_frozen_deploy",
     "public_audience_overlap" -> "q144_kmv_setops",
-    // round-13: the persisted sketch store's rollup face
-    "public_users_rollup_store" -> "q145_sketchstore_rollup")
+    // round-13: the persisted sketch store's rollup face + the
+    // weighted quantile member
+    "public_users_rollup_store" -> "q145_sketchstore_rollup",
+    "public_price_quantiles_weighted" -> "q148_weighted_quantiles")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

@@ -1370,7 +1370,8 @@ object TrainingQueries {
       (s, dir) => qualityClassifierFull(t(s, dir, "documents"), QcRounds),
       Some(qcOracleSql(QcRounds, QcFullSql)),
       doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
-  ) ++ histQuantileQueries ++ bottomKQuantileQueries ++ frozenDeployQueries
+  ) ++ histQuantileQueries ++ weightedHistQuantileQueries ++
+    bottomKQuantileQueries ++ frozenDeployQueries
 
   /** q139: HISTOGRAM QUANTILE SKETCH — the mergeable SCALE path for
     * percentiles that, unlike `approx_percentile`'s t-digest (engine-
@@ -1455,6 +1456,132 @@ object TrainingQueries {
       Some(histQuantOracleSql),
       doc = "Mergeable fixed-bin histogram quantile sketch (integer-cent bins, <=B rows shuffled per group); error bound emitted with the estimates.")
   )
+
+  /** q148: WEIGHTED histogram quantiles — the weight-biased member of
+    * the quantile family (q139 = unweighted known-domain, q141 =
+    * unweighted unknown-domain, q148 = weighted known-domain), the
+    * NOTES r12 candidate. Answers "the median price per UNIT SOLD":
+    * the smallest value v whose cumulative weight reaches q·W — each
+    * row contributes its l_quantity, not 1, so a 50-unit line moves
+    * the quantile 50× more than a single-unit line. Identical
+    * two-pass sketch shape as q139 with every COUNT replaced by a SUM
+    * of integer weight units (quantity-cents, the same decimal route
+    * as the values — a weight is data too and gets the same
+    * exactness/totality treatment): pass 1 per-group (min, max, W);
+    * pass 2 bins weight mass; the estimate interpolates inside the
+    * first bin whose cumulative weight reaches q·W, so the error
+    * against the exact weighted type-1 quantile is structurally ≤ one
+    * bin width (both lie in the same bin — emitted as
+    * `err_bound_cents`, WeightedHistQuantilesSpec pins it). State is
+    * still ≤ B SUM cells per group — a pure function of the input
+    * multiset, mergeable, ≤ B rows crossing the shuffle after
+    * map-side combine.
+    *
+    * Overflow audit (the IdSum discipline): w ≤ 5000 quantity-cents
+    * per row ⇒ W ≤ 5·10¹⁵ even at 10¹² rows; 100·cum and q·W stay
+    * under 10¹⁸; the one product that can exceed long range —
+    * binwidth·num — runs in decimal(38,0)/HUGEINT with the exact
+    * remainder-subtract division, exactly as q139.
+    * Weights must be POSITIVE to carry quantile mass: w NULL (hostile
+    * non-finite quantity through the guarded decimal route) or w ≤ 0
+    * rows are excluded on BOTH engines.
+    */
+  private def weightedHistQuantileQueries: Seq[Q] = Seq(
+    Q("q148_weighted_quantiles",
+      (s, dir) => {
+        val v = t(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag"),
+            (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"),
+            (dec(col("l_quantity")) * lit(100)).cast("long").as("w"))
+          .filter(col("c").isNotNull && col("w") > 0)
+        val b = v.groupBy(col("l_returnflag"))
+          .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+            sum(col("w")).as("wtot"))
+          .withColumn("span", col("maxc") - col("minc") + lit(1L))
+        val h = v.join(broadcast(b), Seq("l_returnflag"))
+          .withColumn("bin", expr(s"((c - minc) * $HistBins) div span"))
+          .groupBy(col("l_returnflag"), col("bin"))
+          .agg(sum(col("w")).as("binw"))
+        val cum = h.withColumn("cum", sum(col("binw"))
+          .over(Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))))
+        val first = cum.join(broadcast(b), Seq("l_returnflag"))
+          .withColumn("q", explode(array(HistQs.map(lit(_)): _*)))
+          .filter(expr("100L * cum >= q * wtot"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("l_returnflag"), col("q")).orderBy(col("bin"))))
+          .filter(col("rn") === 1)
+        val est = first
+          .withColumn("lo", expr(s"minc + (bin * span) div $HistBins"))
+          .withColumn("hi", expr(s"minc + ((bin + 1) * span) div $HistBins"))
+          .withColumn("num", expr("q * wtot - 100L * (cum - binw)"))
+          .withColumn("den", expr("100L * binw"))
+          .withColumn("wq", expr("CAST(hi - lo AS DECIMAL(38,0)) * num"))
+          .withColumn("e", expr("lo + CAST((wq - wq % den) / den AS LONG)"))
+        est.groupBy(col("l_returnflag"))
+          .agg(max(col("wtot")).as("w_total"),
+            max(expr(s"(span div $HistBins) + 1L")).as("err_bound_cents"),
+            max(when(col("q") === 25, col("e"))).as("p25_cents"),
+            max(when(col("q") === 50, col("e"))).as("p50_cents"),
+            max(when(col("q") === 75, col("e"))).as("p75_cents"),
+            max(when(col("q") === 95, col("e"))).as("p95_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(weightedHistQuantOracleSql),
+      doc = "Weighted fixed-bin histogram quantiles (quantity-weighted price percentiles - the weight-biased quantile member); error bound emitted with the estimates.")
+  )
+
+  /** The q148 oracle: q139's replay with every COUNT replaced by the
+    * integer weight-unit SUM — same bins, same first-bin selection,
+    * same HUGEINT in-bin interpolation.
+    */
+  private def weightedHistQuantOracleSql: String = {
+    val qvals = HistQs.map(q => s"($q)").mkString(", ")
+    s"""WITH v AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
+      b AS (
+        SELECT l_returnflag, min(c) AS minc, max(c) AS maxc,
+               CAST(sum(w) AS BIGINT) AS wtot,
+               max(c) - min(c) + 1 AS span
+        FROM v GROUP BY l_returnflag),
+      h AS (
+        SELECT v.l_returnflag, ((c - minc) * $HistBins) // span AS bin,
+               CAST(sum(w) AS BIGINT) AS binw
+        FROM v JOIN b USING (l_returnflag) GROUP BY v.l_returnflag, bin),
+      cum AS (
+        SELECT l_returnflag, bin, binw,
+               sum(binw) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+        FROM h),
+      firsts AS (
+        SELECT cum.l_returnflag, q, bin, binw, cum.cum AS cum, wtot, minc, span,
+               row_number() OVER (PARTITION BY cum.l_returnflag, q
+                                  ORDER BY bin) AS rn
+        FROM cum JOIN b USING (l_returnflag), (VALUES $qvals) AS t(q)
+        WHERE 100 * cum >= q * wtot),
+      est AS (
+        SELECT l_returnflag, q, wtot, span,
+               minc + (bin * span) // $HistBins AS lo,
+               minc + ((bin + 1) * span) // $HistBins AS hi,
+               q * wtot - 100 * (cum - binw) AS num,
+               100 * binw AS den
+        FROM firsts WHERE rn = 1),
+      fin AS (
+        SELECT l_returnflag, q, wtot, span,
+               lo + CAST((CAST(hi - lo AS HUGEINT) * num) // den AS BIGINT) AS e
+        FROM est)
+      SELECT l_returnflag, max(wtot) AS w_total,
+             CAST(max(span // $HistBins + 1) AS BIGINT) AS err_bound_cents,
+             max(CASE WHEN q = 25 THEN e END) AS p25_cents,
+             max(CASE WHEN q = 50 THEN e END) AS p50_cents,
+             max(CASE WHEN q = 75 THEN e END) AS p75_cents,
+             max(CASE WHEN q = 95 THEN e END) AS p95_cents
+      FROM fin GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   /** q141: BOTTOM-K RANK-ERROR QUANTILE SKETCH — the unknown-value-
     * domain member of the quantile family ([[graft.functions.BottomK]];
