@@ -90,7 +90,9 @@ object Serve {
     // round-13: the persisted sketch store's rollup face + the
     // weighted quantile member
     "public_users_rollup_store" -> "q145_sketchstore_rollup",
-    "public_price_quantiles_weighted" -> "q148_weighted_quantiles")
+    "public_price_quantiles_weighted" -> "q148_weighted_quantiles",
+    "public_users_daily_store" -> "q149_sketchstore_daily",
+    "public_audience_overlap_store" -> "q150_sketchstore_setops")
 
   def registerCorpusViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =

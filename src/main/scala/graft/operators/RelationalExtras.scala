@@ -694,14 +694,7 @@ object RelationalExtras {
     // analytics layer) done incrementally, exactly what runs at 100 TB.
     Q("q145_sketchstore_rollup",
       (s, dir) => {
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_q145").toString + "/state"
-        val ev = t(s, dir, "events")
-        val bkey = pmod(coalesce(col("event_id"), lit(0L)), lit(3))
-        (0 to 2).foreach(i =>
-          SketchStore.update(s, store, ev.filter(bkey === i)))
-        SketchStore.update(s, store, ev.filter(bkey === 0)) // replay
-        val state = SketchStore.read(s, store)
+        val state = SketchStore.read(s, SketchStore.storeFor(s, dir))
         val outCols = Seq(col("scope"), col("zero_regs"), col("est_users"),
           col("est_lc_micro"), col("est_users_kmv"))
         SketchStore.rollup(state, Seq("scope")).select(outCols: _*)
@@ -711,6 +704,46 @@ object RelationalExtras {
       },
       Some(sketchStoreOracleSql),
       doc = "Persisted per-day sketch state: batched absorb (with at-least-once replay) then per-scope/global rollup from state only; oracle recomputes HLL registers and KMV k-mins relationally from the raw union."),
+
+    // ------------------------------------------------------------------
+    // q149: the store's DAY-grain rollup — the time-series dashboard
+    // face (distinct users per day, all scopes folded) from the same
+    // persisted state as q145, one register fold per day partition.
+    // With q145 (scope grain + global) this covers every grain the
+    // state table supports; the absorb is shared via storeFor (built
+    // once per session×dir — the production shape: one ingest job,
+    // many dashboards).
+    Q("q149_sketchstore_daily",
+      (s, dir) => {
+        val state = SketchStore.read(s, SketchStore.storeFor(s, dir))
+        SketchStore.rollup(state, Seq("day"))
+          .select(col("day"), col("zero_regs"), col("est_users"),
+            col("est_lc_micro"), col("est_users_kmv"))
+          .orderBy(col("day"))
+      },
+      Some(sketchStoreDailyOracleSql),
+      doc = "Day-grain rollup from the persisted sketch store (distinct users per day from state only); oracle recomputes both families relationally per day from the raw union."),
+
+    // ------------------------------------------------------------------
+    // q150: AUDIENCE OVERLAP FROM STATE — SketchStore.setOpsFromState
+    // under the DuckDB gate. Because kmv state is a pure set-min over
+    // q144's exact hash family, the state-derived pairwise estimates
+    // are BIT-IDENTICAL to q144's in-query ones — so the oracle is
+    // q144's oracle VERBATIM, and a green row proves the store route
+    // end-to-end: absorb → per-day k-mins → scope fold → shared
+    // pairwise estimator == one-pass recompute. SketchStoreSpec pins
+    // the same equality engine-side; this row pins it cross-engine.
+    Q("q150_sketchstore_setops",
+      (s, dir) => {
+        val state = SketchStore.read(s, SketchStore.storeFor(s, dir))
+        SketchStore.setOpsFromState(state)
+          .select(col("type_a"), col("type_b"),
+            col("est_union"), col("est_intersection"), col("est_jaccard"),
+            col("est_diff_ab"), col("est_diff_ba"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(kmvSetOpsOracleSql),
+      doc = "Audience-overlap set algebra from durable sketch state (the q144 estimator over scope-folded per-day k-mins); oracle is q144's verbatim - the two routes are provably bit-identical."),
 
     // ------------------------------------------------------------------
     // q146: verificationOnly exact twin of q144 — the same pairwise
@@ -809,6 +842,76 @@ object RelationalExtras {
       verificationOnly = true,
       doc = "Proof twin of q142: exact_users fixtures + in-row union-of-sketches == sketch-of-union flag (needs a second events scan). Scale path is q142/q145.")
   )
+
+  /** The q149 oracle: the q145 replay at DAY grain — per-day HLL
+    * registers and KMV k-mins recomputed relationally from the raw
+    * events (strftime day key, the established date_format parity).
+    */
+  private def sketchStoreDailyOracleSql: String = {
+    import graft.functions.{HllSketch, MulMod61}
+    val m = HllSketch.M
+    val rmax = HllSketch.WBits + 1
+    val k = SetK
+    s"""WITH e AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(user_id AS VARCHAR) AS ks
+        FROM events),
+      h AS (
+        SELECT day, ks, CAST(${HllSketch.sqlHash60("ks")} AS BIGINT) AS ph
+        FROM e WHERE ks IS NOT NULL),
+      r AS (
+        SELECT day, ph % $m AS bucket,
+               CASE WHEN ph // $m = 0 THEN $rmax
+                    ELSE $rmax - length(format('{:b}', ph // $m)) END AS rho
+        FROM h),
+      regs AS (
+        SELECT day, bucket, max(rho) AS mr FROM r GROUP BY day, bucket),
+      grid AS (
+        SELECT day, j
+        FROM (SELECT DISTINCT day FROM e),
+             (SELECT unnest(range(0, $m)) AS j)),
+      fullregs AS (
+        SELECT grid.day, grid.j, coalesce(regs.mr, 0) AS mr
+        FROM grid LEFT JOIN regs
+          ON regs.day = grid.day AND regs.bucket = grid.j),
+      s AS (
+        SELECT day,
+               CAST(sum(1::BIGINT << CAST($rmax - mr AS INTEGER)) AS BIGINT)
+                 AS hsum,
+               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_regs
+        FROM fullregs GROUP BY day),
+      kh AS (
+        SELECT DISTINCT day,
+               CAST(($setA::HUGEINT * ${MulMod61.sqlPh61("ks")} + $setB)
+                    % ${MulMod61.P} AS BIGINT) AS kv
+        FROM e WHERE ks IS NOT NULL),
+      kr AS (
+        SELECT day, kv,
+               row_number() OVER (PARTITION BY day ORDER BY kv) AS rn
+        FROM kh),
+      kc AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rn = $k THEN kv END) AS hk
+        FROM kr GROUP BY day),
+      kscope AS (
+        SELECT g.day,
+               CASE WHEN coalesce(kc.n, 0) < $k
+                    THEN CAST(coalesce(kc.n, 0) AS DOUBLE)
+                    ELSE ${k - 1}::DOUBLE * ${MulMod61.P}::DOUBLE
+                         / CAST(kc.hk AS DOUBLE) END AS est_kmv
+        FROM (SELECT DISTINCT day FROM e) g
+        LEFT JOIN kc ON kc.day = g.day)
+      SELECT s.day, zero_regs,
+             ${HllSketch.estRawSql("hsum")} AS est_users,
+             CASE WHEN zero_regs > 0 THEN
+               CAST(floor(ln($m.0 / CAST(zero_regs AS DOUBLE))
+                          * ${m}000000.0) AS BIGINT)
+             END AS est_lc_micro,
+             kscope.est_kmv AS est_users_kmv
+      FROM s JOIN kscope ON kscope.day = s.day
+      ORDER BY s.day"""
+  }
 
   /** The q140 oracle: rebuild the 256 HLL registers relationally — same
     * md5 60-bit key hash, bucket = low 8 bits, rank = 53 − bit-length of

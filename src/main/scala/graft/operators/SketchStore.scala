@@ -95,6 +95,31 @@ object SketchStore {
       .parquet(storeDir)
   }
 
+  /** The gate-fixture store for a testdata directory, built ONCE per
+    * (session, dir) and shared by every registry query that reads
+    * state (q145/q149/q150) — the Tables.load memoization pattern
+    * applied to derived state. Absorbs the events table as three
+    * DETERMINISTIC batches (event_id mod 3) plus an at-least-once
+    * REPLAY of batch 0, so the state the queries read has provably
+    * survived batching AND redelivery. Production mirror: state is
+    * built once by the ingest job and read by many dashboards; the
+    * first store query of a cold session pays the absorb, the rest
+    * fold megabytes.
+    */
+  def storeFor(spark: SparkSession, dir: String): String =
+    storeCache.computeIfAbsent((spark, dir), { case (s, d) =>
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_store").toString + "/state"
+      val ev = graft.Tables.load(s, d, "events")
+      val bkey = pmod(coalesce(col("event_id"), lit(0L)), lit(3))
+      (0 to 2).foreach(i => update(s, store, ev.filter(bkey === i)))
+      update(s, store, ev.filter(bkey === 0)) // at-least-once replay
+      store
+    })
+
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
   def exists(spark: SparkSession, storeDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
