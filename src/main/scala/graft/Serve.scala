@@ -88,7 +88,11 @@ object Serve {
     "public_corpus_deploy_gate" -> "q143_frozen_deploy",
     "public_audience_overlap" -> "q144_kmv_setops",
     // round-13: the persisted sketch store's rollup face + the
-    // weighted quantile member
+    // weighted quantile member. Registering the store views runs
+    // storeFor's absorb ONCE during serve startup (a deliberate
+    // warm-the-state choice, consistent with Serve running the whole
+    // pipeline at startup): the three views then share the memoized
+    // store, so queries against them are megabyte register folds.
     "public_users_rollup_store" -> "q145_sketchstore_rollup",
     "public_price_quantiles_weighted" -> "q148_weighted_quantiles",
     "public_users_daily_store" -> "q149_sketchstore_daily",

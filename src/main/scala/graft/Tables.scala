@@ -75,17 +75,25 @@ object Cols {
     * Under ANSI, double→decimal maps NaN/±Inf to NULL but THROWS on a
     * FINITE value beyond the target range (NUMERIC_VALUE_OUT_OF_RANGE;
     * the sixteenth sweep's round-13 finite-overflow class, ±1e300).
-    * The between() guard sends that class to NULL as well — non-finites
+    * The range guard sends that class to NULL as well — non-finites
     * fail the comparison too, so they keep their NULL route — making
     * the whole non-representable double class NULL uniformly. Inert on
-    * gate data (every money value sits far inside ±1e10), so the
-    * DuckDB oracles' unconditional CAST stays op-for-op equivalent
-    * there; the bound stops short of DECIMAL(12,2)'s half-up rounding
-    * edge at 9999999999.995.
+    * gate data (every money value sits far inside ±1e10), and the
+    * guard's keep-set coincides EXACTLY with DECIMAL(12,2)'s
+    * representable set: the half-up rounding edge is the real number
+    * 9999999999.995; the `9999999999.995` double literal converts to
+    * 9999999999.99500083… (just ABOVE the edge — that double itself
+    * rounds to 1e10, overflow), while the largest double strictly
+    * below the literal is 9999999999.99499893…, which rounds to
+    * 9999999999.99 (in range). So a STRICT |c| < literal comparison
+    * keeps precisely the doubles whose HALF_UP 2-dp rounding is
+    * representable — the same set the oracles' unconditional CAST
+    * succeeds on, never one more or fewer (verified numerically with
+    * nextafter on both sides of both edges).
     */
   def dec(c: Column): Column = {
-    import org.apache.spark.sql.functions.when
-    when(c.between(-9999999999.99, 9999999999.99), c)
+    import org.apache.spark.sql.functions.{lit, when}
+    when(c > lit(-9999999999.995) && c < lit(9999999999.995), c)
       .cast(DecimalType(12, 2))
   }
   def dbl(c: Column): Column = c.cast(DoubleType)

@@ -853,7 +853,7 @@ object RelationalExtras {
     val rmax = HllSketch.WBits + 1
     val k = SetK
     s"""WITH e AS (
-        SELECT strftime(ts, '%Y-%m-%d') AS day,
+        SELECT coalesce(strftime(ts, '%Y-%m-%d'), '__null__') AS day,
                CAST(user_id AS VARCHAR) AS ks
         FROM events),
       h AS (

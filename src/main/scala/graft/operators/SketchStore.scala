@@ -54,7 +54,15 @@ object SketchStore {
   def batchSketches(events: DataFrame): DataFrame = {
     import graft.functions.{Affine61, HllSketch, KmvSketch, PolyHash61Str}
     events
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      // day is coalesced to a sentinel like scope: a NULL day would
+      // both fall out of update()'s left-semi touched-days join (NULL
+      // never equi-matches, so previously-absorbed NULL-day state is
+      // dropped while dynamic overwrite still replaces the partition —
+      // silent state loss on a NULL-ts feed) and land in parquet's
+      // __HIVE_DEFAULT_PARTITION__; the sentinel keeps the absorb
+      // algebra total and the q149 oracle join NULL-free
+      .select(coalesce(date_format(col("ts"), "yyyy-MM-dd"),
+          lit("__null__")).as("day"),
         coalesce(col("event_type"), lit("__null__")).as("scope"),
         coalesce(HllSketch.hash60(col("user_id").cast("string")),
           lit(-1L)).as("ph"),
@@ -129,25 +137,43 @@ object SketchStore {
   /** The persisted state: (day, scope, regs, kmv). An absorbed-nothing
     * store (every batch empty — a partitioned write of zero rows leaves
     * only _SUCCESS, which parquet cannot infer a schema from) reads as
-    * an empty frame of the state schema instead of throwing — the
-    * EmptyInputSpec sweep's no-crash contract.
+    * an empty frame of the state schema. That case is detected by
+    * LISTING for data files, not by catching AnalysisException — a
+    * blanket catch would also swallow a typo'd path or an
+    * old-schema store (missing `kmv` resolves as UNRESOLVED_COLUMN)
+    * as "empty", and a later update() would then dynamically
+    * overwrite surviving partitions with batch-only sketches. Real
+    * errors must propagate.
     */
   def read(spark: SparkSession, storeDir: String): DataFrame =
-    try
+    if (hasDataFiles(spark, storeDir))
       spark.read.parquet(storeDir)
         .select(col("day").cast("string").as("day"), col("scope"),
           col("regs"), col("kmv"))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("day", StringType),
-            StructField("scope", StringType),
-            StructField("regs", ArrayType(LongType)),
-            StructField("kmv", ArrayType(LongType)))))
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("day", StringType),
+          StructField("scope", StringType),
+          StructField("regs", ArrayType(LongType)),
+          StructField("kmv", ArrayType(LongType)))))
     }
+
+  /** True iff `storeDir` contains at least one parquet data file
+    * (recursive — the state is day-partitioned).
+    */
+  private def hasDataFiles(spark: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
 
   /** Roll the state up to `keys` (e.g. Seq("scope") for all-time
     * per-scope, Seq("day") for per-day all-scopes, Seq() for global):

@@ -266,8 +266,7 @@ object EventStream {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    drain(q)
   }
 
   /** Read a [[runToParquet]] sink directory, dropping the `batch_id`
@@ -306,9 +305,18 @@ object EventStream {
         graft.operators.SketchStore.update(batch.sparkSession, storeDir, batch)
       }
       .start()
-    q.processAllAvailable()
-    q.stop()
+    drain(q)
   }
+
+  /** Block until the source drains, then stop — in try/finally, so a
+    * micro-batch failure (processAllAvailable rethrows it) can't leak
+    * an active-but-dead query that pins the checkpoint location for
+    * the session's lifetime ("Cannot start a query with the same
+    * checkpoint as an active query" on every retry).
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable()
+    finally q.stop()
 
   /** Exactly-once event dedup on a stream: drop event_id duplicates that
     * arrive within the watermark window (at-least-once sources — Kafka
@@ -522,8 +530,7 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    drain(q)
     spark.table(name)
   }
 }

@@ -123,6 +123,41 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(fromState == inQuery)
   }
 
+  test("NULL-ts rows keep their sentinel day through incremental absorb (no silent state loss)") {
+    // pre-fix failure mode: a NULL day falls out of update()'s
+    // left-semi touched-days join (NULL never equi-matches) while
+    // dynamic overwrite still replaces the partition — the second
+    // absorb would silently DROP the first batch's NULL-day users.
+    // The '__null__' sentinel (scope's convention applied to day)
+    // makes the absorb algebra total; this pins incremental ==
+    // one-shot on a NULL-ts feed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sksn").toString + "/state"
+    val nulled = events.withColumn("ts",
+      when($"event_id" % 2 === 0, lit(null)).otherwise($"ts"))
+    val batches = (0 to 2).map(i => nulled.filter($"event_id" % 3 === i))
+    batches.foreach(b => SketchStore.update(spark, dir, b))
+    val incremental = stateMap(dir)
+    assert(incremental.keySet.exists(_._1 == "__null__"),
+      "NULL-ts rows must land in the sentinel day partition")
+    val oneShot = SketchStore.batchSketches(nulled).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getSeq[Long](2), r.getSeq[Long](3))).toMap
+    assert(incremental == oneShot,
+      "incremental absorb over a NULL-ts feed must equal the one-shot build")
+  }
+
+  test("read() propagates real errors instead of reading them as an empty store") {
+    // an old-schema store (regs only, no kmv) must FAIL to read, not
+    // silently return empty state that a later update() would then
+    // partially overwrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_skss").toString + "/state"
+    SketchStore.batchSketches(events).drop("kmv")
+      .write.partitionBy("day").parquet(dir)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SketchStore.read(spark, dir).collect()
+    }
+  }
+
   test("an update rewrites only the touched day partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sksp").toString + "/state"
     SketchStore.update(spark, dir, events)
