@@ -145,6 +145,12 @@ object TrainingQueries {
   private[operators] val BkEpsPpm: Long =
     graft.functions.BottomK.epsPpm(BkK, BkDelta)
 
+  /** q151's sample size: k triples kept per group, same budget as q141
+    * so the weighted and unweighted unknown-domain sketches stay
+    * comparable. Declared before `all` (object-init order).
+    */
+  private[operators] val WbK = 1024
+
   /** Bench-only twin of q53: the approx_percentile SCALE path (fixed-
     * memory mergeable sketch vs the exact form's per-group value
     * buffers). Not in the registry — sketch outputs are engine-specific
@@ -1371,7 +1377,7 @@ object TrainingQueries {
       Some(qcOracleSql(QcRounds, QcFullSql)),
       doc = "Quality classifier on the production feature set (trio + punct/stopword ratios + lang-id agreement), same quantized-gradient trainer generalized over k.")
   ) ++ histQuantileQueries ++ weightedHistQuantileQueries ++
-    bottomKQuantileQueries ++ frozenDeployQueries
+    bottomKQuantileQueries ++ weightedBottomKQueries ++ frozenDeployQueries
 
   /** q139: HISTOGRAM QUANTILE SKETCH — the mergeable SCALE path for
     * percentiles that, unlike `approx_percentile`'s t-digest (engine-
@@ -1654,6 +1660,161 @@ object TrainingQueries {
       Some(bottomKOracleSql),
       doc = "Mergeable bottom-k rank-error quantile sketch (hash-derandomized uniform sample, no value-domain assumption); DKW bound emitted with the estimates.")
   )
+
+  /** q151: WEIGHTED BOTTOM-K QUANTILE SKETCH — the quantile family's
+    * last empty cell (q139 = unweighted known-domain, q148 = weighted
+    * known-domain, q141 = unweighted unknown-domain, q151 = WEIGHTED
+    * unknown-domain): quantity-weighted price percentiles with NO
+    * domain knowledge, one pass, fixed state. Machinery is q124's A-ES
+    * key (Efraimidis–Spirakis weight-biased priority, ln(u)/w in log
+    * space — ONE MathLn call per row, quantized ⌊·1e4⌋·100 so the
+    * selected SET is identical across engines despite 1-ulp libm ln
+    * drift) feeding q141's pair-sketch shape generalized to carry the
+    * weight along: [[graft.functions.WeightedBottomK]] keeps the k
+    * smallest (key, value, weight) triples per group — mergeable,
+    * multiset-determined, ≤24 KB crossing the shuffle per partition
+    * per group after map-side combine (Round14Props pins fold+merge ==
+    * the weighted k-smallest of the multiset).
+    *
+    * Estimator — TWO documented branches, chosen by saturation:
+    *   - m = n (the group fits in k, nothing dropped): the sample IS
+    *     the population, so the weighted quantile is computed EXACTLY —
+    *     smallest value whose cumulative weight reaches q·W (the q148
+    *     type-1 weighted definition).
+    *   - m < n (saturated): A-ES inclusion is weight-proportional
+    *     (PPSWOR), so the weighted rank of the population is tracked by
+    *     the plain UNWEIGHTED order statistics of the sample — the
+    *     standard "PPS-sample then uniform read" estimator; reading the
+    *     sample's raw-weight cumsum instead would weight heavy rows
+    *     TWICE (once in inclusion, once in mass).
+    * No rank-error bound is emitted: there is no clean DKW analogue for
+    * weight-biased sampling without replacement (the trade is
+    * documented in WeightedBottomK's scaladoc, the q141 GK/KLL MO).
+    * WeightedBottomKSpec pins the exact branch, partitioning
+    * invariance, and sanity vs q148's exact-weighted twin.
+    *
+    * Determinism: value and weight ride the q139/q148 integer routes
+    * (price cents / quantity cents through the range-guarded decimal
+    * cast); rows with NULL cents or non-positive weight are excluded on
+    * BOTH engines (a weight must be positive to carry mass — the q148
+    * rule); ties at the k-boundary break by (value, weight), fully tied
+    * triples are interchangeable. DuckDB rebuilds the identical sample
+    * with `row_number() OVER (ORDER BY nk, c, w) <= k` and replays both
+    * estimator branches relationally.
+    */
+  private def weightedBottomKQueries: Seq[Q] = Seq(
+    Q("q151_weighted_bottomk_quantiles",
+      (s, dir) => {
+        import graft.functions.{Affine61, MathLn, MulMod61, PolyHash61Str, WeightedBottomK}
+        val cents = (dec(col("l_extendedprice")) * lit(100)).cast("long")
+        val wq = (dec(col("l_quantity")) * lit(100)).cast("long")
+        val keyed = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents.as("c"), wq.as("w"),
+            col("l_orderkey"), col("l_linenumber"))
+          .filter(col("c").isNotNull && col("w") > 0)
+          .withColumn("nk",
+            -(floor(MathLn.ln(
+              (Affine61.affine61(
+                PolyHash61Str.polyHash61Str(
+                  concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+                WeightedBottomK.wbA, WeightedBottomK.wbB) + lit(1L))
+                .cast("double") / lit(MulMod61.P.toDouble))
+              / (col("w").cast("double") / lit(100.0)) * lit(1e4))
+              .cast("long") * lit(100L)))
+        val sk = keyed.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("w")).as("w_total"),
+            WeightedBottomK.weightedBottomK(
+              col("nk"), col("c"), col("w"), WbK).as("vw"))
+          .withColumn("m", size(col("vw")).cast("long"))
+          .withColumn("ws_kept",
+            expr("aggregate(vw, CAST(0 AS BIGINT), (acc, x) -> acc + x._2)"))
+        // order-statistic + cumulative-weight reads over the ≤k-long
+        // sample — posexplode of a bounded array then a window over ≤k
+        // rows per group, the q139 "window over ≤B rows" dispensation.
+        // Every group has m ≥ 1 (rows are pre-filtered, so each group
+        // contributed at least one triple): posexplode never drops one.
+        val ex = sk
+          .select(col("l_returnflag"), col("n"), col("w_total"), col("m"),
+            col("ws_kept"), posexplode(col("vw")))
+          .select(col("l_returnflag"), col("n"), col("w_total"), col("m"),
+            col("ws_kept"), col("pos").cast("long").as("pos"),
+            col("col._1").as("v"), col("col._2").as("w"))
+          .withColumn("cw", sum(col("w")).over(
+            Window.partitionBy(col("l_returnflag")).orderBy(col("pos"))))
+        val reads = HistQs.flatMap { q =>
+          Seq(
+            min(when(col("cw") * lit(100L) >= lit(q.toLong) * col("ws_kept"),
+              col("v"))).as(s"ex$q"),
+            max(when(col("pos") + lit(1L) ===
+              expr(s"CAST(($q * m + 99) DIV 100 AS BIGINT)"),
+              col("v"))).as(s"st$q"))
+        }
+        val agg = ex.groupBy(col("l_returnflag"), col("n"), col("w_total"),
+            col("m"), col("ws_kept"))
+          .agg(reads.head, reads.tail: _*)
+        val qcols = HistQs.map(q =>
+          when(col("m") === col("n"), col(s"ex$q"))
+            .otherwise(col(s"st$q")).as(s"p${q}_cents"))
+        agg.select(Seq(col("l_returnflag"), col("n"), col("m"),
+            col("w_total"), col("ws_kept")) ++ qcols: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      Some(weightedBottomKOracleSql),
+      doc = "Weighted bottom-k quantile sketch (A-ES weight-biased priorities, PPSWOR): quantity-weighted price percentiles, no domain knowledge, one pass; exact when the group fits in k, PPS uniform order-statistic read when saturated (no DKW analogue for weighted WOR - documented).")
+  )
+
+  /** The q151 oracle: rebuild the identical weighted sample
+    * relationally — same A-ES key op-for-op (same hash constants, same
+    * ln/quantize tree), k smallest (nk, c, w) rows per group via
+    * row_number — then replay BOTH estimator branches: the exact
+    * cumulative-weight read when the group fit in k, the uniform
+    * ⌈q·m/100⌉ order-statistic read when saturated. The cumulative sum
+    * orders by (c, w); peer rows are fully tied triples, so which peer
+    * crosses the threshold first is value-invisible on both engines.
+    */
+  private def weightedBottomKOracleSql: String = {
+    import graft.functions.{MulMod61, WeightedBottomK}
+    val qsel = HistQs.map(q =>
+      s"""CASE WHEN max(m) = max(n)
+             THEN min(CASE WHEN cw * 100 >= $q * ws_kept THEN c END)
+             ELSE max(CASE WHEN sr = ($q * m + 99) // 100 THEN c END)
+           END AS p${q}_cents""")
+      .mkString(",\n             ")
+    s"""WITH raw AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS w,
+               CAST((${WeightedBottomK.wbA}::HUGEINT
+                     * ${MulMod61.sqlPh61("concat(l_orderkey, '-', l_linenumber)")}
+                     + ${WeightedBottomK.wbB}) % ${MulMod61.P} AS BIGINT) AS h
+        FROM lineitem),
+      v AS (
+        SELECT l_returnflag, c, w,
+               -(CAST(floor(
+                   ln(CAST(h + 1 AS DOUBLE) / CAST(${MulMod61.P} AS DOUBLE))
+                   / (CAST(w AS DOUBLE) / 100.0) * 1e4) AS BIGINT) * 100) AS nk
+        FROM raw WHERE c IS NOT NULL AND w > 0),
+      s AS (
+        SELECT l_returnflag, c, w,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY nk, c, w) AS rn,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS w_total
+        FROM v),
+      kk AS (SELECT l_returnflag, c, w, n, w_total FROM s WHERE rn <= $WbK),
+      o AS (
+        SELECT l_returnflag, c, w, n, w_total,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY c, w) AS sr,
+               CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS m,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS ws_kept,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY c, w
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+        FROM kk)
+      SELECT l_returnflag, max(n) AS n, max(m) AS m,
+             max(w_total) AS w_total, max(ws_kept) AS ws_kept,
+             $qsel
+      FROM o GROUP BY l_returnflag ORDER BY l_returnflag"""
+  }
 
   /** The q141 oracle: rebuild the identical sample relationally — same
     * id-string hash, k smallest (h, c) rows per group via row_number,
