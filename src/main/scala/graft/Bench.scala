@@ -133,14 +133,35 @@ object Bench {
     // per-round bench always times the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val names = (SparkEntry.registry.filterNot(_.verificationOnly).map(_.name)
+    val baseNames = (SparkEntry.registry.filterNot(_.verificationOnly).map(_.name)
       :+ "q53_percentiles_approx").filter(n => only.forall(_.contains(n)))
+    // The sketch-store INGEST (storeFor's absorb — an ingest job at
+    // scale, amortized across q145/q149/q150) is timed as its own
+    // labeled entry right before the first store face, so the faces'
+    // numbers price the QUERY (a state fold) and the artifact prices
+    // ingest vs query honestly. Memoized per session: on a warm-repeat
+    // pass the ingest is ~0 s, which is the honest warm number too.
+    val storeFaces = Set("q145_sketchstore_rollup", "q149_sketchstore_daily",
+      "q150_sketchstore_setops")
+    val firstFace = baseNames.find(storeFaces.contains)
+    val names = baseNames.flatMap(n =>
+      if (firstFace.contains(n)) Seq("qstore__ingest", n) else Seq(n))
 
     def runScale(sfDir: String): ScaleRun = {
       def runQuery(name: String): Double =
         if (name == "q53_percentiles_approx")
           time(operators.TrainingQueries.percentilesApprox(spark, sfDir))
-        else {
+        else if (name == "qstore__ingest") {
+          val t0 = System.nanoTime()
+          try {
+            operators.SketchStore.storeFor(spark, sfDir)
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+        } else {
           val r = time(SparkEntry.queries(name)(spark, sfDir))
           if (r < 0) System.err.println(s"[bench] $name failed")
           r
@@ -163,7 +184,10 @@ object Bench {
         val med = if (done.isEmpty) Double.MaxValue
           else done.sorted.apply(done.length / 2)
         val counts =
-          if (t1 >= 0 && t1 > math.max(5 * med, 1.0)) {
+          // the ingest entry is legitimately one-shot (its retry would
+          // hit the memoized store and min() would hide the real cost)
+          if (t1 >= 0 && t1 > math.max(5 * med, 1.0) &&
+              n != "qstore__ingest") {
             // outlier: force a full GC (flushes ContextCleaner backlog /
             // old-gen garbage) and re-time once; min of the two counts —
             // if the retry is fast, the first number was the environment

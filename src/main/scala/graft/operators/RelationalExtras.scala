@@ -693,17 +693,31 @@ object RelationalExtras {
     // build — the materialized-KPI pattern (reference init.sql's
     // analytics layer) done incrementally, exactly what runs at 100 TB.
     Q("q145_sketchstore_rollup",
-      (s, dir) => {
-        val state = SketchStore.read(s, SketchStore.storeFor(s, dir))
-        val outCols = Seq(col("scope"), col("zero_regs"), col("est_users"),
-          col("est_lc_micro"), col("est_users_kmv"))
-        SketchStore.rollup(state, Seq("scope")).select(outCols: _*)
-          .unionByName(SketchStore.rollup(state, Seq.empty)
-            .select((lit("__all__").as("scope") +: outCols.tail): _*))
-          .orderBy(col("scope"))
-      },
+      (s, dir) => storeScopeFaces(
+        SketchStore.read(s, SketchStore.storeFor(s, dir))),
       Some(sketchStoreOracleSql),
       doc = "Persisted per-day sketch state: batched absorb (with at-least-once replay) then per-scope/global rollup from state only; oracle recomputes HLL registers and KMV k-mins relationally from the raw union."),
+
+    // ------------------------------------------------------------------
+    // q152: the STREAM-BUILT store under the oracle — the same rollup
+    // faces as q145, but the state was ingested by Structured Streaming
+    // ([[graft.streaming.EventStream.absorbToStore]]: file source, 3
+    // micro-batches, foreachBatch sketch sink) instead of the batch
+    // update() path. Because absorb is an idempotent, union-closed
+    // algebra, state is a pure function of the input multiset REGARDLESS
+    // of micro-batch boundaries — so the oracle is q145's VERBATIM
+    // (which is itself the one-shot relational recompute from the raw
+    // union), and a green row proves batch ingest == stream ingest ==
+    // one-shot, cross-engine. verificationOnly: the ingest job priced
+    // into this "query" (write events + run a stream to drain) is an
+    // ingest-shaped cost by design — the production faces stay q145/
+    // q149/q150, whose store is one memoized absorb per session.
+    Q("q152_sketchstore_stream",
+      (s, dir) => storeScopeFaces(
+        SketchStore.read(s, SketchStore.streamStoreFor(s, dir))),
+      Some(sketchStoreOracleSql),
+      doc = "Proof twin of q145: the store is built by EventStream.absorbToStore (Structured Streaming foreachBatch ingest) and must roll up to the same oracle answer - stream == batch == one-shot, cross-engine. Ingest-shaped; production faces are q145/q149/q150.",
+      verificationOnly = true),
 
     // ------------------------------------------------------------------
     // q149: the store's DAY-grain rollup — the time-series dashboard
@@ -1229,6 +1243,21 @@ object RelationalExtras {
       JOIN x xb ON xb.t = est.type_b
       LEFT JOIN xi ON xi.type_a = est.type_a AND xi.type_b = est.type_b
       ORDER BY est.type_a, est.type_b"""
+
+  /** The q145/q152 output shape — per-scope rollups plus the global
+    * union row, from state only. ONE definition shared by the
+    * batch-built (q145) and stream-built (q152) faces so they can't
+    * fork: the two queries differ ONLY in which ingest path produced
+    * the state they read.
+    */
+  private def storeScopeFaces(state: org.apache.spark.sql.DataFrame) = {
+    val outCols = Seq(col("scope"), col("zero_regs"), col("est_users"),
+      col("est_lc_micro"), col("est_users_kmv"))
+    SketchStore.rollup(state, Seq("scope")).select(outCols: _*)
+      .unionByName(SketchStore.rollup(state, Seq.empty)
+        .select((lit("__all__").as("scope") +: outCols.tail): _*))
+      .orderBy(col("scope"))
+  }
 
   /** The q145 oracle: recompute BOTH persisted sketch families
     * relationally from the RAW events union — per-scope and global HLL

@@ -45,14 +45,19 @@ import org.apache.spark.sql.functions._
   */
 object SketchStore {
 
-  /** Per-(day, scope) HLL register + KMV k-min arrays for an events
-    * frame — the q140/q142 hash and sentinel conventions for the HLL
-    * side (md5 60-bit key hash; NULL users skipped; NULL event types
-    * keep their own '__null__' scope) and q144's affine∘polyhash family
-    * for the KMV side.
+  /** The hashed per-row projection every absorb path shares: (day,
+    * scope, ph, kh) — the q140/q142 hash and sentinel conventions for
+    * the HLL side (md5 60-bit key hash; NULL users skipped; NULL event
+    * types keep their own '__null__' scope) and q144's affine∘polyhash
+    * family for the KMV side. Factored out of [[batchSketches]] so an
+    * ingest job that slices ONE events pass into several batches
+    * ([[storeFor]]) hashes each row exactly once. `carry` columns
+    * (evaluated against the raw events row) ride along unchanged —
+    * e.g. a batch key the caller will slice on.
     */
-  def batchSketches(events: DataFrame): DataFrame = {
-    import graft.functions.{Affine61, HllSketch, KmvSketch, PolyHash61Str}
+  def hashedProjection(events: DataFrame,
+      carry: org.apache.spark.sql.Column*): DataFrame = {
+    import graft.functions.{Affine61, HllSketch, PolyHash61Str}
     events
       // day is coalesced to a sentinel like scope: a NULL day would
       // both fall out of update()'s left-semi touched-days join (NULL
@@ -61,7 +66,7 @@ object SketchStore {
       // silent state loss on a NULL-ts feed) and land in parquet's
       // __HIVE_DEFAULT_PARTITION__; the sentinel keeps the absorb
       // algebra total and the q149 oracle join NULL-free
-      .select(coalesce(date_format(col("ts"), "yyyy-MM-dd"),
+      .select(Seq(coalesce(date_format(col("ts"), "yyyy-MM-dd"),
           lit("__null__")).as("day"),
         coalesce(col("event_type"), lit("__null__")).as("scope"),
         coalesce(HllSketch.hash60(col("user_id").cast("string")),
@@ -69,10 +74,25 @@ object SketchStore {
         coalesce(Affine61.affine61(
           PolyHash61Str.polyHash61Str(col("user_id").cast("string")),
           RelationalExtras.setA, RelationalExtras.setB), lit(-1L)).as("kh"))
+        ++ carry: _*)
+  }
+
+  /** Fold an already-hashed projection (columns day/scope/ph/kh, extra
+    * columns ignored) into per-(day, scope) sketch rows.
+    */
+  def sketchesFromHashed(hashed: DataFrame): DataFrame = {
+    import graft.functions.{HllSketch, KmvSketch}
+    hashed
       .groupBy(col("day"), col("scope"))
       .agg(HllSketch.hll(col("ph")).as("regs"),
         KmvSketch.kmvSketch(col("kh"), RelationalExtras.SetK).as("kmv"))
   }
+
+  /** Per-(day, scope) HLL register + KMV k-min arrays for an events
+    * frame — [[hashedProjection]] composed with [[sketchesFromHashed]].
+    */
+  def batchSketches(events: DataFrame): DataFrame =
+    sketchesFromHashed(hashedProjection(events))
 
   /** Absorb one events batch into the persisted state at `storeDir`:
     * read ONLY the touched days' existing sketches (left-semi on the
@@ -82,10 +102,29 @@ object SketchStore {
     * the read-own-path overwrite hazard via localCheckpoint (the q63
     * convention: checkpoint blocks are ContextCleaner-tracked, unlike
     * cache pins).
+    *
+    * CONCURRENCY CONTRACT — single writer per store. update() is
+    * read-merge-overwrite with no lock: two writers interleaving on the
+    * same `storeDir` can each read the same prior state and the second
+    * dynamic overwrite silently drops the first one's absorbed sketches
+    * for any shared day partition (last writer wins). Every caller here
+    * is serial by construction (a Structured Streaming foreachBatch
+    * sink runs micro-batches one at a time; [[storeFor]] builds each
+    * store exactly once per session); a deployment with more than one
+    * ingest job per store must serialize them externally (one writer
+    * job, or a queue in front — the standard single-writer table
+    * pattern). CONCURRENT READERS are always safe: the overwrite is
+    * per-partition-atomic (parquet dir swap) and sketches only grow.
     */
-  def update(spark: SparkSession, storeDir: String, events: DataFrame): Unit = {
+  def update(spark: SparkSession, storeDir: String, events: DataFrame): Unit =
+    updateHashed(spark, storeDir, hashedProjection(events))
+
+  /** [[update]] for a pre-hashed projection (see [[hashedProjection]]);
+    * same semantics and single-writer contract.
+    */
+  def updateHashed(spark: SparkSession, storeDir: String, hashed: DataFrame): Unit = {
     import graft.functions.{HllSketch, KmvSketch}
-    val batch = batchSketches(events)
+    val batch = sketchesFromHashed(hashed)
     val merged =
       if (exists(spark, storeDir)) {
         val touched = read(spark, storeDir)
@@ -109,24 +148,126 @@ object SketchStore {
     * applied to derived state. Absorbs the events table as three
     * DETERMINISTIC batches (event_id mod 3) plus an at-least-once
     * REPLAY of batch 0, so the state the queries read has provably
-    * survived batching AND redelivery. Production mirror: state is
-    * built once by the ingest job and read by many dashboards; the
-    * first store query of a cold session pays the absorb, the rest
-    * fold megabytes.
+    * survived batching AND redelivery.
+    *
+    * ONE events pass: the hashed projection is STAGED once as a
+    * bkey-partitioned parquet table and the four absorbs are pruned
+    * scans of their own partition — the events table is scanned once
+    * and each row hashed (md5 + polyhash) exactly once, which is also
+    * the production shape (an ingest job hashes the batch it was
+    * handed, not the history). Staging to parquet rather than
+    * localCheckpoint is measured, not aesthetic: checkpoint blocks
+    * re-read through a row-based ExistingRDD scan (no vectorization,
+    * every absorb re-reads ALL batches), which at gate scale cost MORE
+    * than the four original scans it replaced (~9 s vs ~5 s cold at
+    * sf0.1); the staged table gets vectorized pruned reads (each absorb
+    * reads only its batch partition) and matched the old cold time
+    * while removing 3 of 4 hash passes. Batch boundaries stay
+    * deterministic (event_id mod 3). Production mirror: state is built
+    * once by the ingest job and read by many dashboards; the first
+    * store query of a cold session pays the absorb, the rest fold
+    * megabytes.
     */
   def storeFor(spark: SparkSession, dir: String): String =
-    storeCache.computeIfAbsent((spark, dir), { case (s, d) =>
-      val store = java.nio.file.Files
-        .createTempDirectory("graft_store").toString + "/state"
-      val ev = graft.Tables.load(s, d, "events")
-      val bkey = pmod(coalesce(col("event_id"), lit(0L)), lit(3))
-      (0 to 2).foreach(i => update(s, store, ev.filter(bkey === i)))
-      update(s, store, ev.filter(bkey === 0)) // at-least-once replay
-      store
-    })
+    cachedStore("batch", spark, dir) { store =>
+      val stage = tempDir("graft_store_stage") + "/hashed"
+      hashedProjection(graft.Tables.load(spark, dir, "events"),
+          pmod(coalesce(col("event_id"), lit(0L)), lit(3)).as("bkey"))
+        .write.partitionBy("bkey").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      (0 to 2).foreach(i =>
+        updateHashed(spark, store, staged.filter(col("bkey") === i)))
+      // at-least-once replay of batch 0
+      updateHashed(spark, store, staged.filter(col("bkey") === 0))
+    }
 
+  /** The stream-built twin of [[storeFor]]: the same per-(session, dir)
+    * memoized gate store, but ingested by
+    * [[graft.streaming.EventStream.absorbToStore]] — the events table
+    * written as three files and replayed as three file-source
+    * micro-batches through the foreachBatch sketch sink. Because the
+    * absorb algebra is idempotent and closed under union, the resulting
+    * state is bit-identical to a one-shot build regardless of
+    * micro-batch boundaries — q152 puts THAT equality under the DuckDB
+    * oracle (its oracle is q145's verbatim).
+    */
+  def streamStoreFor(spark: SparkSession, dir: String): String =
+    cachedStore("stream", spark, dir) { store =>
+      val src = tempDir("graft_stream_src") + "/events"
+      val ckpt = tempDir("graft_stream_ckpt")
+      graft.Tables.load(spark, dir, "events")
+        .repartition(3).write.parquet(src)
+      graft.streaming.EventStream.absorbToStore(spark, src, store, ckpt,
+        maxFilesPerTrigger = 1)
+    }
+
+  /** Memoized store build: at most one build per (kind, session, dir).
+    * Sessions are WEAK keys — a closed, unreferenced SparkSession (and
+    * its store entries) can be collected instead of living for the
+    * process, and the temp dirs themselves are removed by the shutdown
+    * hook in [[tempDir]]. The BUILD runs OUTSIDE any lock (the weak map
+    * is only synchronized for the map get/put itself): racing callers
+    * may build twice into separate temp dirs (publication is
+    * putIfAbsent — first one wins, the loser's orphan dir is swept at
+    * exit), but no Spark job ever runs under a map lock where a second
+    * tenant would serialize or re-enter.
+    */
+  private def cachedStore(kind: String, spark: SparkSession, dir: String)
+      (build: String => Unit): String = {
+    val stores = sessionStores(spark)
+    val key = (kind, dir)
+    val cur = stores.get(key)
+    if (cur != null) return cur
+    val store = tempDir(s"graft_store_$kind") + "/state"
+    build(store)
+    val prev = stores.putIfAbsent(key, store)
+    if (prev != null) prev else store
+  }
+
+  private def sessionStores(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[(String, String), String] =
+    storeCache.synchronized {
+      var m = storeCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+        storeCache.put(spark, m)
+      }
+      m
+    }
+
+  // SparkSession doesn't override equals, so WeakHashMap gives identity
+  // semantics with weak keys — exactly the "don't retain the session"
+  // contract a UUID key would buy (sessionUUID is private[sql])
   private val storeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), String]]
+
+  /** Create a temp directory registered for recursive removal at JVM
+    * shutdown — gate-store state is session-scoped derived data, so its
+    * lifetime contract is "at most the JVM's" (a DURABLE store is the
+    * caller-chosen-path [[update]]/[[read]] API, which never routes
+    * through here; SketchStoreSpec pins that path).
+    */
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(d)
+    d.toString
+  }
+
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () } })
+        } catch { case _: Exception => () }
+      }
+    }, "graft-sketchstore-tempdir-sweep"))
+  }
 
   def exists(spark: SparkSession, storeDir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(storeDir)

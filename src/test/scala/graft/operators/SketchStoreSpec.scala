@@ -59,6 +59,24 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(stateMap(dir) == incremental, "replay must be value-idempotent")
   }
 
+  test("stream-built gate store == batch-built gate store, bit-for-bit") {
+    // the two memoized gate stores differ ONLY in ingest path (batch
+    // slices vs Structured Streaming micro-batches through
+    // absorbToStore); the idempotent union-closed algebra makes their
+    // persisted state identical — q152's cross-engine pin, engine-side
+    val batchDir = SketchStore.storeFor(spark, "/root/testdata/sf0.001")
+    val streamDir = SketchStore.streamStoreFor(spark, "/root/testdata/sf0.001")
+    assert(batchDir != streamDir)
+    assert(stateMap(streamDir) == stateMap(batchDir))
+  }
+
+  test("storeFor/streamStoreFor are memoized per (session, dir)") {
+    assert(SketchStore.storeFor(spark, "/root/testdata/sf0.001") ==
+      SketchStore.storeFor(spark, "/root/testdata/sf0.001"))
+    assert(SketchStore.streamStoreFor(spark, "/root/testdata/sf0.001") ==
+      SketchStore.streamStoreFor(spark, "/root/testdata/sf0.001"))
+  }
+
   test("rollups from state equal direct sketches over all rows") {
     import graft.functions.{Affine61, HllSketch, KmvSketch, PolyHash61Str}
     val dir = java.nio.file.Files.createTempDirectory("graft_sksr").toString + "/state"
