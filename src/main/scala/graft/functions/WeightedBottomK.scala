@@ -184,6 +184,24 @@ object WeightedBottomK {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
       .apply(key, value, weight)
 
+  /** The A-ES priority key in negated quantized log space — ONE
+    * definition shared by the batch (q151) and stream
+    * ([[graft.streaming.EventStream.windowedSketches]]) faces so they
+    * can't fork. `h` is the row's affine∘polyhash draw in [0, 2^61−1)
+    * (u = (h+1)/P uniform in (0, 1]); `w` is the POSITIVE weight as a
+    * double. key = −⌊ln(u)/w · 1e4⌋·100: "keep k largest u^(1/w)"
+    * becomes an ascending bottom-k on non-negative integer keys (one
+    * MathLn call per row; the ⌊·1e4⌋·100 quantization is the q124 rule
+    * that keeps the selected SET identical across engines despite
+    * 1-ulp libm ln drift). Callers gate NULL value / non-positive
+    * weight rows to the −1 sentinel BEFORE this key ever applies.
+    */
+  def aesKey(h: Column, w: Column): Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    -(floor(MathLn.ln((h + lit(1L)).cast("double") /
+      lit(MulMod61.P.toDouble)) / w * lit(1e4)).cast("long") * lit(100L))
+  }
+
   /** Constants for the A-ES uniform-draw row-hash permutation
     * (independent of the MinHash/SimHash/mix/KMV/bottom-k/A-ES-sample
     * families — sample membership must not correlate with any other

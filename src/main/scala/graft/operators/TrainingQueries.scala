@@ -1705,22 +1705,19 @@ object TrainingQueries {
   private def weightedBottomKQueries: Seq[Q] = Seq(
     Q("q151_weighted_bottomk_quantiles",
       (s, dir) => {
-        import graft.functions.{Affine61, MathLn, MulMod61, PolyHash61Str, WeightedBottomK}
+        import graft.functions.{Affine61, PolyHash61Str, WeightedBottomK}
         val cents = (dec(col("l_extendedprice")) * lit(100)).cast("long")
         val wq = (dec(col("l_quantity")) * lit(100)).cast("long")
         val keyed = t(s, dir, "lineitem")
           .select(col("l_returnflag"), cents.as("c"), wq.as("w"),
             col("l_orderkey"), col("l_linenumber"))
           .filter(col("c").isNotNull && col("w") > 0)
-          .withColumn("nk",
-            -(floor(MathLn.ln(
-              (Affine61.affine61(
-                PolyHash61Str.polyHash61Str(
-                  concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
-                WeightedBottomK.wbA, WeightedBottomK.wbB) + lit(1L))
-                .cast("double") / lit(MulMod61.P.toDouble))
-              / (col("w").cast("double") / lit(100.0)) * lit(1e4))
-              .cast("long") * lit(100L)))
+          .withColumn("nk", WeightedBottomK.aesKey(
+            Affine61.affine61(
+              PolyHash61Str.polyHash61Str(
+                concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+              WeightedBottomK.wbA, WeightedBottomK.wbB),
+            col("w").cast("double") / lit(100.0)))
         val sk = keyed.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(col("w")).as("w_total"),

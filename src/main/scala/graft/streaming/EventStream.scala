@@ -419,6 +419,40 @@ object EventStream {
       expr(s"element_at(bk_value_sample, " +
         s"CAST(($q * size(bk_value_sample) + 99) DIV 100 AS INT))"))
 
+  /** The stream face's WEIGHTED bottom-k sample size — q151's sketch at
+    * the same per-window budget as [[BkPairs]].
+    */
+  private val WbPairs = 64
+
+  /** q151's two-branch weighted quantile read, array form, over the
+    * emitted `wb_value_sample` (value, weight) struct pairs and the
+    * `n_wb`/`wb_ws` columns: EXACT cumulative-mass read (smallest value
+    * whose cumulative weight reaches q·W) when the window's positive
+    * values all fit in the sample (m = n — nothing dropped), PPS
+    * uniform order-statistic read when saturated; NULL when the window
+    * carried no positive value (a mass-less window has no mass
+    * quantiles). Interpreted HOFs over a ≤[[WbPairs]]-element array —
+    * the established bounded-array dispensation. The cumulative
+    * accumulator runs in DECIMAL(38,0): value micros reach ~1e18
+    * (DECIMAL(18,6)·1e6), so 64 of them times the ·100 comparison scale
+    * would overflow a long accumulator under ANSI on a hostile feed.
+    */
+  private def wbQuantile(q: Int): org.apache.spark.sql.Column = {
+    val m = size(col("wb_value_sample"))
+    val satRead = expr("transform(wb_value_sample, x -> x._1)")
+    val exactRead = expr(s"""aggregate(wb_value_sample,
+        named_struct('cum', CAST(0 AS DECIMAL(38,0)), 'ans', CAST(NULL AS BIGINT)),
+        (acc, x) -> named_struct(
+          'cum', CAST(acc.cum + x._2 AS DECIMAL(38,0)),
+          'ans', coalesce(acc.ans,
+            CASE WHEN (acc.cum + x._2) * 100 >= $q * wb_ws THEN x._1 END)),
+        acc -> acc.ans)""")
+    when(m > 0,
+      when(m.cast("long") === col("n_wb"), exactRead)
+        .otherwise(element_at(satRead,
+          expr(s"CAST(($q * size(wb_value_sample) + 99) DIV 100 AS INT)"))))
+  }
+
   def windowedSketches(events: DataFrame,
       window: String = "1 hour",
       watermark: String = "10 minutes",
@@ -459,6 +493,27 @@ object EventStream {
       Affine61.affine61(
         PolyHash61Str.polyHash61Str(col("event_id").cast("string")),
         BottomK.bkA, BottomK.bkB)), lit(-1L))
+    // q151's WEIGHTED bottom-k on the stream face: value-MASS quantiles
+    // — each positive value weighted by its own micros, so wp50 is the
+    // value level below which half the window's value mass sits (the
+    // revenue-concentration KPI), vs p50's "half the EVENTS sit below".
+    // Inclusion is weight-proportional via the SHARED aesKey definition
+    // (q151's, verbatim) on the wb hash family (≠ bk: the weighted
+    // sample must not correlate with the uniform one). Gates: only
+    // POSITIVE representable micros carry mass (NULL/NaN/Inf/overflow
+    // null out of the try_cast route; zero/negative values have no
+    // mass) — everything else takes the −1 skip sentinel. The when()
+    // also keeps aesKey's ln away from the sentinel branch (ln at a
+    // non-positive draw is ±Inf, whose ANSI long cast throws); a NULL
+    // event_id nulls the hash through BOTH branches and the outer
+    // coalesce sends it to the sentinel.
+    import graft.functions.WeightedBottomK
+    val wbKey = coalesce(when(bkVal.isNotNull && bkVal > 0,
+      WeightedBottomK.aesKey(
+        Affine61.affine61(
+          PolyHash61Str.polyHash61Str(col("event_id").cast("string")),
+          WeightedBottomK.wbA, WeightedBottomK.wbB),
+        bkVal.cast("double") / lit(1000000.0))), lit(-1L))
     val cands = array_sort(map_keys(col("mg_types")))
     events
       .withWatermark("ts", watermark)
@@ -471,11 +526,18 @@ object EventStream {
           coalesce(PolyHash61Str.polyHash61Str(col("event_type")),
             lit(-1L))).as("cms_types"),
         HllSketch.hll(hllHash).as("hll_users"),
-        BottomK.bottomK(bkHash, bkVal, BkPairs).as("bk_value_sample"))
+        BottomK.bottomK(bkHash, bkVal, BkPairs).as("bk_value_sample"),
+        graft.functions.WeightedBottomK.weightedBottomK(
+          wbKey, bkVal, bkVal, WbPairs).as("wb_value_sample"),
+        count(when(wbKey >= 0, lit(1))).as("n_wb"))
       .withColumn("est_users_hll",
         expr(HllSketch.estRawSql(HllSketch.sumSql("hll_users"))))
       .withColumn("hll_zero_regs",
         expr(HllSketch.zerosSql("hll_users")).cast("long"))
+      // the window's kept value mass, DECIMAL(38,0) (see wbQuantile)
+      .withColumn("wb_ws",
+        expr("aggregate(wb_value_sample, CAST(0 AS DECIMAL(38,0)), " +
+          "(acc, x) -> CAST(acc + x._2 AS DECIMAL(38,0)))"))
       .select(
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
@@ -504,6 +566,18 @@ object EventStream {
         bkQuantile(75).as("est_value_p75_micro"),
         bkQuantile(95).as("est_value_p95_micro"),
         lit(BottomK.epsPpm(BkPairs, 0.01)).as("eps_rank_ppm"),
+        // q151 column-set parity: weighted (value-MASS) quantiles off
+        // the weighted sample — exact when the window's positive values
+        // fit in WbPairs, PPS uniform read when saturated; NO rank
+        // bound emitted (no DKW analogue for weighted WOR — q151's
+        // documented trade, same on both faces)
+        col("wb_value_sample"),
+        col("n_wb"),
+        col("wb_ws").cast("double").as("wb_mass_kept"),
+        wbQuantile(25).as("est_value_wp25_micro"),
+        wbQuantile(50).as("est_value_wp50_micro"),
+        wbQuantile(75).as("est_value_wp75_micro"),
+        wbQuantile(95).as("est_value_wp95_micro"),
         // array_sort: the MG map's key ORDER is merge-order-dependent
         // (schedule-varying) even though the key SET is guaranteed —
         // sort so the emitted column is deterministic across runs

@@ -80,7 +80,10 @@ class EventStreamSpec extends AnyFunSuite {
       $"kmv_users", $"cms_types", $"heavy_type_est", $"hll_users",
       $"est_users_hll", $"hll_zero_regs", $"est_users_hll_lc_micro",
       $"bk_value_sample", $"est_value_p25_micro", $"est_value_p50_micro",
-      $"est_value_p75_micro", $"est_value_p95_micro", $"eps_rank_ppm")
+      $"est_value_p75_micro", $"est_value_p95_micro", $"eps_rank_ppm",
+      $"wb_value_sample", $"n_wb", $"wb_mass_kept",
+      $"est_value_wp25_micro", $"est_value_wp50_micro",
+      $"est_value_wp75_micro", $"est_value_wp95_micro")
     val sRows = streamed.select(sketchCols: _*)
       .collect().map(_.toSeq).toSet
     val bRows = batch.filter($"window_start" <= maxEmitted)
@@ -156,6 +159,57 @@ class EventStreamSpec extends AnyFunSuite {
         }
         assert(r.getLong(6) == graft.functions.BottomK.epsPpm(64, 0.01))
       }
+    // weighted bottom-k (q151's stream face): the sample is a
+    // sub-multiset of the window's POSITIVE representable value
+    // multiset, sized min(64, positives), sorted by (value, weight),
+    // and every emitted weighted quantile replays from the emitted
+    // (sample, n_wb) via q151's two-branch estimator — exact
+    // cumulative-mass read when m = n_wb, PPS uniform order-statistic
+    // read when saturated
+    val exactPos = spark.read.schema(EventStream.schema).parquet(srcDir)
+      .filter($"value".isNotNull)
+      .select($"ts", ($"value".cast("decimal(18,6)") * 1000000)
+        .cast("long").as("v"))
+      .filter($"v" > 0)
+      .groupBy(window($"ts", "1 hour"))
+      .agg(collect_list($"v").as("vs"))
+      .select($"window.start".as("ws"), $"vs")
+      .collect().map(r => r.getTimestamp(0) -> r.getSeq[Long](1)).toMap
+    streamed.select($"window_start", $"wb_value_sample", $"n_wb",
+        $"wb_mass_kept", $"est_value_wp25_micro", $"est_value_wp50_micro",
+        $"est_value_wp75_micro", $"est_value_wp95_micro")
+      .collect().foreach { r =>
+        val sample = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1)))
+        val nWb = r.getLong(2)
+        val pos = exactPos.getOrElse(r.getTimestamp(0), Seq.empty)
+        assert(nWb == pos.size.toLong)
+        assert(sample.size == math.min(64, pos.size))
+        assert(sample == sample.sorted)
+        sample.foreach { case (v, w) => assert(v == w,
+          "stream weighted sample rides the value as its own mass") }
+        val counts = pos.groupBy(identity).map { case (v, g) => v -> g.size }
+        sample.groupBy(_._1).foreach { case (v, g) =>
+          assert(g.size <= counts.getOrElse(v, 0),
+            s"sampled value $v exceeds its multiplicity in the window")
+        }
+        val ws = sample.map(_._2.toDouble).sum
+        assert(r.getDouble(3) == ws)
+        Seq(25, 50, 75, 95).zipWithIndex.foreach { case (q, i) =>
+          if (sample.isEmpty) assert(r.isNullAt(4 + i))
+          else if (sample.size.toLong == nWb) {
+            // exact branch: smallest value whose cumulative mass
+            // reaches q% of the kept mass
+            val target = q * sample.map(x => BigInt(x._2)).sum
+            val cum = sample.scanLeft(BigInt(0))(_ + _._2).tail
+            val exp = sample.zip(cum).find(_._2 * 100 >= target).get._1._1
+            assert(r.getLong(4 + i) == exp, s"wp$q exact-branch mismatch")
+          } else {
+            val exp = sample((q * sample.size + 99) / 100 - 1)._1
+            assert(r.getLong(4 + i) == exp, s"wp$q saturated-branch mismatch")
+          }
+        }
+      }
     // CMS guarantee per emitted window: every MG candidate's estimate is
     // one-sided (>= its true count) — the structural property, pinned
     // exactly, that lets the stream answer HOW OFTEN without q86's exact
@@ -187,6 +241,10 @@ class EventStreamSpec extends AnyFunSuite {
       ev(4, Some(Double.NaN)), ev(5, Some(Double.PositiveInfinity)),
       ev(6, Some(Double.NegativeInfinity)),
       ev(7, Some(1e30)), ev(8, Some(-1e30)), // overflow decimal(18,6)
+      // representable but MASS-LESS: the weighted face must exclude
+      // them (weight must be positive) while the uniform face samples
+      // them (they are real values)
+      ev(10, Some(-5.0)), ev(11, Some(0.0)),
       ev(9, None)) :+
       // far-future sentinel: pushes the watermark past t0's window so
       // append mode emits it
@@ -200,15 +258,31 @@ class EventStreamSpec extends AnyFunSuite {
       val r = df.filter($"window_start" === Timestamp.valueOf("2025-06-01 00:00:00"))
         .select($"n_events", $"bk_value_sample", $"est_value_p25_micro",
           $"est_value_p50_micro", $"est_value_p75_micro",
-          $"est_value_p95_micro")
+          $"est_value_p95_micro",
+          $"wb_value_sample", $"n_wb", $"est_value_wp25_micro",
+          $"est_value_wp50_micro", $"est_value_wp75_micro",
+          $"est_value_wp95_micro")
         .collect()
       assert(r.length == 1)
-      assert(r(0).getLong(0) == 9L) // count() still sees every row
-      // only the three decimal-representable finite values sampled — no
-      // bogus 0-micro entries from the six poisoned rows
-      assert(r(0).getSeq[Long](1) == Seq(1000000L, 2000000L, 3000000L))
-      assert(r(0).getLong(2) == 1000000L && r(0).getLong(3) == 2000000L &&
-        r(0).getLong(4) == 3000000L && r(0).getLong(5) == 3000000L)
+      assert(r(0).getLong(0) == 11L) // count() still sees every row
+      // uniform face: the five decimal-representable finite values —
+      // no bogus 0-micro entries from the six poisoned rows (zero and
+      // negative ARE real values to the uniform sample)
+      assert(r(0).getSeq[Long](1) ==
+        Seq(-5000000L, 0L, 1000000L, 2000000L, 3000000L))
+      assert(r(0).getLong(2) == 0L && r(0).getLong(3) == 1000000L &&
+        r(0).getLong(4) == 2000000L && r(0).getLong(5) == 3000000L)
+      // weighted face: only POSITIVE values carry mass — the poisoned
+      // rows AND the zero/negative rows are excluded; m = n_wb = 3 so
+      // the exact cumulative-mass branch runs (W = 6e6: wp25 is the
+      // first value at ≥ 1.5e6 cumulative → 2e6; wp50 at ≥ 3e6 → 2e6;
+      // wp75/wp95 → 3e6) — visibly ≠ the uniform reads above
+      assert(r(0).getSeq[org.apache.spark.sql.Row](6)
+        .map(p => (p.getLong(0), p.getLong(1))) ==
+        Seq((1000000L, 1000000L), (2000000L, 2000000L), (3000000L, 3000000L)))
+      assert(r(0).getLong(7) == 3L)
+      assert(r(0).getLong(8) == 2000000L && r(0).getLong(9) == 2000000L &&
+        r(0).getLong(10) == 3000000L && r(0).getLong(11) == 3000000L)
     }
     check(EventStream.runToMemory(spark, s"$dir/drop", "poison_sketch",
       df => EventStream.windowedSketches(df)))
