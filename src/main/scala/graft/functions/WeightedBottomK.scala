@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions.udaf
   * same way q141 documents rejecting GK/KLL. What IS guaranteed: a
   * group with n ≤ k rows keeps everything, and its quantiles are
   * computed EXACTLY from the full (value, weight) multiset
-  * (WeightedBottomKSpec pins it).
+  * (WeightedBottomKQuantilesSpec pins it).
   *
   * Determinism (the gate contract): insert and merge are pure
   * set-minimum operations on lexicographically ordered (key, value,

@@ -133,9 +133,13 @@ object SketchStore {
           .groupBy(col("day"), col("scope"))
           .agg(HllSketch.hllMerge(col("regs")).as("regs"),
             KmvSketch.kmvMerge(col("kmv"), RelationalExtras.SetK).as("kmv"))
+          // materialize before overwriting the source: the merge READS
+          // storeDir, which the write below replaces. A fresh store has
+          // no such self-read, so the batch-only branch skips the
+          // checkpoint job and pipelines the aggregation into the write
+          .localCheckpoint()
       } else batch
-    merged.localCheckpoint() // materialize before overwriting the source
-      .write
+    merged.write
       .partitionBy("day")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
@@ -174,7 +178,13 @@ object SketchStore {
       hashedProjection(graft.Tables.load(spark, dir, "events"),
           pmod(coalesce(col("event_id"), lit(0L)), lit(3)).as("bkey"))
         .write.partitionBy("bkey").parquet(stage)
-      val staged = spark.read.parquet(stage)
+      // explicit schema, not inference: an EMPTY events table stages as
+      // a partitioned write of zero rows — _SUCCESS only, nothing to
+      // infer from (the read()/absorbed-nothing class, at the stage) —
+      // and the declared schema reads it as an empty typed frame
+      val staged = spark.read
+        .schema("day STRING, scope STRING, ph BIGINT, kh BIGINT, bkey BIGINT")
+        .parquet(stage)
       (0 to 2).foreach(i =>
         updateHashed(spark, store, staged.filter(col("bkey") === i)))
       // at-least-once replay of batch 0
@@ -261,9 +271,10 @@ object SketchStore {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       tempDirs.forEach { d =>
         try {
-          java.nio.file.Files.walk(d)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          val st = java.nio.file.Files.walk(d)
+          try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(p => { try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => () } })
+          finally st.close()
         } catch { case _: Exception => () }
       }
     }, "graft-sketchstore-tempdir-sweep"))

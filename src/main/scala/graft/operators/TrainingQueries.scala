@@ -1690,7 +1690,7 @@ object TrainingQueries {
     * No rank-error bound is emitted: there is no clean DKW analogue for
     * weight-biased sampling without replacement (the trade is
     * documented in WeightedBottomK's scaladoc, the q141 GK/KLL MO).
-    * WeightedBottomKSpec pins the exact branch, partitioning
+    * WeightedBottomKQuantilesSpec pins the exact branch, partitioning
     * invariance, and sanity vs q148's exact-weighted twin.
     *
     * Determinism: value and weight ride the q139/q148 integer routes
