@@ -182,8 +182,28 @@ object DedupQueries {
     * near-dup detection ([[graft.corpus.CorpusPrep]] composes it).
     */
   def lshVerifiedPairs(input: DataFrame): DataFrame = {
-    val docs = shingledOf(input)
-    val banded = bandKeys(docs)
+    // r14 optimization (guide §2.4/§3.3): the shingle and minhash
+    // kernels are the pipeline's dominant per-row cost, and without
+    // materialization they are RE-COMPUTED per consumer — the executed
+    // plan carried FOUR scan+shingle passes (both band-key sides of the
+    // self-join, both verify sides) and TWO minhash+band passes, because
+    // every consumer sits behind a BroadcastExchange or a differently-
+    // keyed shuffle where ReuseExchange can never fire (broadcast vs
+    // stream side; join-side IsNotNull pushdown breaks canonical
+    // equality — the q125 lesson). Materializing the two shared frames
+    // once cuts that to ONE shingle pass + ONE minhash pass:
+    //   docs   (doc_id, sh):          the shingle-set corpus, read by
+    //                                 band-key derivation + both verify
+    //                                 sides;
+    //   banded (doc_id, band, bucket): 16 skinny rows/doc, read by both
+    //                                 sides of the candidate self-join.
+    // localCheckpoint (the q117/q125 precedent) also truncates lineage
+    // so the candidate join's replanning stays O(1). At 100 TB `banded`
+    // is exactly the structure a production pipeline PERSISTS
+    // (DedupIndex); `docs` is the verify working set the same job would
+    // keep in executor storage for its candidate-verification stage.
+    val docs = shingledOf(input).localCheckpoint()
+    val banded = bandKeys(docs).localCheckpoint()
     val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
@@ -454,7 +474,11 @@ object DedupQueries {
     // 0.8 production threshold.
     Q("q71_incremental_dedup",
       (s, dir) => {
-        val docs = shingled(s, dir)
+        // r14: one shingle pass — the frame feeds four consumers (two
+        // band-key derivations + two verify sides); without the
+        // checkpoint each recomputed the scan+shingle kernel (see
+        // lshVerifiedPairs' materialization note)
+        val docs = shingled(s, dir).localCheckpoint()
         val isNew = col("doc_id") % 3 === 2
         val fresh = bandKeys(docs.filter(isNew))
         val index = bandKeys(docs.filter(!isNew))

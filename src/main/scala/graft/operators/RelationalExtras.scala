@@ -502,7 +502,12 @@ object RelationalExtras {
           // keeps the guarantee when a future edit breaks exchange
           // identity.
           .localCheckpoint()
+        // r14: the customer-degree dim feeds BOTH ec-based half-steps
+        // (p1 and p2 each embed `ec = e ⋈ dc`); without the checkpoint
+        // each re-ran the full exchange+aggregation over the edge set.
+        // O(|customers|) rows materialized once.
         val dc = e.groupBy(col("c")).agg(count(lit(1)).as("cdeg"))
+          .localCheckpoint()
         val dp = e.groupBy(col("p")).agg(count(lit(1)).as("pdeg"))
         val ec = e.join(dc, "c")
         val p1 = ec.withColumn("contrib", expr("1000000L div cdeg"))

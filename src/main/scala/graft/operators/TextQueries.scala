@@ -60,8 +60,15 @@ object TextQueries {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("term"))
+    // r14: materialize tf once — it feeds BOTH the scoring join's probe
+    // side and the document-frequency aggregation, and ReuseExchange
+    // cannot dedupe the two subtrees (the join side carries a pushed
+    // IsNotNull(term) the dfreq side lacks, breaking canonical equality
+    // — the q125 lesson), so without this the corpus was tokenized and
+    // TF-aggregated twice per run
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = joinTfDf(tf, dfreq)
@@ -857,16 +864,37 @@ object TextQueries {
     // partition-order-independent and engine-portable.
     Q("q104_bigram_logprob",
       (s, dir) => {
-        val toksPos = t(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "word")))
-        val wl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val bg = toksPos
-          .withColumn("prev", lag(col("word"), 1).over(wl))
-          .filter(col("prev").isNotNull)
-          .select(col("doc_id"), col("prev"), col("word"))
+        // r14 optimization (guide §2.4 "remove shuffles outright"):
+        // bigram pairing is ROW-LOCAL — adjacent positions live in the
+        // same token array — so the previous posexplode + lag-window
+        // shape paid a full token-stream shuffle + sort (hashpartition
+        // by doc_id, sort by pos) for information the row already had.
+        // Derive the pairs with the BPE trainer's adjacent-pair
+        // transform instead (same multiset per doc: lag over pos ==
+        // tokens i,i+1 for i in 1..n-1; the `syms` materialize-before-
+        // lambda rule applies, see bpeTrain). The pair stream is
+        // consumed twice (model counts + scoring probe) but stays
+        // UNmaterialized: recomputing a row-local explode is the right
+        // 100 TB trade — only the model-sized count table below is
+        // checkpointed.
+        val bigramsOf = {
+          val syms = col("syms")
+          when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("prev"),
+                element_at(syms, i + 1).as("word"))))
+            .otherwise(array().cast("array<struct<prev:string,word:string>>"))
+        }
+        val bg = t(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("syms"))
+          .select(col("doc_id"), explode(bigramsOf).as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"),
+            col("p.word").as("word"))
         val bi = bg.groupBy(col("prev"), col("word"))
           .agg(count(lit(1)).as("cnt"))
+          // model-sized (distinct bigrams); feeds the prev-marginal AND
+          // the probe join, which no exchange reuse can share
+          .localCheckpoint()
         val pv = bi.groupBy(col("prev")).agg(sum(col("cnt")).as("prev_cnt"))
         bg.join(bi, Seq("prev", "word"))
           .join(pv, Seq("prev"))
@@ -1050,10 +1078,16 @@ object TextQueries {
     // exact longs.
     Q("q111_source_overlap",
       (s, dir) => {
+        // r14: materialize the distinct (source, shingle) set once — it
+        // feeds three consumers (both self-join sides + the size dim),
+        // each of which otherwise recomputed the corpus-sized
+        // explode + distinct shuffle (ReuseExchange can't share them:
+        // the join sides carry pushed IsNotNull/alias asymmetries)
         val ss = t(s, dir, "documents")
           .select(col("source"),
             explode(graft.functions.Shingles.shingles(col("text"), 5)).as("sh"))
           .distinct()
+          .localCheckpoint()
         val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("nsh"))
         val inter = ss.as("x").join(ss.as("y"),
             col("x.sh") === col("y.sh")
@@ -1743,10 +1777,21 @@ object TextQueries {
   private[operators] def bpeTrain(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
+    // coalesce(1) before the checkpoint: CoalesceExec(1) reports
+    // SinglePartition, so every round's pair-count groupBy is satisfied
+    // WITHOUT an exchange — the per-round argmax collapses from two
+    // stages (partial agg → shuffle → final agg) to one, halving the
+    // scheduling floor of the n sequential rounds (r14; the rounds are
+    // inherently sequential, so per-round overhead IS the training
+    // cost). Scale note: the vocab frame is model-scale (distinct
+    // words), far below a partition's capacity until vocabularies reach
+    // ~10⁸ words; past that, drop the coalesce and pay the per-round
+    // exchange.
     var seg = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
       .select(col("wcnt"), encodeSeg(col("word")).as("s"))
+      .coalesce(1)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var r = 0

@@ -1422,10 +1422,17 @@ object TrainingQueries {
           .filter(col("l_extendedprice").isNotNull)
           .select(col("l_returnflag"),
             (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"))
+        // r14: checkpoint the O(groups) bounds frame — it is broadcast
+        // twice (bin join + quantile selection) and without the
+        // materialization the second broadcast re-ran the full
+        // min/max/count pass over the table (plans/r14/
+        // q139_hist_quantiles_before.txt: three parquet scans; now the
+        // two-pass minimum the sketch's doc promises)
         val b = v.groupBy(col("l_returnflag"))
           .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
             count(lit(1)).as("n"))
           .withColumn("span", col("maxc") - col("minc") + lit(1L))
+          .localCheckpoint()
         val h = v.join(broadcast(b), Seq("l_returnflag"))
           .withColumn("bin", expr(s"((c - minc) * $HistBins) div span"))
           .groupBy(col("l_returnflag"), col("bin"))
@@ -1501,10 +1508,14 @@ object TrainingQueries {
             (dec(col("l_extendedprice")) * lit(100)).cast("long").as("c"),
             (dec(col("l_quantity")) * lit(100)).cast("long").as("w"))
           .filter(col("c").isNotNull && col("w") > 0)
+        // r14: same as q139 — the twice-broadcast bounds frame is
+        // checkpointed so the second broadcast doesn't re-run the
+        // full-table bounds pass (scans 3 → the two-pass minimum)
         val b = v.groupBy(col("l_returnflag"))
           .agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
             sum(col("w")).as("wtot"))
           .withColumn("span", col("maxc") - col("minc") + lit(1L))
+          .localCheckpoint()
         val h = v.join(broadcast(b), Seq("l_returnflag"))
           .withColumn("bin", expr(s"((c - minc) * $HistBins) div span"))
           .groupBy(col("l_returnflag"), col("bin"))
