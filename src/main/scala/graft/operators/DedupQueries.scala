@@ -254,9 +254,15 @@ object DedupQueries {
     */
   private[operators] def spanCandidates(base: DataFrame,
       maxDocsPerFingerprint: Int = 0): DataFrame = {
+    // r14: the winnowed-fingerprint stream feeds BOTH sides of the
+    // candidate self-join (and, with the cap on, the hot-set build and
+    // the anti-join probe too) — without the checkpoint the winnow
+    // kernel ran twice per query (q128/q130/q132). ~2/(w+1) skinny rows
+    // per gram, the structure a production pipeline persists (SpanIndex).
     val fp0 = base.select(col("doc_id"),
       explode(graft.functions.WinnowFingerprints
         .winnow(col("text"), SpanGramK, SpanWinnowW)).as("fp"))
+      .localCheckpoint()
     val fp =
       if (maxDocsPerFingerprint <= 0) fp0
       else {

@@ -288,11 +288,18 @@ object RelationalExtras {
         import org.apache.spark.sql.expressions.Window
         val e = t(s, dir, "events")
           .select(col("user_id"), col("event_type"), col("ts"))
+        // r14: each stage frame feeds TWO consumers (the next stage's
+        // join + its ladder count), so without materialization stage n
+        // re-ran every upstream stage — the executed plan scanned events
+        // SIX times (1+2+3). The frames are user-sized min-aggregates;
+        // checkpointing each restores one events scan per stage.
         val v = e.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+          .localCheckpoint()
         val c = e.filter(col("event_type") === "click")
           .join(v, "user_id").filter(col("ts") > col("t_view"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+          .localCheckpoint()
         val p = e.filter(col("event_type") === "purchase")
           .join(c, "user_id").filter(col("ts") > col("t_click"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))

@@ -122,24 +122,30 @@ object TextQueries {
     val qterms = Seq("dup", "spark", "vector")
     val k1 = 1.2
     val b = 0.75
-    val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("term"))
-    val tfq = toks.groupBy(col("doc_id"))
-      .agg(qterms.map(tm =>
-        count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).head,
+    // r14 optimization (guide §2.4): per-doc TF of the three FIXED query
+    // terms and per-term document frequency are ROW-LOCAL over the token
+    // array — size(filter(tk, = term)) and tf > 0 — so the old
+    // explode + groupBy TF shuffle and the distinct + agg DF shuffle
+    // disappear, and the corpus is tokenized ONCE (was four times: tfq,
+    // dfs, stats, dl). Null-text semantics preserved exactly: a NULL
+    // text yields NULL tk → NULL dl/tf, is counted in n_docs (count(*),
+    // like the oracle's stats CTE), contributes nothing to total_dl or
+    // any df (null-guarded counts), and is dropped from the scored rows
+    // (the old inner join on the exploded frame dropped it the same
+    // way). The per-doc frame is checkpointed once — it feeds the
+    // 1-row stats/df aggregate AND the scoring pass.
+    val tfCols = qterms.map(tm =>
+      size(filter(col("tk"), x => x === lit(tm))).cast("long").as(s"tf_$tm"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+        tfCols: _*)
+      .localCheckpoint()
+    val statCols =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("total_dl") +:
         qterms.map(tm =>
-          count(when(col("term") === tm, lit(1))).as(s"tf_$tm")).tail: _*)
-    val dfs = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy()
-      .agg(qterms.map(tm =>
-        count(when(col("term") === tm, lit(1))).as(s"df_$tm")).head,
-        qterms.map(tm =>
-          count(when(col("term") === tm, lit(1))).as(s"df_$tm")).tail: _*)
-    val stats = docs
-      .select(size(tokens(col("text"))).cast("long").as("dl"), col("doc_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val dl = size(tokens(col("text"))).cast("long")
+          count(when(col(s"tf_$tm") > 0, lit(1))).as(s"df_$tm"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
     val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
     def part(tm: String) = {
       val tf = col(s"tf_$tm").cast("double")
@@ -153,9 +159,7 @@ object TextQueries {
       when(col(s"tf_$tm") > 0, idf * (tf * (k1 + 1.0)) / denom)
         .otherwise(lit(0.0))
     }
-    docs.select(col("doc_id"), dl.as("dl"))
-      .join(tfq, "doc_id")
-      .crossJoin(broadcast(dfs))
+    base.filter(col("dl").isNotNull)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         col("tf_dup"), col("tf_spark"), col("tf_vector"),
@@ -526,11 +530,17 @@ object TextQueries {
         val words = t(s, dir, "documents")
           .select(explode(split(lower(trim(col("text"))), "\\s+"))
             .as("word"))
-        val cand = words
+        // r14: the MG sketch and the exact word total fold in ONE
+        // aggregate over ONE tokenize pass (they previously ran as two
+        // separate corpus passes); the 1-row result is checkpointed so
+        // its two consumers (candidate keys + total) don't re-run the
+        // pass. Scans 3 → 2 — pass 1 sketch+count, pass 2 recount.
+        val sk = words
           .agg(graft.functions.FreqSketch.freqSketch(col("word"), k)
-            .as("mg"))
-          .select(explode(map_keys(col("mg"))).as("word"))
-        val totals = words.agg(count(lit(1)).as("n_words"))
+            .as("mg"), count(lit(1)).as("n_words"))
+          .localCheckpoint()
+        val cand = sk.select(explode(map_keys(col("mg"))).as("word"))
+        val totals = sk.select(col("n_words"))
         words.join(broadcast(cand), Seq("word"), "left_semi")
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(totals))

@@ -443,6 +443,27 @@ class PlanSpec extends AnyFunSuite {
       plan.take(4000))
   }
 
+  test("q104: bigram pairing is row-local — no window, no token-stream sort (r14)") {
+    // the r14 rewrite derives adjacent pairs from the token array with
+    // transform(sequence(...)) instead of posexplode + lag over a
+    // doc-keyed window; a Window (and its hashpartition+sort of the
+    // full token stream) reappearing here is the shuffle regressing
+    val plan = planOf("q104_bigram_logprob")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q76: BM25 scoring tokenizes once — no explode, no TF/DF shuffle in the returned plan (r14)") {
+    // per-term TF and document frequency are row-local over the token
+    // array (size(filter(...)), tf > 0 counts); the corpus is tokenized
+    // once into the checkpointed per-doc frame, so the returned plan
+    // must carry no Generate (explode) and no join — a Generate here
+    // means the explode+groupBy shuffles crept back
+    val plan = planOf("q76_bm25")
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q145: rollup-from-state reads ONLY the store — never the absorbed events") {
     val plan = planOf("q145_sketchstore_rollup")
     // the emitted frame folds persisted sketch rows: its scans must be
